@@ -1,0 +1,726 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The constraint algebra.
+  *
+  * Every leaf check of the reference (`verify/src/impls/schemars/macros.rs` +
+  * `schema.rs:390-1005`, see SURVEY.md §2.1) is a pure Boolean function of one
+  * row, so each compiles to ONE Catalyst `Column` predicate plus a
+  * violation-constructor `Column` producing `array<struct>` of violation rows
+  * for that row. The whole row-local suite is then a single wide projection —
+  * one scan, whole-stage-codegen'd, no UDFs (SURVEY.md §4.2).
+  *
+  * Cross-row checks (uniqueness / referential / drift) compile to
+  * [[AggConstraint]]s that own their shuffle (SURVEY.md §2.4).
+  *
+  * Null semantics: like JSON Schema (and the reference, where a missing key
+  * simply never reaches the check), value constraints PASS on null — presence
+  * is asserted separately with [[NonNull]].
+  */
+object Constraints {
+
+  /** Schema of one violation entry produced inside a row (before the runner
+    * attaches doc_id/bucket_id). */
+  val vioEntryType: StructType = StructType(Seq(
+    StructField("constraint_id", StringType),
+    StructField("path", StringType),
+    StructField("bound", StringType),
+    StructField("actual", StringType)))
+  val vioArrayType: ArrayType = ArrayType(vioEntryType, containsNull = false)
+
+  /** Typed empty array<struct<...>> — the "no violations" value. */
+  def noVios: Column = array().cast(vioArrayType)
+
+  def entry(id: String, path: Column, bound: String, actual: Column): Column =
+    struct(
+      lit(id).as("constraint_id"),
+      path.as("path"),
+      lit(bound).as("bound"),
+      coalesce(actual.cast(StringType), lit("<null>")).as("actual"))
+
+  /** Violation array for a scalar (whole-column) check. */
+  def scalarVios(id: String, pred: Column, path: String, bound: String, actual: Column): Column =
+    when(!coalesce(pred, lit(false)), array(entry(id, lit(path), bound, actual))).otherwise(noVios)
+
+  private[graft] def requireCol(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    if (schema.fieldNames.contains(c)) Nil else List(SuiteError.UnknownColumn(c, ctx))
+
+  private[graft] def requireNumeric(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    schema.fields.find(_.name == c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(f) => f.dataType match {
+        case _: NumericType => Nil
+        case dt => List(SuiteError.TypeMismatch(c, "numeric", dt, ctx))
+      }
+    }
+
+  private[graft] def requireArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    schema.fields.find(_.name == c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(f) => f.dataType match {
+        case _: ArrayType => Nil
+        case dt => List(SuiteError.TypeMismatch(c, "array", dt, ctx))
+      }
+    }
+
+  private[graft] def requireString(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    schema.fields.find(_.name == c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(f) => f.dataType match {
+        case StringType => Nil
+        case dt => List(SuiteError.TypeMismatch(c, "string", dt, ctx))
+      }
+    }
+}
+
+sealed trait Constraint { def id: String }
+
+/** Row-local constraint: one predicate + one violation-array expression. */
+sealed trait RowConstraint extends Constraint {
+  import Constraints._
+  /** Compile-time self-check against the input schema — analog of the
+    * reference's `RootSchema::verify` (verify.rs:9-171). */
+  def selfCheck(schema: StructType): List[SuiteError]
+  /** true ⇔ the row passes this constraint (null-safe: never null). */
+  def pred: Column
+  /** array<struct<constraint_id,path,bound,actual>> — empty iff pass. */
+  def vios: Column = scalarVios(id, pred, pathStr, boundStr, actualCol)
+  protected def pathStr: String
+  protected def boundStr: String
+  protected def actualCol: Column
+}
+
+// ---------------------------------------------------------------------------
+// Scalar leaves (reference C1-C10, C21, C23, C24 — SURVEY.md §2.1)
+// ---------------------------------------------------------------------------
+
+/** C21 `required` analog: column must be non-null (errors.rs `RequiredProperty`). */
+final case class NonNull(col: String) extends RowConstraint {
+  val id = s"nonnull($col)"
+  def selfCheck(s: StructType) = Constraints.requireCol(s, col, id)
+  def pred = org.apache.spark.sql.functions.col(col).isNotNull
+  protected def pathStr = col
+  protected def boundStr = "not null"
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
+/** C23: value must be null (reference `Null` instance type, schema.rs:541-570). */
+final case class IsNull(col: String) extends RowConstraint {
+  val id = s"isnull($col)"
+  def selfCheck(s: StructType) = Constraints.requireCol(s, col, id)
+  def pred = org.apache.spark.sql.functions.col(col).isNull
+  protected def pathStr = col
+  protected def boundStr = "null"
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
+/** C4-C7: numeric bounds. All reference comparisons happen in f64
+  * (macros.rs:251-315) so Double bounds are lossless parity. Null passes. */
+final case class Range(
+    col: String, min: Double = Double.NegativeInfinity, max: Double = Double.PositiveInfinity,
+    exclusiveMin: Boolean = false, exclusiveMax: Boolean = false) extends RowConstraint {
+  val id = s"range($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireNumeric(s, col, id) ++
+      (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil)
+  def pred = {
+    val c = org.apache.spark.sql.functions.col(col).cast(DoubleType)
+    val lo = if (min == Double.NegativeInfinity) lit(true) else if (exclusiveMin) c > min else c >= min
+    val hi = if (max == Double.PositiveInfinity) lit(true) else if (exclusiveMax) c < max else c <= max
+    c.isNull || (lo && hi)
+  }
+  protected def pathStr = col
+  protected def boundStr = {
+    val lb = if (exclusiveMin) s"($min" else s"[$min"
+    val ub = if (exclusiveMax) s"$max)" else s"$max]"
+    s"$lb,$ub"
+  }
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
+/** C3 multipleOf (f64 modulo, macros.rs:250-259). The reference silently skips
+  * m==0; we reject it at compile time instead (documented deviation). */
+final case class MultipleOf(col: String, m: Double) extends RowConstraint {
+  val id = s"multipleOf($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireNumeric(s, col, id) ++
+      (if (m == 0.0) List(SuiteError.Unsupported(id, "multipleOf 0")) else Nil)
+  def pred = {
+    val c = org.apache.spark.sql.functions.col(col).cast(DoubleType)
+    c.isNull || pmod(c, lit(m)) === 0.0
+  }
+  protected def pathStr = col
+  protected def boundStr = s"multipleOf $m"
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
+/** C8 pattern. Regex is compiled ONCE at suite-compile time (the reference
+  * recompiles per value, macros.rs:336 — a documented inefficiency we must
+  * not copy, SURVEY.md §4.1). rlike = find-anywhere, same as the reference's
+  * `Regex::is_match`. Null passes. */
+final case class Regex(col: String, pattern: String) extends RowConstraint {
+  val id = s"regex($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireString(s, col, id) ++
+      (scala.util.Try(java.util.regex.Pattern.compile(pattern)) match {
+        case scala.util.Failure(e) => List(SuiteError.InvalidPattern(pattern, e.getMessage))
+        case _ => Nil
+      })
+  def pred = {
+    val c = org.apache.spark.sql.functions.col(col)
+    c.isNull || c.rlike(pattern)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"pattern $pattern"
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
+/** C9/C10 string length in characters — reference counts chars not bytes
+  * (macros.rs:357,368) and so does Spark's `length` on StringType.
+  * NOTE the reference only enforces length when `pattern` is also present
+  * (a bug, macros.rs:335-377); ours is unconditional (SURVEY.md §7.4). */
+final case class LengthBounds(col: String, min: Option[Int] = None, max: Option[Int] = None)
+    extends RowConstraint {
+  val id = s"length($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireString(s, col, id) ++
+      ((min, max) match {
+        case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
+        case _ => Nil
+      })
+  def pred = {
+    val n = length(org.apache.spark.sql.functions.col(col))
+    val lo = min.map(a => n >= a).getOrElse(lit(true))
+    val hi = max.map(b => n <= b).getOrElse(lit(true))
+    org.apache.spark.sql.functions.col(col).isNull || (lo && hi)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"length in [${min.getOrElse(0)},${max.map(_.toString).getOrElse("inf")}]"
+  protected def actualCol = length(org.apache.spark.sql.functions.col(col))
+}
+
+/** C2 enum membership (macros.rs:116-241). Null passes. */
+final case class EnumIn(col: String, values: Seq[Any]) extends RowConstraint {
+  val id = s"enum($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireCol(s, col, id) ++
+      (if (values.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil)
+  def pred = {
+    val c = org.apache.spark.sql.functions.col(col)
+    c.isNull || c.isin(values: _*)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"in {${values.mkString(",")}}"
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
+/** C24 `false`-schema: rejects every row (macros.rs:6-24 `not_bool_schema!`). */
+final case class Never(label: String = "never") extends RowConstraint {
+  val id = label
+  def selfCheck(s: StructType) = Nil
+  def pred = lit(false)
+  protected def pathStr = ""
+  protected def boundStr = "never"
+  protected def actualCol = lit("row")
+}
+
+/** `true`-schema: accepts everything. */
+final case class Always(label: String = "always") extends RowConstraint {
+  val id = label
+  def selfCheck(s: StructType) = Nil
+  def pred = lit(true)
+  protected def pathStr = ""
+  protected def boundStr = "always"
+  protected def actualCol = lit("row")
+}
+
+// ---------------------------------------------------------------------------
+// Array leaves (reference C11-C16 — items / contains / uniqueItems / size)
+// ---------------------------------------------------------------------------
+
+/** C11 per-element numeric domain (items schema, schema.rs:708-717).
+  * Violations carry a per-element dotted path `col.i` — the reference's
+  * sequence-index span segment (serde.rs:166-174). Built with higher-order
+  * `filter((x,i) => …)` so only failing elements materialize: no explode of
+  * passing arrays at 10^12 scale (SURVEY.md §7.4). */
+final case class ArrayElemRange(col: String, min: Double, max: Double) extends RowConstraint {
+  import Constraints._
+  val id = s"elemRange($col)"
+  def selfCheck(s: StructType) =
+    requireArray(s, col, id) ++ (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil)
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def elemOk(x: Column) = x.cast(DoubleType) >= min && x.cast(DoubleType) <= max
+  def pred = c.isNull || forall(c, elemOk _)
+  override def vios: Column = {
+    val failIdx = org.apache.spark.sql.functions.filter(
+      transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
+      (s: Column) => !elemOk(s.getField("v")))
+    val entries = transform(failIdx, (s: Column) =>
+      entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
+    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"elem in [$min,$max]"
+  protected def actualCol = c
+}
+
+/** C11 variant: every element ∈ an explicit value set. */
+final case class ArrayElemIn(col: String, values: Seq[Any]) extends RowConstraint {
+  import Constraints._
+  val id = s"elemIn($col)"
+  def selfCheck(s: StructType) =
+    requireArray(s, col, id) ++ (if (values.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil)
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def elemOk(x: Column) = x.isin(values: _*)
+  def pred = c.isNull || forall(c, elemOk _)
+  override def vios: Column = {
+    val failIdx = org.apache.spark.sql.functions.filter(
+      transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
+      (s: Column) => !elemOk(s.getField("v")))
+    val entries = transform(failIdx, (s: Column) =>
+      entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
+    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"elem in {${values.take(8).mkString(",")}${if (values.size > 8) ",…" else ""}}"
+  protected def actualCol = c
+}
+
+/** C13 contains: ≥1 element equals `value` (schema.rs:698-706, MustContain). */
+final case class ArrayContainsValue(col: String, value: Any) extends RowConstraint {
+  val id = s"contains($col)"
+  def selfCheck(s: StructType) = Constraints.requireArray(s, col, id)
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = c.isNull || array_contains(c, value)
+  protected def pathStr = col
+  protected def boundStr = s"must contain $value"
+  protected def actualCol = slice(c, 1, 8).cast(StringType)
+}
+
+/** C15/C16 minItems/maxItems (schema.rs:787-805). */
+final case class ArraySizeBounds(col: String, min: Option[Int] = None, max: Option[Int] = None)
+    extends RowConstraint {
+  val id = s"sizeBounds($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireArray(s, col, id) ++
+      ((min, max) match {
+        case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
+        case _ => Nil
+      })
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = {
+    val n = size(c)
+    val lo = min.map(a => n >= a).getOrElse(lit(true))
+    val hi = max.map(b => n <= b).getOrElse(lit(true))
+    c.isNull || (lo && hi)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"size in [${min.getOrElse(0)},${max.map(_.toString).getOrElse("inf")}]"
+  protected def actualCol = size(org.apache.spark.sql.functions.col(col))
+}
+
+/** C14 uniqueItems WITHIN one array (schema.rs:738-755). The reference builds
+  * a per-array hash set; columnar equivalent is size == size(array_distinct). */
+final case class ArrayUniqueItems(col: String) extends RowConstraint {
+  val id = s"uniqueItems($col)"
+  def selfCheck(s: StructType) = Constraints.requireArray(s, col, id)
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = c.isNull || size(c) === size(array_distinct(c))
+  protected def pathStr = col
+  protected def boundStr = "all elements distinct"
+  protected def actualCol = (size(c) - size(array_distinct(c))).cast(StringType)
+}
+
+/** North-rule length-consistency invariant: size(tokens) == n_tok. */
+final case class LengthConsistent(arrCol: String, lenCol: String) extends RowConstraint {
+  val id = s"lengthConsistent($arrCol,$lenCol)"
+  def selfCheck(s: StructType) =
+    Constraints.requireArray(s, arrCol, id) ++ Constraints.requireNumeric(s, lenCol, id)
+  def pred = {
+    val a = org.apache.spark.sql.functions.col(arrCol)
+    val n = org.apache.spark.sql.functions.col(lenCol)
+    a.isNull || n.isNull || size(a) === n
+  }
+  protected def pathStr = arrCol
+  protected def boundStr = s"size($arrCol) == $lenCol"
+  protected def actualCol =
+    concat(size(org.apache.spark.sql.functions.col(arrCol)).cast(StringType), lit(" != "),
+      org.apache.spark.sql.functions.col(lenCol).cast(StringType))
+}
+
+// ---------------------------------------------------------------------------
+// Map/object leaves (reference C17-C22) + static type check (C1)
+// ---------------------------------------------------------------------------
+
+/** C1 type check — static in a typed engine: the column's Catalyst type must
+  * conform at COMPILE time (schema conformance); rows can never individually
+  * fail it, exactly because Spark schemas are table-wide. Mismatch ⇒
+  * compile-time SuiteError, the analog of `InvalidType` (errors.rs). */
+final case class TypeIs(col: String, expected: DataType) extends RowConstraint {
+  val id = s"type($col)"
+  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
+    case None => List(SuiteError.UnknownColumn(col, id))
+    case Some(f) if DataType.equalsIgnoreNullability(f.dataType, expected) => Nil
+    case Some(f) => List(SuiteError.TypeMismatch(col, expected.simpleString, f.dataType, id))
+  }
+  def pred = lit(true) // statically proven
+  protected def pathStr = col
+  protected def boundStr = s"type ${expected.simpleString}"
+  protected def actualCol = lit("")
+}
+
+/** C19 additionalProperties:false — every map key must be in the allowed set;
+  * violations per unknown key with path `col.<key>` (UnknownProperty,
+  * schema.rs:941-956). */
+final case class MapKeysIn(col: String, allowed: Seq[String]) extends RowConstraint {
+  import Constraints._
+  val id = s"mapKeysIn($col)"
+  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
+    case None => List(SuiteError.UnknownColumn(col, id))
+    case Some(f) => f.dataType match {
+      case _: MapType => if (allowed.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil
+      case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
+    }
+  }
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def keyOk(k: Column) = k.isin(allowed: _*)
+  def pred = c.isNull || forall(map_keys(c), keyOk _)
+  override def vios: Column = {
+    val bad = org.apache.spark.sql.functions.filter(map_keys(c), (k: Column) => !keyOk(k))
+    val entries = transform(bad, (k: Column) =>
+      entry(id, concat(lit(col + "."), k), s"keys in {${allowed.mkString(",")}}", lit("unknown property")))
+    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"keys in {${allowed.mkString(",")}}"
+  protected def actualCol = c.cast(StringType)
+}
+
+/** C21 required for map columns — one violation per missing key, path
+  * `col.<key>` (RequiredProperty, schema.rs:992-998). */
+final case class MapRequiredKeys(col: String, required: Seq[String]) extends RowConstraint {
+  import Constraints._
+  val id = s"mapRequired($col)"
+  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
+    case None => List(SuiteError.UnknownColumn(col, id))
+    case Some(f) => f.dataType match {
+      case _: MapType => if (required.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil
+      case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
+    }
+  }
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = c.isNull ||
+    required.map(k => map_contains_key(c, k)).reduceOption(_ && _).getOrElse(lit(true))
+  override def vios: Column = {
+    val missing = org.apache.spark.sql.functions.filter(
+      array(required.map(lit): _*), (k: Column) => !map_contains_key(c, k))
+    val entries = transform(missing, (k: Column) =>
+      entry(id, concat(lit(col + "."), k), "required", lit("missing")))
+    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"required {${required.mkString(",")}}"
+  protected def actualCol = c.cast(StringType)
+}
+
+/** C22 minProperties/maxProperties (schema.rs:971-989). */
+final case class MapSizeBounds(col: String, min: Option[Int] = None, max: Option[Int] = None)
+    extends RowConstraint {
+  val id = s"mapSize($col)"
+  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
+    case None => List(SuiteError.UnknownColumn(col, id))
+    case Some(f) => f.dataType match {
+      case _: MapType => (min, max) match {
+        case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
+        case _ => Nil
+      }
+      case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
+    }
+  }
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = {
+    val n = size(map_keys(c))
+    val lo = min.map(a => n >= a).getOrElse(lit(true))
+    val hi = max.map(b => n <= b).getOrElse(lit(true))
+    c.isNull || (lo && hi)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"properties in [${min.getOrElse(0)},${max.map(_.toString).getOrElse("inf")}]"
+  protected def actualCol = size(map_keys(org.apache.spark.sql.functions.col(col))).cast(StringType)
+}
+
+/** C20 propertyNames — every key matches a regex (schema.rs:874-883).
+  * Regex validated once at compile time (unlike the reference's per-key
+  * recompilation, schema.rs:915). */
+final case class MapKeyPattern(col: String, pattern: String) extends RowConstraint {
+  import Constraints._
+  val id = s"mapKeyPattern($col)"
+  def selfCheck(s: StructType) = {
+    val t = s.fields.find(_.name == col) match {
+      case None => List(SuiteError.UnknownColumn(col, id))
+      case Some(f) => f.dataType match {
+        case _: MapType => Nil
+        case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
+      }
+    }
+    t ++ (scala.util.Try(java.util.regex.Pattern.compile(pattern)) match {
+      case scala.util.Failure(e) => List(SuiteError.InvalidPattern(pattern, e.getMessage))
+      case _ => Nil
+    })
+  }
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = c.isNull || forall(map_keys(c), (k: Column) => k.rlike(pattern))
+  override def vios: Column = {
+    val bad = org.apache.spark.sql.functions.filter(map_keys(c), (k: Column) => !k.rlike(pattern))
+    val entries = transform(bad, (k: Column) =>
+      entry(id, concat(lit(col + "."), k), s"key pattern $pattern", k))
+    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"key pattern $pattern"
+  protected def actualCol = c.cast(StringType)
+}
+
+/** C17/C18 map-value constraint, optionally routed by key regex
+  * (patternProperties, schema.rs:914-939): for every entry whose key matches
+  * `keyPattern` (".*" = properties/all), the numeric value must lie in
+  * [min,max]. Violations carry path `col.<key>`. */
+final case class MapValueRange(col: String, keyPattern: String, min: Double, max: Double)
+    extends RowConstraint {
+  import Constraints._
+  val id = s"mapValueRange($col)"
+  def selfCheck(s: StructType) = {
+    val t = s.fields.find(_.name == col) match {
+      case None => List(SuiteError.UnknownColumn(col, id))
+      case Some(f) => f.dataType match {
+        case MapType(_, _: NumericType, _) => Nil
+        case dt => List(SuiteError.TypeMismatch(col, "map<_,numeric>", dt, id))
+      }
+    }
+    t ++ (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil) ++
+      (scala.util.Try(java.util.regex.Pattern.compile(keyPattern)) match {
+        case scala.util.Failure(e) => List(SuiteError.InvalidPattern(keyPattern, e.getMessage))
+        case _ => Nil
+      })
+  }
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def vOk(v: Column) = v.cast(DoubleType) >= min && v.cast(DoubleType) <= max
+  def pred = c.isNull ||
+    forall(map_entries(c), (e: Column) =>
+      !e.getField("key").rlike(keyPattern) || vOk(e.getField("value")))
+  override def vios: Column = {
+    val bad = org.apache.spark.sql.functions.filter(map_entries(c), (e: Column) =>
+      e.getField("key").rlike(keyPattern) && !vOk(e.getField("value")))
+    val entries = transform(bad, (e: Column) =>
+      entry(id, concat(lit(col + "."), e.getField("key")), s"value in [$min,$max]", e.getField("value")))
+    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"value in [$min,$max]"
+  protected def actualCol = c.cast(StringType)
+}
+
+// ---------------------------------------------------------------------------
+// Combinators (reference K1-K5, schema.rs:180-343 — SURVEY.md §2.2)
+// ---------------------------------------------------------------------------
+
+/** K1 allOf: all children must pass; errors union (schema.rs:188-197). */
+final case class All(name: String, cs: Seq[RowConstraint]) extends RowConstraint {
+  val id = s"allOf($name)"
+  def selfCheck(s: StructType) = cs.toList.flatMap(_.selfCheck(s))
+  def pred = cs.map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
+  override def vios: Column =
+    cs.map(_.vios).reduceOption(concat(_, _)).getOrElse(Constraints.noVios)
+  protected def pathStr = ""
+  protected def boundStr = "allOf"
+  protected def actualCol = lit("")
+}
+
+/** K2 anyOf: ≥1 child must pass; on failure the reference's `NoneValid`
+  * carries ALL inner error sets (schema.rs:199-237) — we emit every child's
+  * violations plus one summary entry. */
+final case class AnyOf(name: String, cs: Seq[RowConstraint]) extends RowConstraint {
+  import Constraints._
+  val id = s"anyOf($name)"
+  def selfCheck(s: StructType) = cs.toList.flatMap(_.selfCheck(s))
+  def pred = cs.map(_.pred).reduceOption(_ || _).getOrElse(lit(false))
+  override def vios: Column = {
+    val inner = cs.map(_.vios).reduceOption(concat(_, _)).getOrElse(noVios)
+    when(!pred, concat(array(entry(id, lit(""), s"anyOf(${cs.map(_.id).mkString(",")})", lit("none valid"))), inner))
+      .otherwise(noVios)
+  }
+  protected def pathStr = ""
+  protected def boundStr = "anyOf"
+  protected def actualCol = lit("")
+}
+
+/** K3 oneOf: exactly one child passes; 0 ⇒ NoneValid{exclusive}, >1 ⇒
+  * MoreThanOneValid (schema.rs:239-292). */
+final case class OneOf(name: String, cs: Seq[RowConstraint]) extends RowConstraint {
+  import Constraints._
+  val id = s"oneOf($name)"
+  def selfCheck(s: StructType) = cs.toList.flatMap(_.selfCheck(s))
+  private def nValid = cs.map(_.pred.cast(IntegerType)).reduceOption(_ + _).getOrElse(lit(0))
+  def pred = nValid === 1
+  override def vios: Column =
+    when(!pred,
+      array(entry(id, lit(""), s"exactly one of (${cs.map(_.id).mkString(",")})",
+        concat(nValid.cast(StringType), lit(" valid"))))).otherwise(noVios)
+  protected def pathStr = ""
+  protected def boundStr = "oneOf"
+  protected def actualCol = lit("")
+}
+
+/** K5 not: child must NOT pass (schema.rs:316-333, ValidNot). */
+final case class NotC(name: String, c: RowConstraint) extends RowConstraint {
+  val id = s"not($name)"
+  def selfCheck(s: StructType) = c.selfCheck(s)
+  def pred = !c.pred
+  protected def pathStr = ""
+  protected def boundStr = s"not(${c.id})"
+  protected def actualCol = lit("matched")
+}
+
+/** K4 if/then/else (schema.rs:294-314). */
+final case class IfThenElse(name: String, i: RowConstraint, t: RowConstraint,
+    e: Option[RowConstraint] = None) extends RowConstraint {
+  import Constraints._
+  val id = s"if($name)"
+  def selfCheck(s: StructType) =
+    i.selfCheck(s) ++ t.selfCheck(s) ++ e.map(_.selfCheck(s)).getOrElse(Nil)
+  def pred = when(i.pred, t.pred).otherwise(e.map(_.pred).getOrElse(lit(true)))
+  override def vios: Column =
+    when(i.pred, t.vios).otherwise(e.map(_.vios).getOrElse(noVios))
+  protected def pathStr = ""
+  protected def boundStr = "if/then/else"
+  protected def actualCol = lit("")
+}
+
+/** K6 $ref analog: resolved from the suite's definitions map at compile time
+  * (pure substitution, schema.rs:124-150; missing name ⇒ MissingDefinition,
+  * errors.rs:169-181). */
+final case class NamedRef(name: String) extends RowConstraint {
+  val id = s"ref($name)"
+  def selfCheck(s: StructType) = List(SuiteError.MissingDefinition(name)) // unresolved ⇒ error
+  def pred = lit(false)
+  protected def pathStr = ""
+  protected def boundStr = s"ref $name"
+  protected def actualCol = lit("")
+}
+
+// ---------------------------------------------------------------------------
+// Cross-row constraints (shuffle-bearing; SURVEY.md §2.4)
+// ---------------------------------------------------------------------------
+
+/** Cross-row constraint: owns its shuffle, returns a violations DataFrame
+  * with columns (constraint_id, path, bound, actual, key). */
+sealed trait AggConstraint extends Constraint {
+  def selfCheck(schema: StructType): List[SuiteError]
+  /** Returns violation rows: (constraint_id, path, bound, actual, key:string). */
+  def run(df: DataFrame): DataFrame
+}
+
+/** Cross-row uniqueness on a key column (reference C14 generalized across
+  * rows per the north rule). Hash-partitioned groupBy; Spark's two-phase
+  * HashAggregate does map-side partial counting, so a hot key contributes at
+  * most one partial row per map task — the skew-safe plan without explicit
+  * salting. `salted=true` adds an explicit two-phase (key, salt) pre-count
+  * for adversarial skew: equal keys get equal final placement because phase 2
+  * re-groups by key alone; phase 1 splits a hot key's partials across
+  * reducers via a deterministic row-hash salt. */
+final case class Unique(col: String, salted: Boolean = false, saltBuckets: Int = 64)
+    extends AggConstraint {
+  val id = s"unique($col)"
+  def selfCheck(s: StructType) = Constraints.requireCol(s, col, id)
+  def run(df: DataFrame): DataFrame = {
+    val key = org.apache.spark.sql.functions.col(col)
+    val counts =
+      if (!salted) {
+        df.filter(key.isNotNull).groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      } else {
+        // Phase 1: count per (key, salt) — salt derived from the full row hash
+        // so copies of a duplicated key spread over reducers; Phase 2: sum per key.
+        val salt = pmod(xxhash64(df.columns.map(org.apache.spark.sql.functions.col): _*), lit(saltBuckets))
+        df.filter(key.isNotNull)
+          .groupBy(key.as("key"), salt.as("salt")).agg(count(lit(1)).as("c1"))
+          .groupBy(org.apache.spark.sql.functions.col("key")).agg(sum("c1").as("cnt"))
+      }
+    counts.filter(org.apache.spark.sql.functions.col("cnt") > 1)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(col).as("path"),
+        lit("unique").as("bound"),
+        concat(lit("count="), org.apache.spark.sql.functions.col("cnt").cast(StringType)).as("actual"),
+        org.apache.spark.sql.functions.col("key").cast(StringType).as("key"))
+  }
+}
+
+/** Referential integrity: fact.col ⊆ dim.dimCol. Violations via LEFT ANTI
+  * join — broadcast when the dim is small (the common case for a sources
+  * dimension), sort-merge + AQE skew handling otherwise (SURVEY.md §2.4). */
+final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String,
+    broadcastDim: Boolean = true) extends AggConstraint {
+  val id = s"ref($col->$dimCol)"
+  def selfCheck(s: StructType) =
+    Constraints.requireCol(s, col, id) ++
+      (if (dim.schema.fieldNames.contains(dimCol)) Nil
+       else List(SuiteError.UnknownColumn(dimCol, s"$id (dimension)")))
+  def run(df: DataFrame): DataFrame = {
+    val d0 = dim.select(org.apache.spark.sql.functions.col(dimCol).as("__dim_key")).distinct()
+    val d = if (broadcastDim) broadcast(d0) else d0
+    df.filter(org.apache.spark.sql.functions.col(col).isNotNull)
+      .join(d, org.apache.spark.sql.functions.col(col) === org.apache.spark.sql.functions.col("__dim_key"), "left_anti")
+      .groupBy(org.apache.spark.sql.functions.col(col).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        lit(id).as("constraint_id"),
+        lit(col).as("path"),
+        lit(s"in dim.$dimCol").as("bound"),
+        concat(lit("orphan rows="), org.apache.spark.sql.functions.col("cnt").cast(StringType)).as("actual"),
+        org.apache.spark.sql.functions.col("key").cast(StringType).as("key"))
+  }
+}
+
+/** Distribution-drift check: per-group chi-square of a binned numeric column
+  * against the pooled (all-groups) distribution. Fully distributed: bin →
+  * count per (group, bin) → join small aggregates; the chi-square sum runs
+  * over ≤ groups×bins rows. Groups whose χ² exceeds `threshold` violate. */
+final case class DriftChiSquare(valueCol: String, groupCol: String, binWidth: Double,
+    threshold: Double) extends AggConstraint {
+  val id = s"drift($valueCol by $groupCol)"
+  def selfCheck(s: StructType) =
+    Constraints.requireNumeric(s, valueCol, id) ++ Constraints.requireCol(s, groupCol, id) ++
+      (if (binWidth <= 0) List(SuiteError.Unsupported(id, s"binWidth=$binWidth")) else Nil)
+  def run(df: DataFrame): DataFrame = {
+    val stats = Drift.chiSquare(df, valueCol, groupCol, binWidth)
+    stats.filter(org.apache.spark.sql.functions.col("chi2") > threshold)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(valueCol).as("path"),
+        lit(s"chi2 <= $threshold vs pooled").as("bound"),
+        concat(lit("chi2="), org.apache.spark.sql.functions.col("chi2").cast(StringType)).as("actual"),
+        org.apache.spark.sql.functions.col(groupCol).cast(StringType).as("key"))
+  }
+}
+
+/** Drift via two-sample Kolmogorov–Smirnov on binned CDFs per group vs pooled. */
+final case class DriftKS(valueCol: String, groupCol: String, binWidth: Double,
+    threshold: Double) extends AggConstraint {
+  val id = s"driftKS($valueCol by $groupCol)"
+  def selfCheck(s: StructType) =
+    Constraints.requireNumeric(s, valueCol, id) ++ Constraints.requireCol(s, groupCol, id) ++
+      (if (binWidth <= 0) List(SuiteError.Unsupported(id, s"binWidth=$binWidth")) else Nil)
+  def run(df: DataFrame): DataFrame = {
+    val stats = Drift.ks(df, valueCol, groupCol, binWidth)
+    stats.filter(org.apache.spark.sql.functions.col("ks") > threshold)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(valueCol).as("path"),
+        lit(s"ks <= $threshold vs pooled").as("bound"),
+        concat(lit("ks="), org.apache.spark.sql.functions.col("ks").cast(StringType)).as("actual"),
+        org.apache.spark.sql.functions.col(groupCol).cast(StringType).as("key"))
+  }
+}

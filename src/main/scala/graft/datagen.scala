@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic synthetic tokenized-sequence corpus (FIXTURES.md §1).
+  *
+  * Every column is a pure function of the row id via `xxhash64(id, salt)` —
+  * no `rand()`, whose output depends on partitioning — so the corpus is
+  * bit-identical at any parallelism and any scale factor prefix. Generated
+  * distributed via `spark.range` (never a driver-side collection).
+  *
+  * Planted defects are keyed by id-modulo classes so tests know exact ground
+  * truth; each class maps to one reference error case (see FIXTURES.md §1).
+  */
+object DataGen {
+
+  val VOCAB = 50257
+  val BOS = 1
+  val SOURCES = Seq("web", "books", "code", "wiki", "forums")
+
+  // Defect classes (co-prime moduli so classes overlap rarely but CAN overlap:
+  // accumulate-all-errors must hold when they do).
+  val RANGE_LOW_MOD = 101 // n_tok = 0
+  val RANGE_HIGH_MOD = 103 // n_tok = 9000 (but tokens stay short)
+  val LEN_MISMATCH_MOD = 107 // size(tokens) = n_tok - 1
+  val BAD_TOKEN_MOD = 109 // one token = -1
+  val NO_BOS_MOD = 113 // sequence missing BOS
+  val NULL_ID_MOD = 127 // doc_id null
+  val BAD_ID_MOD = 131 // malformed doc_id
+  val DUP_ID_MOD = 997 // doc_id duplicates that of id-1
+
+  /** `n` deterministic rows of (doc_id, tokens, n_tok, source).
+    * `maxLen` bounds token-array length (real corpora: 8192; tests: small). */
+  def sequences(spark: SparkSession, n: Long, maxLen: Int = 64, parts: Int = 32): DataFrame = {
+    val ids = spark.range(0, n, 1, parts)
+    val h = (salt: Int) => abs(xxhash64(col("id"), lit(salt)))
+
+    // Zipf-ish skewed source mix; one source ("forums") gets a shifted n_tok
+    // distribution (drift defect), and a sliver maps to an orphan source
+    // absent from the dimension table (referential defect).
+    val srcPick = pmod(h(1), lit(1000L))
+    val source =
+      when(srcPick < 500, "web")
+        .when(srcPick < 750, "books")
+        .when(srcPick < 900, "code")
+        .when(srcPick < 970, "wiki")
+        .when(srcPick < 995, "forums")
+        .otherwise("scraped-mystery")
+
+    // Length ≥ 2 so every defect index (0 = BOS slot, 1 = bad-token slot)
+    // exists even after the length-mismatch defect drops one element.
+    val baseLen = (pmod(h(2), lit((maxLen - 2).toLong)) + 2).cast(IntegerType)
+    // Drift: forums sequences skew long (upper half of the range).
+    val driftLen = (pmod(h(2), lit((maxLen / 2).toLong)) + maxLen / 2).cast(IntegerType)
+    val trueLen = when(source === "forums", driftLen).otherwise(baseLen)
+
+    // Reported n_tok: range defects report impossible values.
+    val nTok =
+      when(col("id") % RANGE_LOW_MOD === 0, 0)
+        .when(col("id") % RANGE_HIGH_MOD === 0, 9000)
+        .otherwise(trueLen)
+        .cast(IntegerType)
+
+    // Token array: BOS-led unless the NO_BOS defect applies; element i is a
+    // hash of (id, i); the BAD_TOKEN defect plants a -1 at index 1 (or 0 if
+    // the sequence has length 1). Length defect drops the last element.
+    val genLen = when(col("id") % LEN_MISMATCH_MOD === 0, greatest(trueLen - 1, lit(1)))
+      .otherwise(trueLen)
+    val tokenAt = (i: org.apache.spark.sql.Column) =>
+      when(i === 0 && !(col("id") % NO_BOS_MOD === 0), BOS)
+        .when((col("id") % BAD_TOKEN_MOD === 0) && i === least(genLen - 1, lit(1)), -1)
+        .otherwise(pmod(abs(xxhash64(col("id"), i)), lit(VOCAB.toLong)).cast(IntegerType))
+    val tokens = transform(sequence(lit(0), genLen - 1), i => tokenAt(i))
+
+    // doc_id: dup defect reuses the previous id's doc_id; null/malformed defects.
+    val idForDoc = when(col("id") % DUP_ID_MOD === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    val docId =
+      when(col("id") % NULL_ID_MOD === 0, lit(null).cast(StringType))
+        .when(col("id") % BAD_ID_MOD === 0, concat(lit("BAD "), col("id").cast(StringType)))
+        .otherwise(format_string("doc-%012d", idForDoc))
+
+    ids.select(
+      docId.as("doc_id"),
+      tokens.cast(ArrayType(IntegerType, containsNull = false)).as("tokens"),
+      nTok.as("n_tok"),
+      source.as("source"))
+  }
+
+  /** The sources dimension (excludes the planted orphan "scraped-mystery"). */
+  def sourcesDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    SOURCES.map(s => (s, s"corpus source $s")).toDF("source", "description")
+  }
+
+  /** The standard suite for this corpus — every north-rule check. */
+  def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
+    ConstraintSuite(
+      keyCol = "doc_id",
+      rowChecks = Seq(
+        NonNull("doc_id"),
+        Regex("doc_id", "^doc-[0-9]{12}$"),
+        NonNull("source"),
+        Range("n_tok", 1, 8192),
+        LengthConsistent("tokens", "n_tok"),
+        ArrayElemRange("tokens", 0, VOCAB - 1),
+        ArrayContainsValue("tokens", BOS),
+        ArraySizeBounds("tokens", min = Some(1), max = Some(8192))),
+      aggChecks = Seq(
+        Unique("doc_id"),
+        RefIntegrity("source", sourcesDim(spark), "source"),
+        DriftChiSquare("n_tok", "source", binWidth = math.max(maxLen / 16, 1).toDouble,
+          threshold = 500.0)))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution-drift statistics, fully distributed.
+  *
+  * Strategy (scale-first): bin the numeric column once during a single scan,
+  * aggregate to per-(group, bin) counts — after which everything operates on
+  * at most |groups|×|bins| rows, so the χ²/KS arithmetic joins tiny
+  * aggregates (broadcast) and never touches the fact table again. At 100 TB
+  * the only heavy op is the first groupBy, which benefits from map-side
+  * partial aggregation on a (group, bin) key of modest cardinality.
+  *
+  * The reference has no drift analog (it is a per-value validator); this is
+  * the north-rule addition (SURVEY.md §2.4 "drift / stats").
+  */
+object Drift {
+
+  /** Per-(group, bin) observed counts plus pooled/bin/group totals, with the
+    * full groups×bins cross filled in (missing cells = 0) so expected counts
+    * are computed for every cell. */
+  private def cells(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame = {
+    val binned = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(col(valueCol).cast(DoubleType) / binWidth).cast(LongType).as("bin"))
+    val obs = binned.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("obs"))
+    // obs is small (groups × bins); everything below is driver-free small-data algebra.
+    val grpTot = obs.groupBy("grp").agg(sum("obs").as("grp_total"))
+    val binTot = obs.groupBy("bin").agg(sum("obs").as("bin_total"))
+    val n = obs.agg(sum("obs").as("n_total"))
+    grpTot.crossJoin(broadcast(binTot))
+      .join(obs, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(n))
+  }
+
+  /** χ² of each group's binned histogram against the pooled distribution:
+    * chi2(g) = Σ_bins (obs - exp)² / exp with exp = grp_total·bin_total/N.
+    * Returns (groupCol, chi2, grp_total). */
+  def chiSquare(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame = {
+    cells(df, valueCol, groupCol, binWidth)
+      .withColumn("exp", col("grp_total") * col("bin_total") / col("n_total"))
+      .withColumn("term",
+        when(col("exp") > 0, (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+          .otherwise(lit(0.0)))
+      .groupBy(col("grp"))
+      .agg(sum("term").as("chi2"), first("grp_total").as("grp_total"))
+      .select(col("grp").as(groupCol), col("chi2"), col("grp_total"))
+  }
+
+  /** Two-sample KS on binned CDFs: ks(g) = max_bins |CDF_g(bin) - CDF_pool(bin)|.
+    * Returns (groupCol, ks, grp_total). */
+  def ks(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame = {
+    val c = cells(df, valueCol, groupCol, binWidth)
+    val wGrp = Window.partitionBy("grp").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.withColumn("cum_obs", sum("obs").over(wGrp))
+      .withColumn("cum_bin", sum("bin_total").over(wGrp)) // pooled cum within each grp's full bin axis
+      .withColumn("cdf_g", col("cum_obs").cast(DoubleType) / col("grp_total"))
+      .withColumn("cdf_pool", col("cum_bin").cast(DoubleType) / col("n_total"))
+      .groupBy(col("grp"))
+      .agg(max(abs(col("cdf_g") - col("cdf_pool"))).as("ks"), first("grp_total").as("grp_total"))
+      .select(col("grp").as(groupCol), col("ks"), col("grp_total"))
+  }
+
+  /** Exact per-(group, bin) histogram — the oracle-friendly building block
+    * (integer counts only, no floating point). */
+  def histogram(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol),
+        floor(col(valueCol).cast(DoubleType) / binWidth).cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-group approximate quantiles via `approx_percentile` — the sketch
+    * path for interactive drift inspection at scale (not oracle-compared:
+    * approximate by design). */
+  def quantiles(df: DataFrame, valueCol: String, groupCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol).cast(DoubleType),
+        array(probs.map(lit): _*), lit(10000)).as("quantiles"))
+}
