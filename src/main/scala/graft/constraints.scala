@@ -45,34 +45,50 @@ object Constraints {
   def scalarVios(id: String, pred: Column, path: String, bound: String, actual: Column): Column =
     when(!coalesce(pred, lit(false)), array(entry(id, lit(path), bound, actual))).otherwise(noVios)
 
+  /** Resolve a dotted path (`some_inner.inner_value`) through nested
+    * StructTypes — the schema-walk the reference does per-value at runtime
+    * (serde.rs), done ONCE at compile time here. */
+  private[graft] def fieldType(schema: StructType, path: String): Option[DataType] = {
+    def walk(dt: DataType, segs: List[String]): Option[DataType] = (dt, segs) match {
+      case (t, Nil) => Some(t)
+      case (st: StructType, s :: rest) =>
+        st.fields.find(_.name == s).flatMap(f => walk(f.dataType, rest))
+      case _ => None
+    }
+    // longest-prefix match first: a literal column named "a.b" wins over nesting
+    if (schema.fieldNames.contains(path)) schema.fields.find(_.name == path).map(_.dataType)
+    else walk(schema, path.split('.').toList)
+  }
+
   private[graft] def requireCol(schema: StructType, c: String, ctx: String): List[SuiteError] =
-    if (schema.fieldNames.contains(c)) Nil else List(SuiteError.UnknownColumn(c, ctx))
+    if (fieldType(schema, c).isDefined) Nil else List(SuiteError.UnknownColumn(c, ctx))
 
   private[graft] def requireNumeric(schema: StructType, c: String, ctx: String): List[SuiteError] =
-    schema.fields.find(_.name == c) match {
+    fieldType(schema, c) match {
       case None => List(SuiteError.UnknownColumn(c, ctx))
-      case Some(f) => f.dataType match {
-        case _: NumericType => Nil
-        case dt => List(SuiteError.TypeMismatch(c, "numeric", dt, ctx))
-      }
+      case Some(_: NumericType) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "numeric", dt, ctx))
     }
 
   private[graft] def requireArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
-    schema.fields.find(_.name == c) match {
+    fieldType(schema, c) match {
       case None => List(SuiteError.UnknownColumn(c, ctx))
-      case Some(f) => f.dataType match {
-        case _: ArrayType => Nil
-        case dt => List(SuiteError.TypeMismatch(c, "array", dt, ctx))
-      }
+      case Some(_: ArrayType) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "array", dt, ctx))
     }
 
   private[graft] def requireString(schema: StructType, c: String, ctx: String): List[SuiteError] =
-    schema.fields.find(_.name == c) match {
+    fieldType(schema, c) match {
       case None => List(SuiteError.UnknownColumn(c, ctx))
-      case Some(f) => f.dataType match {
-        case StringType => Nil
-        case dt => List(SuiteError.TypeMismatch(c, "string", dt, ctx))
-      }
+      case Some(StringType) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "string", dt, ctx))
+    }
+
+  private[graft] def requireMap(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    fieldType(schema, c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(_: MapType) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "map", dt, ctx))
     }
 }
 
@@ -361,10 +377,10 @@ final case class LengthConsistent(arrCol: String, lenCol: String) extends RowCon
   * compile-time SuiteError, the analog of `InvalidType` (errors.rs). */
 final case class TypeIs(col: String, expected: DataType) extends RowConstraint {
   val id = s"type($col)"
-  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
+  def selfCheck(s: StructType) = Constraints.fieldType(s, col) match {
     case None => List(SuiteError.UnknownColumn(col, id))
-    case Some(f) if DataType.equalsIgnoreNullability(f.dataType, expected) => Nil
-    case Some(f) => List(SuiteError.TypeMismatch(col, expected.simpleString, f.dataType, id))
+    case Some(dt) if DataType.equalsIgnoreNullability(dt, expected) => Nil
+    case Some(dt) => List(SuiteError.TypeMismatch(col, expected.simpleString, dt, id))
   }
   def pred = lit(true) // statically proven
   protected def pathStr = col
@@ -378,13 +394,8 @@ final case class TypeIs(col: String, expected: DataType) extends RowConstraint {
 final case class MapKeysIn(col: String, allowed: Seq[String]) extends RowConstraint {
   import Constraints._
   val id = s"mapKeysIn($col)"
-  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
-    case None => List(SuiteError.UnknownColumn(col, id))
-    case Some(f) => f.dataType match {
-      case _: MapType => if (allowed.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil
-      case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
-    }
-  }
+  def selfCheck(s: StructType) = Constraints.requireMap(s, col, id) ++
+    (if (allowed.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   private def keyOk(k: Column) = k.isin(allowed: _*)
   def pred = c.isNull || forall(map_keys(c), keyOk _)
@@ -404,13 +415,8 @@ final case class MapKeysIn(col: String, allowed: Seq[String]) extends RowConstra
 final case class MapRequiredKeys(col: String, required: Seq[String]) extends RowConstraint {
   import Constraints._
   val id = s"mapRequired($col)"
-  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
-    case None => List(SuiteError.UnknownColumn(col, id))
-    case Some(f) => f.dataType match {
-      case _: MapType => if (required.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil
-      case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
-    }
-  }
+  def selfCheck(s: StructType) = Constraints.requireMap(s, col, id) ++
+    (if (required.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   def pred = c.isNull ||
     required.map(k => map_contains_key(c, k)).reduceOption(_ && _).getOrElse(lit(true))
@@ -430,16 +436,11 @@ final case class MapRequiredKeys(col: String, required: Seq[String]) extends Row
 final case class MapSizeBounds(col: String, min: Option[Int] = None, max: Option[Int] = None)
     extends RowConstraint {
   val id = s"mapSize($col)"
-  def selfCheck(s: StructType) = s.fields.find(_.name == col) match {
-    case None => List(SuiteError.UnknownColumn(col, id))
-    case Some(f) => f.dataType match {
-      case _: MapType => (min, max) match {
-        case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
-        case _ => Nil
-      }
-      case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
-    }
-  }
+  def selfCheck(s: StructType) = Constraints.requireMap(s, col, id) ++
+    ((min, max) match {
+      case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
+      case _ => Nil
+    })
   private def c = org.apache.spark.sql.functions.col(col)
   def pred = {
     val n = size(map_keys(c))
@@ -459,13 +460,7 @@ final case class MapKeyPattern(col: String, pattern: String) extends RowConstrai
   import Constraints._
   val id = s"mapKeyPattern($col)"
   def selfCheck(s: StructType) = {
-    val t = s.fields.find(_.name == col) match {
-      case None => List(SuiteError.UnknownColumn(col, id))
-      case Some(f) => f.dataType match {
-        case _: MapType => Nil
-        case dt => List(SuiteError.TypeMismatch(col, "map", dt, id))
-      }
-    }
+    val t = Constraints.requireMap(s, col, id)
     t ++ (scala.util.Try(java.util.regex.Pattern.compile(pattern)) match {
       case scala.util.Failure(e) => List(SuiteError.InvalidPattern(pattern, e.getMessage))
       case _ => Nil
@@ -493,12 +488,10 @@ final case class MapValueRange(col: String, keyPattern: String, min: Double, max
   import Constraints._
   val id = s"mapValueRange($col)"
   def selfCheck(s: StructType) = {
-    val t = s.fields.find(_.name == col) match {
+    val t = Constraints.fieldType(s, col) match {
       case None => List(SuiteError.UnknownColumn(col, id))
-      case Some(f) => f.dataType match {
-        case MapType(_, _: NumericType, _) => Nil
-        case dt => List(SuiteError.TypeMismatch(col, "map<_,numeric>", dt, id))
-      }
+      case Some(MapType(_, _: NumericType, _)) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(col, "map<_,numeric>", dt, id))
     }
     t ++ (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil) ++
       (scala.util.Try(java.util.regex.Pattern.compile(keyPattern)) match {

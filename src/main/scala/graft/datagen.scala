@@ -84,7 +84,7 @@ object DataGen {
 
     ids.select(
       docId.as("doc_id"),
-      tokens.cast(ArrayType(IntegerType, containsNull = false)).as("tokens"),
+      tokens.as("tokens"),
       nTok.as("n_tok"),
       source.as("source"))
   }
@@ -112,5 +112,5 @@ object DataGen {
         Unique("doc_id"),
         RefIntegrity("source", sourcesDim(spark), "source"),
         DriftChiSquare("n_tok", "source", binWidth = math.max(maxLen / 16, 1).toDouble,
-          threshold = 500.0)))
+          threshold = 100.0)))
 }
