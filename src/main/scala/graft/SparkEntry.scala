@@ -1,13 +1,336 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — queries + DuckDB oracles (see /root/repo/SURVEY.md §7).
+  *
+  * Every SQL-expressible operator has an `oracleSql` entry with IDENTICAL
+  * column names and exact-value semantics (integer/cents arithmetic, md5,
+  * quantized dots) so the driver's sorted-hash compare is bit-stable across
+  * engines. Approximate / hash-dependent operators (MinHash, SimHash, LSH,
+  * cosine floats, engine violation frames on synthetic data) are rows-only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def ld(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** Flagship: full validation suite over the deterministic synthetic corpus
+    * — violations frame (planted defects ⇒ rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = DataGen.sequences(spark, 5000, maxLen = 32)
+    val suite = DataGen.standardSuite(spark, maxLen = 32)
+    val compiled = suite.compile(Seq_.schema)
+      .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+    compiled.run(corpus).violations
+  }
+
+  /** cents-exact money column. */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- validation engine: row-local checks (C4-C7, C2, C8, C21) ----
+    "v_range" -> ((s, dir) => {
+      val c = Range("l_quantity", 1, 30)
+      ld(s, dir, "lineitem").filter(!c.pred)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+    "v_enum" -> ((s, dir) => {
+      val c = EnumIn("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      ld(s, dir, "orders").filter(!c.pred)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }),
+    "v_nonnull_regex" -> ((s, dir) => {
+      val nn = NonNull("c_name"); val re = Regex("c_name", "^Customer#[0-9]{9}$")
+      ld(s, dir, "customer").agg(
+        sum((!nn.pred).cast(LongType)).as("n_null"),
+        sum((!re.pred).cast(LongType)).as("n_bad_name"),
+        count(lit(1)).as("n_rows"))
+    }),
+    // ---- cross-row: uniqueness / referential (SURVEY.md §2.4) ----
+    "v_unique" -> ((s, dir) =>
+      Unique("l_orderkey").run(ld(s, dir, "lineitem")).select(col("key"), col("actual"))),
+    "v_ref" -> ((s, dir) => {
+      val dim = ld(s, dir, "customer").filter(col("c_custkey") >= 10) // active-customer dim
+      RefIntegrity("user_id", dim, "c_custkey").run(ld(s, dir, "events"))
+        .select(col("key"), col("actual"))
+    }),
+    // ---- column stats (Q1-style aggregation; cents-exact) ----
+    "v_stats" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+    // ---- drift: exact histogram cells (integer-only oracle) + χ² (engine) ----
+    "v_drift_hist" -> ((s, dir) =>
+      Drift.histogram(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
+    "v_drift_chi2" -> ((s, dir) => // rows-only: float statistic
+      Drift.chiSquare(ld(s, dir, "documents"), "n_chars", "source", 50.0)
+        .select(col("source"), col("chi2"), col("grp_total"))),
+    // ---- window / top-k ----
+    "w_top3_per_cust" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("price_c"), col("o_orderkey"))
+      ld(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    }),
+    "q_topk_orders" -> ((s, dir) =>
+      ld(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(desc("price_c"), col("o_orderkey")).limit(10)),
+    // ---- array checks over real array data (C11, C13, C15 analogs) ----
+    "a_elem_domain" -> ((s, dir) =>
+      ld(s, dir, "embeddings")
+        .withColumn("n_bad", size(filter(col("embedding"), x => abs(x) > 0.45)))
+        .filter(col("n_bad") > 0).select(col("vec_id"), col("n_bad"))),
+    "a_dims" -> ((s, dir) =>
+      ld(s, dir, "embeddings")
+        .groupBy(size(col("embedding")).as("dim")).agg(count(lit(1)).as("n"))),
+    "a_contains" -> ((s, dir) =>
+      ld(s, dir, "embeddings")
+        .filter(!exists(col("embedding"), x => x > lit(0.4)))
+        .select(col("vec_id"))),
+    // ---- dedup ----
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")
+        .select(col("sig"), col("n"), col("keep_id"))),
+    "d_fingerprint" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "d_minhash_pairs" -> ((s, dir) => // rows-only: xxhash64-based
+      Dedup.minhashLsh(ld(s, dir, "documents").filter(col("doc_id") < 2000),
+        "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
+        threshold = 0.5, maxBucket = 500)),
+    "d_simhash_pairs" -> ((s, dir) => // rows-only: xxhash64-based
+      Dedup.simhashPairs(ld(s, dir, "documents").filter(col("doc_id") < 2000),
+        "text", "doc_id", shingleK = 2, maxHamming = 8, maxBucket = 500)),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(ld(s, dir, "documents"), "text", "doc_id",
+        blockCols = Seq("source", "lang"), shingleK = 1, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))),
+    // ---- similarity search ----
+    "s_ann_quantized" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      e.filter(col("vec_id") =!= 0).join(q)
+        .select(col("vec_id"), Similarity.quantizedDot(col("embedding"), col("qv")).as("dot"))
+        .orderBy(desc("dot"), col("vec_id")).limit(10)
+    }),
+    "s_ann_cosine" -> ((s, dir) => { // rows-only: float cosine
+      val e = ld(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+        e.filter(col("vec_id") === 0), "embedding", 10)
+    }),
+    "s_ann_lsh" -> ((s, dir) => // rows-only: LSH-bucketed scale path
+      Similarity.cosineLshPairs(ld(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, planes = 4, probeBits = 4)),
+    // ---- text analysis ----
+    "t_tokens" -> ((s, dir) =>
+      ld(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.whitespaceTokens(col("text")).as("n_ws"),
+        TextAnalysis.bpeIshTokens(col("text")).as("n_bpe"))),
+    "t_quality" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      d.groupBy(col("source"))
+        .agg(
+          sum(feats.toMap.apply("n_words").cast(LongType)).as("words"),
+          sum(feats.toMap.apply("n_distinct_words").cast(LongType)).as("distinct_words"),
+          sum(feats.toMap.apply("n_punct").cast(LongType)).as("punct"),
+          sum(TextAnalysis.qualityPass(col("text")).cast(LongType)).as("n_pass"),
+          count(lit(1)).as("n"))
+    }),
+    "t_langid" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // ---- events: windowed agg / sessionization / set ops ----
+    "e_window" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))),
+    "e_sessions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // ts arrives TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+      val us = unix_micros(col("ts").cast(TimestampType))
+      ld(s, dir, "events")
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull || (us - col("prev_us")) > 1800000000L).cast(LongType))
+        .groupBy(col("user_id")).agg(sum(col("new_sess")).as("n_sessions"))
+    }),
+    "e_except" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+        .except(ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct())
+    }),
+    // ---- multimodal plumbing (meta profile is oracle-exact) ----
+    "m_meta" -> ((s, dir) =>
+      Multimodal.metaProfile(Multimodal.asBinaryTable(ld(s, dir, "documents"), "doc_id", "text"))),
+    "m_decode" -> ((s, dir) => { // rows-only: stubbed decoder features
+      val feats = Multimodal.decodeFeatures(s,
+        Multimodal.asBinaryTable(ld(s, dir, "documents"), "doc_id", "text"))
+      feats.toDF().select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+    }),
+    // ---- flagship synthetic-corpus validation (rows-only: engine-native) ----
+    "seq_validate" -> ((s, dir) => {
+      val corpus = DataGen.sequences(s, 20000, maxLen = 32)
+      val compiled = DataGen.standardSuite(s, maxLen = 32).compile(Seq_.schema)
+        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+      compiled.run(corpus).violations
+        .groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))
+    }),
+    "seq_report" -> ((s, dir) => {
+      val corpus = DataGen.sequences(s, 20000, maxLen = 32)
+      val compiled = DataGen.standardSuite(s, maxLen = 32).compile(Seq_.schema)
+        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+      compiled.run(corpus).report
+        .agg(sum("rows").as("rows"), sum("pass").as("pass"), sum("fail").as("fail"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "v_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE NOT (l_quantity >= 1 AND l_quantity <= 30)""",
+    "v_enum" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+         GROUP BY o_orderpriority""",
+    "v_nonnull_regex" ->
+      """SELECT CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(sum(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_name,
+                count(*) AS n_rows
+         FROM customer""",
+    "v_unique" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                'count=' || CAST(count(*) AS VARCHAR) AS actual
+         FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+    "v_ref" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+                'orphan rows=' || CAST(count(*) AS VARCHAR) AS actual
+         FROM events
+         WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey >= 10)
+         GROUP BY user_id""",
+    "v_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "v_drift_hist" ->
+      """SELECT source, CAST(floor(n_chars / 50.0) AS INT) AS bin, count(*) AS n
+         FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+         GROUP BY source, bin""",
+    "w_top3_per_cust" ->
+      """SELECT o_custkey, o_orderkey, price_c, rn FROM (
+           SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+         FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10""",
+    "a_elem_domain" ->
+      """SELECT vec_id, len(list_filter(embedding, x -> abs(x) > 0.45)) AS n_bad
+         FROM embeddings WHERE len(list_filter(embedding, x -> abs(x) > 0.45)) > 0""",
+    "a_dims" ->
+      """SELECT len(embedding) AS dim, count(*) AS n FROM embeddings GROUP BY dim""",
+    "a_contains" ->
+      """SELECT vec_id FROM embeddings
+         WHERE len(list_filter(embedding, x -> x > 0.4)) = 0""",
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS sig, count(*) AS n, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    "d_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "d_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, source, lang,
+                  list_distinct(regexp_extract_all(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'gi')), '[a-z0-9]+')) AS grams
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) AS inter,
+                len(list_distinct(list_concat(a.grams, b.grams))) AS uni
+         FROM g a JOIN g b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+           AND len(list_intersect(a.grams, b.grams)) >=
+               0.8 * len(list_distinct(list_concat(a.grams, b.grams)))""",
+    "s_ann_quantized" ->
+      """WITH q AS (
+           SELECT list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                CAST(list_sum(list_transform(
+                  list_zip(list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)), qv),
+                  p -> p[1]*p[2])) AS BIGINT) AS dot
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY dot DESC, vec_id LIMIT 10""",
+    "t_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+         FROM documents""",
+    "t_quality" ->
+      """SELECT source,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS words,
+                CAST(sum(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))) AS BIGINT) AS distinct_words,
+                CAST(sum(len(regexp_extract_all(text, '[.!?,;:]'))) AS BIGINT) AS punct,
+                CAST(sum(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) >= 5
+                          AND length(text) >= 20 AND length(text) <= 100000
+                          AND len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) * 10
+                              >= len(regexp_extract_all(lower(text), '[a-z]+')) * 3
+                          AND len(regexp_extract_all(text, '[.!?,;:]')) * 5 <= length(text)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                count(*) AS n
+         FROM documents GROUP BY source""",
+    "t_langid" ->
+      """WITH h AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS c_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|una|por|con)\b')) AS c_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|dans|pour|que)\b')) AS c_fr,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|den|des|ein)\b')) AS c_de
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
+                     WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
+                     WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+                     WHEN c_de > 0 THEN 'de'
+                     ELSE 'unknown' END AS lang_pred
+         FROM h""",
+    "e_window" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM events GROUP BY h, event_type""",
+    "e_sessions" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
+           SELECT user_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events) GROUP BY user_id""",
+    "e_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+    "m_meta" ->
+      """SELECT 'image' AS media_type, 'png' AS format, count(*) AS n,
+                CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+                min(octet_length(encode(text))) AS min_bytes,
+                max(octet_length(encode(text))) AS max_bytes
+         FROM documents""")
 }

@@ -150,8 +150,10 @@ object Dedup {
     l.join(r, blockCols).filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
+      // inter >= t*uni (not inter/uni >= t): multiply-form is what the
+      // DuckDB oracle evaluates — keeps the boundary IEEE-identical
       .filter(col("uni") > 0 &&
-        col("inter").cast(DoubleType) / col("uni").cast(DoubleType) >= minJaccard)
+        col("inter").cast(DoubleType) >= lit(minJaccard) * col("uni").cast(DoubleType))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"))
   }
