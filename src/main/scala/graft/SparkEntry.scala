@@ -132,7 +132,7 @@ object SparkEntry {
     }),
     "s_ann_lsh" -> ((s, dir) => // rows-only: LSH-bucketed scale path
       Similarity.cosineLshPairs(ld(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, planes = 4, probeBits = 4)),
+        threshold = 0.4, bands = 8, planesPerBand = 4)),
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) =>
       ld(s, dir, "documents").select(

@@ -37,12 +37,11 @@ object Dedup {
         x => x.isNotNull))
   }
 
-  /** MinHash signature: `numHashes` independent permutations approximated by
-    * h_j(x) = xxhash64(x, j); signature[j] = min over shingles. Pure Catalyst
-    * higher-order functions — one narrow projection per row. */
+  /** MinHash signature: `numHashes` derived permutations over one base hash
+    * per shingle — a custom Catalyst expression (graft.functions.MinHashSig)
+    * doing the whole signature in one JVM loop per row. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shinglesCol, s => xxhash64(s, j))))
+    graft.functions.VecFunctions.minhash_sig(shinglesCol, numHashes)
 
   /** MinHash + LSH near-dup candidate pairs.
     *
@@ -77,21 +76,24 @@ object Dedup {
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
 
     // bucket join: candidates share (band, band_hash); self-join within
-    // buckets, bounded by maxBucket
+    // buckets, bounded by maxBucket. Only (id, band, band_hash) rides the
+    // candidate shuffle — signatures re-attach to the deduped pairs.
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= maxBucket)
-    val l = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+    val l = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
 
-    // estimated Jaccard = fraction of agreeing minhash slots
-    pairs
+    // estimated Jaccard = fraction of agreeing minhash slots (native expr)
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => (a === b).cast(IntegerType)),
-          lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes)
+        graft.functions.VecFunctions.long_array_eq_count(col("sig_a"), col("sig_b"))
+          .cast(DoubleType) / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -100,19 +102,8 @@ object Dedup {
     * shingle-hash bit i. Near-dups = signatures within `maxHamming`.
     * Banding on 4×16-bit chunks finds all pairs with hamming ≤ 3 exactly
     * (pigeonhole: at most 3 differing bits can't hit all 4 chunks). */
-  def simhash(shinglesCol: Column): Column = {
-    // hash every shingle once, then accumulate all 64 bit-counters in ONE
-    // aggregate pass with an array<long> accumulator (±1 per bit)
-    val bitMasks = array((0 until 64).map(i => lit(1L << i)): _*)
-    val hashed = transform(shinglesCol, s => xxhash64(s))
-    val counters = aggregate(hashed,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitMasks, (a, m) =>
-        a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counters, bitMasks, (cnt, m) => when(cnt > 0, m).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(shinglesCol: Column): Column =
+    graft.functions.VecFunctions.simhash64(shinglesCol)
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 with
     * the 4-chunk banding; raise chunks for larger radii). */
@@ -161,6 +152,6 @@ object Dedup {
   /** Embedding near-dup: cosine ≥ threshold via LSH candidate buckets (see
     * [[Similarity.cosineLshPairs]]); re-exported here for discoverability. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, planes: Int = 16): DataFrame =
-    Similarity.cosineLshPairs(df, vecCol, idCol, threshold, planes)
+      threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 4): DataFrame =
+    Similarity.cosineLshPairs(df, vecCol, idCol, threshold, bands, planesPerBand)
 }

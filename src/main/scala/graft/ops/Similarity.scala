@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float-array columns, accumulated in double — a
+    * custom Catalyst expression (graft.functions.VecDot): one tight JVM loop
+    * per row instead of per-element lambda interpretation (~10× on the LSH
+    * pair-scoring stage). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VecFunctions.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -53,45 +54,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"), col("rn"))
   }
 
-  /** Deterministic random-hyperplane component: plane p, dimension d →
-    * pseudo-gaussian-ish weight in {-2,-1,0,1,2} from xxhash64. Coarse
-    * weights are fine for LSH sign buckets; no driver-side randomness. */
-  private def planeWeight(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(5)) - 2).cast(DoubleType)
-
-  /** Sign-LSH bucket id over `planes` hyperplanes (one long, bit per plane).
-    * `planes` is a compile-time constant → the per-plane dot products unroll
-    * into codegen'd expressions. */
-  def lshBucket(vecCol: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, i) => x.cast(DoubleType) * planeWeight(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  /** IVF-style ANN: assign every vector to its LSH bucket, score only
-    * bucket-local pairs, keep cosine ≥ threshold. Multi-probe: vectors are
-    * also assigned to buckets at hamming distance 1 on the lowest
-    * `probeBits` bits to cut boundary misses. */
+  /** Banded sign-LSH ANN: `bands` independent groups of `planesPerBand`
+    * hyperplanes; two vectors are candidates iff they agree on ALL planes of
+    * ≥1 band (the MinHash-LSH banding scheme applied to sign-LSH). Recall for
+    * pair with plane-agreement prob p: 1-(1-p^r)^B. Only bucket-local pairs
+    * are scored, with norms precomputed per ROW (not per pair) so each
+    * candidate costs one dot product.
+    *
+    * Scale shape: narrow projection (signatures + norm) → one shuffle keyed
+    * by (band, band-signature) → bounded bucket self-join. `maxBucket` drops
+    * degenerate buckets (e.g. all-zero vectors) instead of letting one
+    * reducer go quadratic. */
   def cosineLshPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.9, planes: Int = 16, probeBits: Int = 2,
+      threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
       maxBucket: Int = 4096): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("b0"))
-    // probe buckets: the bucket itself + flips of the lowest probeBits bits
-    val probes = col("b0") +: (0 until probeBits).map(i => col("b0").bitwiseXOR(lit(1L << i)))
-    val probed = base.select(col("id"), col("v"),
-      explode(array_distinct(array(probes: _*))).as("bucket"))
-    val bucketed = probed.withColumn("bucket_n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+    // candidate generation carries ONLY (id, band, band_val) — never the
+    // vectors — so the pair dedup shuffles two longs per row, not 2×64 floats
+    val banded = base.select(col("id"),
+      posexplode(graft.functions.VecFunctions.sign_lsh_bands(col("v"), bands, planesPerBand))
+        .as(Seq("band", "band_val")))
+    val bucketed = banded.withColumn("bucket_n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
       .filter(col("bucket_n") <= maxBucket)
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+    val l = bucketed.select(col("band"), col("band_val"), col("id").as("id_a"))
+    val r = bucketed.select(col("band"), col("band_val"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // vectors re-attached to the (much smaller) deduped candidate set
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

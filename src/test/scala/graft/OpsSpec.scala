@@ -97,7 +97,7 @@ class OpsSpec extends SparkSpec {
       .filter(col("cos") >= thr)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Similarity.cosineLshPairs(small, "embedding", "vec_id", thr,
-      planes = 8, probeBits = 4)
+      bands = 8, planesPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth)}")
     if (truth.nonEmpty) {
