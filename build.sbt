@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// This host's first-touch page-fault throughput is ~0.5-2 GB/s and does NOT
+// scale with threads (VM memory ballooning), while steady-state bandwidth
+// scales to ~80 GB/s. A lazily-grown heap therefore causes multi-second GC
+// pauses as collections copy into never-touched pages. Fix: fixed-size,
+// pre-touched heap — pages fault once at JVM start, GC runs on warm pages.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

@@ -269,14 +269,18 @@ final case class ArrayElemRange(col: String, min: Double, max: Double) extends R
     requireArray(s, col, id) ++ (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   private def elemOk(x: Column) = x.cast(DoubleType) >= min && x.cast(DoubleType) <= max
-  def pred = c.isNull || forall(c, elemOk _)
+  // native single-loop-per-row expression; forall() would interpret a
+  // lambda per token (graft.functions.ArrayAllInRange)
+  def pred = c.isNull || graft.functions.VecFunctions.array_all_in_range(c, min, max)
   override def vios: Column = {
     val failIdx = org.apache.spark.sql.functions.filter(
       transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
       (s: Column) => !elemOk(s.getField("v")))
     val entries = transform(failIdx, (s: Column) =>
       entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
-    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+    // conditional: passing rows (the overwhelming majority) never run the
+    // per-element transform — violation construction is pay-per-defect
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = s"elem in [$min,$max]"
@@ -298,7 +302,7 @@ final case class ArrayElemIn(col: String, values: Seq[Any]) extends RowConstrain
       (s: Column) => !elemOk(s.getField("v")))
     val entries = transform(failIdx, (s: Column) =>
       entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
-    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = s"elem in {${values.take(8).mkString(",")}${if (values.size > 8) ",…" else ""}}"
@@ -403,7 +407,7 @@ final case class MapKeysIn(col: String, allowed: Seq[String]) extends RowConstra
     val bad = org.apache.spark.sql.functions.filter(map_keys(c), (k: Column) => !keyOk(k))
     val entries = transform(bad, (k: Column) =>
       entry(id, concat(lit(col + "."), k), s"keys in {${allowed.mkString(",")}}", lit("unknown property")))
-    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = s"keys in {${allowed.mkString(",")}}"
@@ -425,7 +429,7 @@ final case class MapRequiredKeys(col: String, required: Seq[String]) extends Row
       array(required.map(lit): _*), (k: Column) => !map_contains_key(c, k))
     val entries = transform(missing, (k: Column) =>
       entry(id, concat(lit(col + "."), k), "required", lit("missing")))
-    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = s"required {${required.mkString(",")}}"
@@ -472,7 +476,7 @@ final case class MapKeyPattern(col: String, pattern: String) extends RowConstrai
     val bad = org.apache.spark.sql.functions.filter(map_keys(c), (k: Column) => !k.rlike(pattern))
     val entries = transform(bad, (k: Column) =>
       entry(id, concat(lit(col + "."), k), s"key pattern $pattern", k))
-    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = s"key pattern $pattern"
@@ -509,7 +513,7 @@ final case class MapValueRange(col: String, keyPattern: String, min: Double, max
       e.getField("key").rlike(keyPattern) && !vOk(e.getField("value")))
     val entries = transform(bad, (e: Column) =>
       entry(id, concat(lit(col + "."), e.getField("key")), s"value in [$min,$max]", e.getField("value")))
-    when(c.isNull, noVios).otherwise(entries).cast(vioArrayType)
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = s"value in [$min,$max]"

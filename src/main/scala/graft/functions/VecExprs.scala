@@ -161,6 +161,39 @@ case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** All numeric array elements within [lo, hi] — the hot token-domain
+  * predicate. One JVM loop per row with early exit; `forall(...)` would pay
+  * per-element lambda interpretation on every token of every row. */
+case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  @transient private lazy val getter: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case ShortType => (a, i) => a.getShort(i).toDouble
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case ByteType => (a, i) => a.getByte(i).toDouble
+      case other => throw new IllegalStateException(s"non-numeric array: $other")
+    }
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (mayContainNull && x.isNullAt(i)) return false
+      val v = getter(x, i)
+      if (v < lo || v > hi) return false
+      i += 1
+    }
+    true
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Count of positions where two long arrays agree — MinHash signature
   * agreement (estimated Jaccard numerator). */
 case class LongArrayEqCount(left: Expression, right: Expression)
@@ -194,4 +227,6 @@ object VecFunctions {
     c(SignLshBands(e(vec), bands, planesPerBand))
   def long_array_eq_count(a: Column, b: Column): Column =
     c(LongArrayEqCount(e(a), e(b)))
+  def array_all_in_range(a: Column, lo: Double, hi: Double): Column =
+    c(ArrayAllInRange(e(a), lo, hi))
 }
