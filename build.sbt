@@ -28,11 +28,20 @@ val jdk17AddOpens = Seq(
 // scales to ~80 GB/s. A lazily-grown heap therefore causes multi-second GC
 // pauses as collections copy into never-touched pages. Fix: fixed-size,
 // pre-touched heap — pages fault once at JVM start, GC runs on warm pages.
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+// half the heap as a FIXED young gen: adaptive sizing uncommits/recommits
+// pages, re-triggering the slow first-touch faults
+val youngGen = {
+  val gb = driverMem.toLowerCase.stripSuffix("g").toInt
+  s"${math.max(gb / 2, 1)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
+  s"-Xms$driverMem",
+  s"-Xmn$youngGen",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
+  "-XX:-UseAdaptiveSizePolicy",
 )
