@@ -50,9 +50,38 @@ object SparkEntry {
         sum((!re.pred).cast(LongType)).as("n_bad_name"),
         count(lit(1)).as("n_rows"))
     }),
+    "v_length" -> ((s, dir) => {
+      val c = LengthBounds("text", Some(50), Some(400))
+      ld(s, dir, "documents").filter(!c.pred)
+        .select(col("doc_id"), length(col("text")).as("len"))
+    }),
+    "v_multipleof" -> ((s, dir) => {
+      val c = MultipleOf("p_size", 5.0)
+      ld(s, dir, "part").filter(!c.pred).select(col("p_partkey"), col("p_size"))
+    }),
+    "v_anyof" -> ((s, dir) => {
+      val c = AnyOf("cheap_or_urgent", Seq(
+        Range("o_totalprice", max = 150000),
+        EnumIn("o_orderpriority", Seq("1-URGENT", "2-HIGH"))))
+      ld(s, dir, "orders").filter(!c.pred).select(col("o_orderkey"))
+    }),
+    "v_tag" -> ((s, dir) => {
+      val c = TagDispatch("by_type", "event_type", Map(
+        "purchase" -> Range("value", 0, 300),
+        "click" -> Range("value", 0, 50)))
+      ld(s, dir, "events").filter(!c.pred)
+        .select(col("event_id"), col("event_type"))
+    }),
+    "a_elem_at" -> ((s, dir) => {
+      val c = ArrayElemAtRange("embedding", 1, -0.3, 0.3)
+      ld(s, dir, "embeddings").filter(!c.pred).select(col("vec_id"))
+    }),
     // ---- cross-row: uniqueness / referential (SURVEY.md §2.4) ----
     "v_unique" -> ((s, dir) =>
       Unique("l_orderkey").run(ld(s, dir, "lineitem")).select(col("key"), col("actual"))),
+    "v_unique_salted" -> ((s, dir) => // explicit two-phase salted variant
+      Unique("l_orderkey", salted = true, saltBuckets = 16).run(ld(s, dir, "lineitem"))
+        .select(col("key"), col("actual"))),
     "v_ref" -> ((s, dir) => {
       val dim = ld(s, dir, "customer").filter(col("c_custkey") >= 10) // active-customer dim
       RefIntegrity("user_id", dim, "c_custkey").run(ld(s, dir, "events"))
@@ -75,6 +104,9 @@ object SparkEntry {
     "v_drift_chi2" -> ((s, dir) => // rows-only: float statistic
       Drift.chiSquare(ld(s, dir, "documents"), "n_chars", "source", 50.0)
         .select(col("source"), col("chi2"), col("grp_total"))),
+    "v_drift_ks" -> ((s, dir) => // rows-only: float statistic
+      Drift.ks(ld(s, dir, "documents"), "n_chars", "source", 50.0)
+        .select(col("source"), col("ks"), col("grp_total"))),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -216,6 +248,27 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS VARCHAR) AS key,
                 'count=' || CAST(count(*) AS VARCHAR) AS actual
          FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+    "v_unique_salted" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                'count=' || CAST(count(*) AS VARCHAR) AS actual
+         FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+    "v_length" ->
+      """SELECT doc_id, length(text) AS len FROM documents
+         WHERE NOT (length(text) >= 50 AND length(text) <= 400)""",
+    "v_multipleof" ->
+      """SELECT p_partkey, p_size FROM part WHERE NOT (p_size % 5 = 0)""",
+    "v_anyof" ->
+      """SELECT o_orderkey FROM orders
+         WHERE NOT (o_totalprice <= 150000 OR o_orderpriority IN ('1-URGENT','2-HIGH'))""",
+    "v_tag" ->
+      """SELECT event_id, event_type FROM events
+         WHERE NOT (CASE WHEN event_type = 'click' THEN value >= 0 AND value <= 50
+                         WHEN event_type = 'purchase' THEN value >= 0 AND value <= 300
+                         ELSE TRUE END)""",
+    "a_elem_at" ->
+      """SELECT vec_id FROM embeddings
+         WHERE len(embedding) >= 1
+           AND NOT (embedding[1] >= -0.3 AND embedding[1] <= 0.3)""",
     "v_ref" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
                 'orphan rows=' || CAST(count(*) AS VARCHAR) AS actual

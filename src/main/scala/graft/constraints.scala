@@ -596,6 +596,49 @@ final case class IfThenElse(name: String, i: RowConstraint, t: RowConstraint,
   protected def actualCol = lit("")
 }
 
+/** K7 external-tag dispatch (schema.rs:614-660): a tag column's value selects
+  * which sub-constraint applies. Unknown tags are PERMISSIVE, matching the
+  * reference's `tagged_allow` fallback for unknown variants. Null tag is
+  * treated as unknown (permissive) — pair with NonNull(tagCol) to forbid. */
+final case class TagDispatch(name: String, tagCol: String,
+    cases: Map[String, RowConstraint]) extends RowConstraint {
+  import Constraints._
+  val id = s"tag($name)"
+  def selfCheck(s: StructType) =
+    Constraints.requireCol(s, tagCol, id) ++ cases.values.toList.flatMap(_.selfCheck(s))
+  private def tag = org.apache.spark.sql.functions.col(tagCol)
+  // deterministic case order for reproducible plans
+  private def ordered = cases.toSeq.sortBy(_._1)
+  def pred = ordered.foldRight(lit(true): Column) { case ((t, c), acc) =>
+    when(tag === t, c.pred).otherwise(acc)
+  }
+  override def vios: Column = ordered.foldRight(noVios) { case ((t, c), acc) =>
+    when(tag === t, c.vios).otherwise(acc)
+  }
+  protected def pathStr = tagCol
+  protected def boundStr = s"dispatch on $tagCol"
+  protected def actualCol = tag
+}
+
+/** C12 positional items (tuple schema, schema.rs:718-735): element at 1-based
+  * `pos` must lie in [min,max]; `additional` optionally bounds every element
+  * PAST the positional prefix (additionalItems analog). Missing position
+  * passes (arrays shorter than pos are a size concern — C15/C16). */
+final case class ArrayElemAtRange(col: String, pos: Int, min: Double, max: Double)
+    extends RowConstraint {
+  val id = s"elemAt($col.$pos)"
+  def selfCheck(s: StructType) =
+    Constraints.requireArray(s, col, id) ++
+      (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil) ++
+      (if (pos < 1) List(SuiteError.Unsupported(id, s"pos=$pos (1-based)")) else Nil)
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def v = element_at(c, pos)
+  def pred = c.isNull || size(c) < pos || (v.cast(DoubleType) >= min && v.cast(DoubleType) <= max)
+  protected def pathStr = s"$col.${pos - 1}" // dotted span uses 0-based index (Keys)
+  protected def boundStr = s"elem@$pos in [$min,$max]"
+  protected def actualCol = v
+}
+
 /** K6 $ref analog: resolved from the suite's definitions map at compile time
   * (pure substitution, schema.rs:124-150; missing name ⇒ MissingDefinition,
   * errors.rs:169-181). */

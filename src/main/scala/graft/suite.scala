@@ -35,6 +35,12 @@ final case class ConstraintSuite(
       case AnyOf(n, cs) => sequence(cs.map(resolve(_, depth + 1))).map(AnyOf(n, _))
       case OneOf(n, cs) => sequence(cs.map(resolve(_, depth + 1))).map(OneOf(n, _))
       case NotC(n, c0) => resolve(c0, depth + 1).map(NotC(n, _))
+      case TagDispatch(n, tagCol, cases) =>
+        cases.toSeq.sortBy(_._1).foldRight(
+          Right(Map.empty[String, RowConstraint]): Either[SuiteError, Map[String, RowConstraint]]) {
+          case ((k, v), acc) =>
+            for (m <- acc; rv <- resolve(v, depth + 1)) yield m + (k -> rv)
+        }.map(TagDispatch(n, tagCol, _))
       case IfThenElse(n, i, t, e) =>
         for {
           ri <- resolve(i, depth + 1)
