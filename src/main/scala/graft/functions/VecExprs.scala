@@ -194,6 +194,46 @@ case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Distinct lowercase word k-shingles of a text column in ONE pass:
+  * tokenize on non-alphanumeric runs, lowercase, emit distinct k-grams
+  * joined by single spaces. Replaces a 5-op HOF pipeline
+  * (regexp_replace→split→filter→transform/slice/array_join→distinct), each
+  * stage of which re-walks the text with interpreted lambdas. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any = {
+    val text = a.asInstanceOf[UTF8String].toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
+      else if (sb.length > 0) { words += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) words += sb.toString
+    val out = new java.util.LinkedHashSet[String]()
+    if (k <= 1) {
+      words.foreach(out.add)
+    } else {
+      var j = 0
+      while (j + k <= words.length) {
+        out.add(words.slice(j, j + k).mkString(" "))
+        j += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Count of positions where two long arrays agree — MinHash signature
   * agreement (estimated Jaccard numerator). */
 case class LongArrayEqCount(left: Expression, right: Expression)
@@ -229,4 +269,5 @@ object VecFunctions {
     c(LongArrayEqCount(e(a), e(b)))
   def array_all_in_range(a: Column, lo: Double, hi: Double): Column =
     c(ArrayAllInRange(e(a), lo, hi))
+  def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
 }

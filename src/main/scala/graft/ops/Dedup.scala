@@ -25,17 +25,10 @@ object Dedup {
       .select(col("sig"), col("n"), col("keep_id"),
         array_sort(filter(col("ids"), _ =!= col("keep_id"))).as("dup_ids"))
 
-  /** Word-level shingles of size `k`, distinct, lowercased. */
-  def shingles(textCol: Column, k: Int): Column = {
-    val words = split(lower(regexp_replace(textCol, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
-    val w = filter(words, x => length(x) > 0)
-    if (k <= 1) array_distinct(w)
-    else array_distinct(
-      filter(
-        transform(w, (_, i) => when(i <= size(w) - k,
-          array_join(slice(w, i + 1, lit(k)), " "))),
-        x => x.isNotNull))
-  }
+  /** Word-level shingles of size `k`, distinct, lowercased — native
+    * single-pass expression (graft.functions.WordShingles). */
+  def shingles(textCol: Column, k: Int): Column =
+    graft.functions.VecFunctions.word_shingles(textCol, k)
 
   /** MinHash signature: `numHashes` derived permutations over one base hash
     * per shingle — a custom Catalyst expression (graft.functions.MinHashSig)
@@ -61,10 +54,13 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // persisted: referenced by band explode AND the two signature re-joins —
+    // without it every branch recomputes shingling+hashing from the text
     val sig = df.select(
       col(idCol).as("id"),
       minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
       .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+      .persist()
 
     // band_hash = hash of the signature slice for each band (bands is a
     // compile-time constant → unrolled, stays inside codegen)
@@ -78,10 +74,12 @@ object Dedup {
     // bucket join: candidates share (band, band_hash); self-join within
     // buckets, bounded by maxBucket. Only (id, band, band_hash) rides the
     // candidate shuffle — signatures re-attach to the deduped pairs.
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    // oversized-bucket guard via groupBy + broadcast anti-join: cheaper and
+    // more scalable than a window count (no per-partition sort), and the
+    // oversized set is tiny by construction
+    val oversized = banded.groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("band", "band_hash")
+    val bucketed = banded.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
     val l = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
@@ -111,13 +109,14 @@ object Dedup {
       shingleK: Int = 3, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sig = df.select(col(idCol).as("id"),
       simhash(shingles(col(textCol), shingleK)).as("sim"))
+      .persist() // branches: chunk explode, oversized counts, l/r pair joins
     // 4 chunks of 16 bits; candidates agree on ≥1 chunk
     val chunkCols = (0 until 4).map(c => shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL))
     val chunked = sig.select(col("id"), col("sim"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val")))
-    val bucketed = chunked.withColumn("bucket_n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")))
-      .filter(col("bucket_n") <= maxBucket)
+    val oversized = chunked.groupBy("chunk", "chunk_val").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("chunk", "chunk_val")
+    val bucketed = chunked.join(broadcast(oversized), Seq("chunk", "chunk_val"), "left_anti")
     val l = bucketed.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = bucketed.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))

@@ -71,14 +71,15 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
+      .persist() // re-read by the band explode and both candidate re-joins
     // candidate generation carries ONLY (id, band, band_val) — never the
     // vectors — so the pair dedup shuffles two longs per row, not 2×64 floats
     val banded = base.select(col("id"),
       posexplode(graft.functions.VecFunctions.sign_lsh_bands(col("v"), bands, planesPerBand))
         .as(Seq("band", "band_val")))
-    val bucketed = banded.withColumn("bucket_n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
-      .filter(col("bucket_n") <= maxBucket)
+    val oversized = banded.groupBy("band", "band_val").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("band", "band_val")
+    val bucketed = banded.join(broadcast(oversized), Seq("band", "band_val"), "left_anti")
     val l = bucketed.select(col("band"), col("band_val"), col("id").as("id_a"))
     val r = bucketed.select(col("band"), col("band_val"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
