@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Executable end-to-end example of the public API — also the packaged-jar
+  * smoke surface (`java -cp <jar>:/opt/spark/jars/'*' graft.Smoke [outDir]`):
+  * generate → validate → checkpoint (TableIO) → resume → stats → dedup/ANN.
+  * Prints one summary line per stage; exits nonzero on any broken invariant.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else
+      java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
+    def check(name: String, cond: Boolean, detail: String): Unit = {
+      println(s"[smoke] ${if (cond) "OK  " else "FAIL"} $name: $detail")
+      if (!cond) failures += 1
+    }
+
+    // 1. corpus + suite
+    val corpus = DataGen.sequences(spark, 50000, maxLen = 32).persist()
+    val suite = DataGen.standardSuite(spark, maxLen = 32)
+    val compiled = suite.compile(Seq_.schema)
+      .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+    val result = compiled.run(corpus, persistAnnotated = true)
+    val vioByCheck = result.violations.groupBy("constraint_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    check("validate", vioByCheck.size >= 8 && vioByCheck.values.forall(_ > 0),
+      s"${vioByCheck.size} constraint kinds violated: $vioByCheck")
+    val rep = result.report.agg(sum("rows"), sum("pass"), sum("fail")).collect()(0)
+    check("report", rep.getLong(0) == 50000 && rep.getLong(1) + rep.getLong(2) == 50000,
+      s"rows=${rep.getLong(0)} pass=${rep.getLong(1)} fail=${rep.getLong(2)}")
+
+    // 2. checkpoint via TableIO + resume
+    Checkpoint.write(result.report.filter(col("bucket_id") < 128), s"$out/ckpt", "run-1")
+    val done = Checkpoint.completedBuckets(spark, s"$out/ckpt", "run-1")
+    val resumed = compiled.run(Checkpoint.resumeFilter(corpus, compiled, done))
+    val resumedRows = resumed.report.agg(sum("rows")).collect()(0).getLong(0)
+    val doneRows = result.report.filter(col("bucket_id") < 128)
+      .agg(sum("rows")).collect()(0).getLong(0)
+    check("resume", doneRows + resumedRows == 50000,
+      s"completed=${done.size} buckets/$doneRows rows + resumed $resumedRows rows")
+
+    // 3. stats
+    val prof = Stats.numericProfile(corpus, "n_tok", "source").collect()
+    check("stats", prof.length == 6, s"${prof.length} source profiles")
+    val worst = Stats.topKWorstBuckets(result.report, 3).collect()
+    check("topk", worst.length == 3, s"worst buckets: ${worst.map(_.getInt(0)).mkString(",")}")
+
+    // 4. text ops on the documents table if present, else synthesized text
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+        (col("id") % 500).cast("string")).as("text"))
+    val dups = Dedup.exact(docs, "text", "doc_id")
+    check("dedup", dups.count() == 500, s"${dups.count()} exact-dup groups (expect 500)")
+    val mh = Dedup.minhashLsh(docs, "text", "doc_id", numHashes = 32, bands = 8,
+      shingleK = 1, threshold = 0.9)
+    check("minhash", mh.count() >= 500, s"${mh.count()} near-dup pairs")
+
+    // 5. ANN over synthetic embeddings
+    val embs = spark.range(1000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(col("id") % 100, i), lit(1000)).cast("float") / 1000f)).as("embedding"))
+    val pairs = Similarity.cosineLshPairs(embs, "embedding", "vec_id",
+      threshold = 0.999, bands = 4, planesPerBand = 4)
+    check("ann", pairs.count() >= 1000, s"${pairs.count()} high-cos pairs (planted clones)")
+
+    spark.stop()
+    println(s"[smoke] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"}")
+    if (failures > 0) sys.exit(1)
+  }
+}

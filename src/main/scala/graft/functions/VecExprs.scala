@@ -19,17 +19,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * All are deterministic pure functions — safe anywhere in the plan.
   */
 
-/** dot(a, b) over two float/double arrays, accumulated in double. */
+
+object VecGetter {
+  /** Element-type-aware numeric reader — VecDot/VecNorm/SignLshBands accept
+    * any numeric array (float embeddings, double-typed derived columns). */
+  def forType(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toDouble
+    case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric array: $other")
+  }
+}
+
+/** dot(a, b) over two numeric arrays, accumulated in double. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  @transient private lazy val getL = VecGetter.forType(left.dataType)
+  @transient private lazy val getR = VecGetter.forType(right.dataType)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
     s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -40,12 +57,13 @@ case class VecDot(left: Expression, right: Expression)
 case class VecNorm(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  @transient private lazy val get = VecGetter.forType(child.dataType)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < n) { val v = get(x, i); s += v * v; i += 1 }
     math.sqrt(s)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -137,6 +155,7 @@ case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
   // dims seen (cache rows are tiny: planes × dim longs)
   @inline private def weight(p: Int, d: Int): Double =
     (java.lang.Math.floorMod(HashMix.mix((p.toLong << 32) | (d & 0xffffffffL)), 5L) - 2L).toDouble
+  @transient private lazy val get = VecGetter.forType(child.dataType)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val dim = x.numElements()
@@ -149,7 +168,7 @@ case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
         val p = b * planesPerBand + j
         var s = 0.0
         var d = 0
-        while (d < dim) { s += x.getFloat(d).toDouble * weight(p, d); d += 1 }
+        while (d < dim) { s += get(x, d) * weight(p, d); d += 1 }
         if (s > 0) v |= (1L << j)
         j += 1
       }
