@@ -333,8 +333,7 @@ object SparkEntry {
          ORDER BY dot DESC, vec_id LIMIT 10""",
     "t_tokens" ->
       """SELECT doc_id,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+                len(regexp_extract_all(text, '\S+')) AS n_ws,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
          FROM documents""",
     "t_quality" ->

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count — runs of non-whitespace. (Not trim+split:
+    * SQL `trim` strips only 0x20, so tab/newline-only strings would
+    * miscount.) */
   def whitespaceTokens(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
   /** BPE-ish token count: alpha runs, digit runs, and single punctuation
     * marks each count as one token (a cheap, deterministic proxy for

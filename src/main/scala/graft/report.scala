@@ -23,7 +23,9 @@ object ReportSink {
     * Collects only the ≤nBuckets report rows — never the data. */
   def summaryJson(result: ValidationResult, runId: String): String = {
     val rep = result.report
-      .agg(sum("rows").as("rows"), sum("pass").as("pass"), sum("fail").as("fail"))
+      .agg(coalesce(sum("rows"), lit(0L)).as("rows"),
+        coalesce(sum("pass"), lit(0L)).as("pass"),
+        coalesce(sum("fail"), lit(0L)).as("fail"))
       .collect()(0)
     val byCheck = result.report
       .select(explode(col("fail_by_check")).as(Seq("check", "n")))
