@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans of the flagship paths to stdout —
+  * the artifact behind docs/PLANS.md (prompt: ".explain('formatted') the
+  * plan and iterate until it's the plan you'd want"). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = DataGen.sequences(spark, 10000, maxLen = 32)
+    val compiled = DataGen.standardSuite(spark, 32).compile(Seq_.schema).toOption.get
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== PLAN: $name =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    dump("S1 row-local annotate (narrow, single pass)", compiled.annotate(corpus))
+    dump("bucket report (one exchange, partial agg)", compiled.bucketReport(compiled.annotate(corpus)))
+    dump("uniqueness (hash shuffle, 2-phase count)", Unique("doc_id").run(corpus))
+    dump("referential (broadcast anti-join)",
+      RefIntegrity("source", DataGen.sourcesDim(spark), "source").run(corpus))
+    dump("drift chi-square (small-agg joins only)",
+      DriftChiSquare("n_tok", "source", 2.0, 100.0).run(corpus))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dump("v_range pushdown", SparkEntry.queries("v_range")(spark, "/root/testdata/sf0.001"))
+    dump("minhash LSH (bare-id candidate shuffle)",
+      ops.Dedup.minhashLsh(docs, "text", "doc_id", numHashes = 32, bands = 8, shingleK = 1))
+    spark.stop()
+  }
+}

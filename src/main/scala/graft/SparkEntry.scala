@@ -135,6 +135,9 @@ object SparkEntry {
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")
         .select(col("sig"), col("n"), col("keep_id"))),
+    "d_dedup_keep" -> ((s, dir) =>
+      Dedup.dropExactDups(ld(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"))),
     "d_fingerprint" -> ((s, dir) =>
       ld(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -306,6 +309,10 @@ object SparkEntry {
     "d_dedup_exact" ->
       """SELECT md5(text) AS sig, count(*) AS n, min(doc_id) AS keep_id
          FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    "d_dedup_keep" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1""",
     "d_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",

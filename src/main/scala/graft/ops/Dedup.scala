@@ -25,6 +25,17 @@ object Dedup {
       .select(col("sig"), col("n"), col("keep_id"),
         array_sort(filter(col("ids"), _ =!= col("keep_id"))).as("dup_ids"))
 
+  /** The pipeline output form of exact dedup: the corpus with duplicates
+    * dropped, keeping the smallest id per content group. One shuffle keyed by
+    * the content hash; everything else rides along. */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Word-level shingles of size `k`, distinct, lowercased — native
     * single-pass expression (graft.functions.WordShingles). */
   def shingles(textCol: Column, k: Int): Column =

@@ -25,6 +25,15 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Seq[Long]]("dup_ids") === Seq(2L, 4L))
   }
 
+  test("dropExactDups keeps exactly one copy per content group (smallest id)") {
+    val base = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "unique"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(base, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("shingles: distinct word k-grams") {
     val df = Seq((1, "a b c d")).toDF("id", "t")
     val s2 = df.select(Dedup.shingles(col("t"), 2).as("s")).as[Seq[String]].head()
