@@ -30,10 +30,21 @@ val jdk17AddOpens = Seq(
 // pre-touched heap — pages fault once at JVM start, GC runs on warm pages.
 val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 // half the heap as a FIXED young gen: adaptive sizing uncommits/recommits
-// pages, re-triggering the slow first-touch faults
+// pages, re-triggering the slow first-touch faults. Accepts any JVM size
+// suffix (g/m/k/bytes).
 val youngGen = {
-  val gb = driverMem.toLowerCase.stripSuffix("g").toInt
-  s"${math.max(gb / 2, 1)}g"
+  val m = "(?i)^(\\d+)([gmk]?)$".r
+  driverMem.trim match {
+    case m(n, u) =>
+      val mb = u.toLowerCase match {
+        case "g" => n.toLong * 1024
+        case "m" => n.toLong
+        case "k" => math.max(n.toLong / 1024, 1)
+        case _ => math.max(n.toLong / (1024 * 1024), 1)
+      }
+      s"${math.max(mb / 2, 256)}m"
+    case _ => "4g" // unparseable: safe fixed default
+  }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -77,15 +77,16 @@ object SparkEntry {
       ld(s, dir, "embeddings").filter(!c.pred).select(col("vec_id"))
     }),
     // ---- cross-row: uniqueness / referential (SURVEY.md §2.4) ----
-    "v_unique" -> ((s, dir) =>
-      Unique("l_orderkey").run(ld(s, dir, "lineitem")).select(col("key"), col("actual"))),
+    "v_unique" -> ((s, dir) => // agg checks emit native-typed keys; stringify for the oracle
+      Unique("l_orderkey").run(ld(s, dir, "lineitem"))
+        .select(col("key").cast(StringType).as("key"), col("actual"))),
     "v_unique_salted" -> ((s, dir) => // explicit two-phase salted variant
       Unique("l_orderkey", salted = true, saltBuckets = 16).run(ld(s, dir, "lineitem"))
-        .select(col("key"), col("actual"))),
+        .select(col("key").cast(StringType).as("key"), col("actual"))),
     "v_ref" -> ((s, dir) => {
       val dim = ld(s, dir, "customer").filter(col("c_custkey") >= 10) // active-customer dim
       RefIntegrity("user_id", dim, "c_custkey").run(ld(s, dir, "events"))
-        .select(col("key"), col("actual"))
+        .select(col("key").cast(StringType).as("key"), col("actual"))
     }),
     // ---- column stats (Q1-style aggregation; cents-exact) ----
     "v_stats" -> ((s, dir) =>

@@ -21,8 +21,11 @@ object Checkpoint {
 
   /** Buckets already completed for `runId` (empty set if no checkpoint yet).
     * Bounded by nBuckets (≤ a few thousand), safe to collect. */
-  def completedBuckets(spark: SparkSession, path: String, runId: String): Set[Int] =
-    if (!new java.io.File(path).exists()) Set.empty
+  def completedBuckets(spark: SparkSession, path: String, runId: String): Set[Int] = {
+    // Hadoop FS probe, not java.io.File — the path may be hdfs://, s3a://, …
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
     else {
       val df = spark.read.parquet(path)
       if (!df.columns.contains("run_id")) Set.empty
@@ -30,6 +33,7 @@ object Checkpoint {
         .select("bucket_id").distinct()
         .collect().map(_.getInt(0)).toSet
     }
+  }
 
   /** Prune rows of already-completed buckets from the input. The filter is a
     * deterministic function of the key, so resumed runs see exactly the

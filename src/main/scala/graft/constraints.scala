@@ -55,9 +55,10 @@ object Constraints {
         st.fields.find(_.name == s).flatMap(f => walk(f.dataType, rest))
       case _ => None
     }
-    // longest-prefix match first: a literal column named "a.b" wins over nesting
-    if (schema.fieldNames.contains(path)) schema.fields.find(_.name == path).map(_.dataType)
-    else walk(schema, path.split('.').toList)
+    // NOTE: a literal top-level column named "a.b" is deliberately NOT
+    // matched — every pred uses col(name), which Spark parses as nested
+    // access, so accepting it here would pass compile and crash at run
+    walk(schema, path.split('.').toList)
   }
 
   private[graft] def requireCol(schema: StructType, c: String, ctx: String): List[SuiteError] =
@@ -273,9 +274,11 @@ final case class ArrayElemRange(col: String, min: Double, max: Double) extends R
   // lambda per token (graft.functions.ArrayAllInRange)
   def pred = c.isNull || graft.functions.VecFunctions.array_all_in_range(c, min, max)
   override def vios: Column = {
+    // null elements are violations too (data corruption in a tokens array):
+    // coalesce keeps them in the filter instead of dropping NULL predicates
     val failIdx = org.apache.spark.sql.functions.filter(
       transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
-      (s: Column) => !elemOk(s.getField("v")))
+      (s: Column) => !coalesce(elemOk(s.getField("v")), lit(false)))
     val entries = transform(failIdx, (s: Column) =>
       entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
     // conditional: passing rows (the overwhelming majority) never run the
@@ -295,11 +298,11 @@ final case class ArrayElemIn(col: String, values: Seq[Any]) extends RowConstrain
     requireArray(s, col, id) ++ (if (values.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   private def elemOk(x: Column) = x.isin(values: _*)
-  def pred = c.isNull || forall(c, elemOk _)
+  def pred = c.isNull || coalesce(forall(c, elemOk _), lit(false))
   override def vios: Column = {
     val failIdx = org.apache.spark.sql.functions.filter(
       transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
-      (s: Column) => !elemOk(s.getField("v")))
+      (s: Column) => !coalesce(elemOk(s.getField("v")), lit(false)))
     val entries = transform(failIdx, (s: Column) =>
       entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
     when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
@@ -506,11 +509,11 @@ final case class MapValueRange(col: String, keyPattern: String, min: Double, max
   private def c = org.apache.spark.sql.functions.col(col)
   private def vOk(v: Column) = v.cast(DoubleType) >= min && v.cast(DoubleType) <= max
   def pred = c.isNull ||
-    forall(map_entries(c), (e: Column) =>
-      !e.getField("key").rlike(keyPattern) || vOk(e.getField("value")))
+    coalesce(forall(map_entries(c), (e: Column) =>
+      !e.getField("key").rlike(keyPattern) || vOk(e.getField("value"))), lit(false))
   override def vios: Column = {
     val bad = org.apache.spark.sql.functions.filter(map_entries(c), (e: Column) =>
-      e.getField("key").rlike(keyPattern) && !vOk(e.getField("value")))
+      e.getField("key").rlike(keyPattern) && !coalesce(vOk(e.getField("value")), lit(false)))
     val entries = transform(bad, (e: Column) =>
       entry(id, concat(lit(col + "."), e.getField("key")), s"value in [$min,$max]", e.getField("value")))
     when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
@@ -542,7 +545,8 @@ final case class All(name: String, cs: Seq[RowConstraint]) extends RowConstraint
 final case class AnyOf(name: String, cs: Seq[RowConstraint]) extends RowConstraint {
   import Constraints._
   val id = s"anyOf($name)"
-  def selfCheck(s: StructType) = cs.toList.flatMap(_.selfCheck(s))
+  def selfCheck(s: StructType) =
+    (if (cs.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil) ++ cs.toList.flatMap(_.selfCheck(s))
   def pred = cs.map(_.pred).reduceOption(_ || _).getOrElse(lit(false))
   override def vios: Column = {
     val inner = cs.map(_.vios).reduceOption(concat(_, _)).getOrElse(noVios)
@@ -559,7 +563,8 @@ final case class AnyOf(name: String, cs: Seq[RowConstraint]) extends RowConstrai
 final case class OneOf(name: String, cs: Seq[RowConstraint]) extends RowConstraint {
   import Constraints._
   val id = s"oneOf($name)"
-  def selfCheck(s: StructType) = cs.toList.flatMap(_.selfCheck(s))
+  def selfCheck(s: StructType) =
+    (if (cs.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil) ++ cs.toList.flatMap(_.selfCheck(s))
   private def nValid = cs.map(_.pred.cast(IntegerType)).reduceOption(_ + _).getOrElse(lit(0))
   def pred = nValid === 1
   override def vios: Column =
@@ -633,7 +638,8 @@ final case class ArrayElemAtRange(col: String, pos: Int, min: Double, max: Doubl
       (if (pos < 1) List(SuiteError.Unsupported(id, s"pos=$pos (1-based)")) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   private def v = element_at(c, pos)
-  def pred = c.isNull || size(c) < pos || (v.cast(DoubleType) >= min && v.cast(DoubleType) <= max)
+  def pred = c.isNull || size(c) < pos ||
+    coalesce(v.cast(DoubleType) >= min && v.cast(DoubleType) <= max, lit(false))
   protected def pathStr = s"$col.${pos - 1}" // dotted span uses 0-based index (Keys)
   protected def boundStr = s"elem@$pos in [$min,$max]"
   protected def actualCol = v
@@ -694,7 +700,7 @@ final case class Unique(col: String, salted: Boolean = false, saltBuckets: Int =
         lit(col).as("path"),
         lit("unique").as("bound"),
         concat(lit("count="), org.apache.spark.sql.functions.col("cnt").cast(StringType)).as("actual"),
-        org.apache.spark.sql.functions.col("key").cast(StringType).as("key"))
+        org.apache.spark.sql.functions.col("key").as("key"))
   }
 }
 
@@ -720,7 +726,7 @@ final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String,
         lit(col).as("path"),
         lit(s"in dim.$dimCol").as("bound"),
         concat(lit("orphan rows="), org.apache.spark.sql.functions.col("cnt").cast(StringType)).as("actual"),
-        org.apache.spark.sql.functions.col("key").cast(StringType).as("key"))
+        org.apache.spark.sql.functions.col("key").as("key"))
   }
 }
 
@@ -742,7 +748,7 @@ final case class DriftChiSquare(valueCol: String, groupCol: String, binWidth: Do
         lit(valueCol).as("path"),
         lit(s"chi2 <= $threshold vs pooled").as("bound"),
         concat(lit("chi2="), org.apache.spark.sql.functions.col("chi2").cast(StringType)).as("actual"),
-        org.apache.spark.sql.functions.col(groupCol).cast(StringType).as("key"))
+        org.apache.spark.sql.functions.col(groupCol).as("key"))
   }
 }
 
@@ -761,6 +767,6 @@ final case class DriftKS(valueCol: String, groupCol: String, binWidth: Double,
         lit(valueCol).as("path"),
         lit(s"ks <= $threshold vs pooled").as("bound"),
         concat(lit("ks="), org.apache.spark.sql.functions.col("ks").cast(StringType)).as("actual"),
-        org.apache.spark.sql.functions.col(groupCol).cast(StringType).as("key"))
+        org.apache.spark.sql.functions.col(groupCol).as("key"))
   }
 }

@@ -71,12 +71,14 @@ final case class CompiledSuite(
         col("v.constraint_id"), col("v.path"), col("v.bound"), col("v.actual"),
         col("doc_id"), col("bucket_id"))
 
-  /** Cross-row violations (uniqueness / referential / drift). */
+  /** Cross-row violations (uniqueness / referential / drift). AggConstraints
+    * emit the key in its NATIVE type; the bucket is computed before the
+    * string cast so it matches the report's bucket for the same value. */
   def aggViolations(df: DataFrame): Option[DataFrame] =
     aggChecks.map { a =>
       a.run(df).select(
         col("constraint_id"), col("path"), col("bound"), col("actual"),
-        col("key").as("doc_id"),
+        col("key").cast(org.apache.spark.sql.types.StringType).as("doc_id"),
         bucketOf(col("key")).as("bucket_id"))
     }.reduceOption(_.unionByName(_))
 

@@ -66,7 +66,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // persisted: referenced by band explode AND the two signature re-joins —
-    // without it every branch recomputes shingling+hashing from the text
+    // without it every branch recomputes shingling+hashing from the text.
+    // NOTE: released by Spark's LRU, not unpersisted here (the returned frame
+    // still references it lazily); callers running MANY dedup passes in one
+    // session should spark.catalog.clearCache() between passes
     val sig = df.select(
       col(idCol).as("id"),
       minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))

@@ -30,9 +30,17 @@ object ReportSink {
     val byCheck = result.report
       .select(explode(col("fail_by_check")).as(Seq("check", "n")))
       .groupBy("check").agg(sum("n").as("n"))
-      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .collect().map(r => s""""${esc(r.getString(0))}":${r.getLong(1)}""")
       .sorted.mkString("{", ",", "}")
-    s"""{"run_id":"$runId","rows":${rep.getLong(0)},"pass":${rep.getLong(1)},""" +
+    s"""{"run_id":"${esc(runId)}","rows":${rep.getLong(0)},"pass":${rep.getLong(1)},""" +
       s""""fail":${rep.getLong(2)},"fail_by_check":$byCheck}"""
+  }
+
+  /** JSON string escape — constraint ids embed user-supplied labels. */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }

@@ -33,7 +33,9 @@ object StreamValidate {
     stream.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(suite.run(batch, persistAnnotated = true), batchId)
+        val result = suite.run(batch, persistAnnotated = true)
+        try onBatch(result, batchId)
+        finally result.annotated.unpersist() // no per-batch cache leak
       }
 
   /** Watermarked windowed violation-rate monitor: per (window, constraint)

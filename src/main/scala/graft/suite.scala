@@ -70,7 +70,13 @@ final case class ConstraintSuite(
     val aggErrors = aggChecks.flatMap(_.selfCheck(schema)).toList
     val bucketErrors =
       if (nBuckets > 0) Nil else List(SuiteError.Unsupported("suite", s"nBuckets=$nBuckets"))
-    val all = keyErrors ++ refErrors ++ rowErrors ++ aggErrors ++ bucketErrors
+    // duplicate ids would collide in the fail_by_check map (Spark's map key
+    // dedup policy is EXCEPTION) — reject at compile time
+    val dupErrors = (goodRows.map(_.id) ++ aggChecks.map(_.id))
+      .groupBy(identity).collect { case (id, xs) if xs.size > 1 =>
+        SuiteError.Unsupported("suite", s"duplicate constraint id '$id'")
+      }.toList
+    val all = keyErrors ++ refErrors ++ rowErrors ++ aggErrors ++ bucketErrors ++ dupErrors
     if (all.nonEmpty) Left(all)
     else Right(CompiledSuite(keyCol, goodRows, aggChecks, nBuckets))
   }
