@@ -27,11 +27,16 @@ object Checkpoint {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
     else {
-      val df = spark.read.parquet(path)
-      if (!df.columns.contains("run_id")) Set.empty
-      else df.filter(col("run_id") === runId)
-        .select("bucket_id").distinct()
-        .collect().map(_.getInt(0)).toSet
+      // a run that crashed before its first commit leaves the directory with
+      // no data files — schema inference throws; treat as "nothing completed"
+      scala.util.Try(spark.read.parquet(path)).toOption match {
+        case None => Set.empty
+        case Some(df) if !df.columns.contains("run_id") => Set.empty
+        case Some(df) =>
+          df.filter(col("run_id") === runId)
+            .select("bucket_id").distinct()
+            .collect().map(_.getInt(0)).toSet
+      }
     }
   }
 

@@ -35,10 +35,14 @@ object Constraints {
   def noVios: Column = array().cast(vioArrayType)
 
   def entry(id: String, path: Column, bound: String, actual: Column): Column =
+    entryC(id, path, lit(bound), actual)
+
+  /** entry variant with a computed (per-row) bound string. */
+  def entryC(id: String, path: Column, bound: Column, actual: Column): Column =
     struct(
       lit(id).as("constraint_id"),
       path.as("path"),
-      lit(bound).as("bound"),
+      bound.as("bound"),
       coalesce(actual.cast(StringType), lit("<null>")).as("actual"))
 
   /** Violation array for a scalar (whole-column) check. */
@@ -91,6 +95,46 @@ object Constraints {
       case Some(_: MapType) => Nil
       case Some(dt) => List(SuiteError.TypeMismatch(c, "map", dt, ctx))
     }
+
+  /** Array column whose ELEMENTS are numeric — the compile-time guard for
+    * element-range checks (ArrayAllInRange's getter would otherwise throw on
+    * executors at run time, breaking the compile-time type-check contract). */
+  private[graft] def requireNumericArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    fieldType(schema, c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(ArrayType(_: NumericType, _)) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "array<numeric>", dt, ctx))
+    }
+
+  /** Array column whose ELEMENTS are strings (items.pattern / items length). */
+  private[graft] def requireStringArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    fieldType(schema, c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(ArrayType(StringType, _)) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "array<string>", dt, ctx))
+    }
+
+  /** Does a Catalyst type conform to a JSON Schema `type` keyword value?
+    * (reference dispatch: `check_type!` from every `validate_*`,
+    * macros.rs:26-114 / schema.rs:390-612). Spark types are table-wide, so
+    * this is decided once at compile time. */
+  private[graft] def jsonTypeConforms(dt: DataType, jsonType: String): Boolean = jsonType match {
+    case "string" => dt == StringType
+    case "integer" => dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    case "number" => dt.isInstanceOf[NumericType]
+    case "boolean" => dt == BooleanType
+    case "array" => dt.isInstanceOf[ArrayType]
+    case "object" => dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+    case "null" => dt == NullType
+    case _ => false
+  }
+
+  private[graft] val jsonTypeNames: Set[String] =
+    Set("string", "integer", "number", "boolean", "array", "object", "null")
 }
 
 sealed trait Constraint { def id: String }
@@ -219,15 +263,30 @@ final case class LengthBounds(col: String, min: Option[Int] = None, max: Option[
   protected def actualCol = length(org.apache.spark.sql.functions.col(col))
 }
 
-/** C2 enum membership (macros.rs:116-241). Null passes. */
-final case class EnumIn(col: String, values: Seq[Any]) extends RowConstraint {
+/** C2 enum membership (macros.rs:116-241). Null passes.
+  *
+  * `epsilon > 0` switches to the reference's FLOAT-enum compare,
+  * `abs(value - enum_val) < EPSILON` (macros.rs:189, `f64::EPSILON`) —
+  * required for fractional double enums where exact `isin` would miss
+  * values that round-trip differently. */
+final case class EnumIn(col: String, values: Seq[Any], epsilon: Double = 0.0)
+    extends RowConstraint {
   val id = s"enum($col)"
   def selfCheck(s: StructType) =
-    Constraints.requireCol(s, col, id) ++
-      (if (values.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil)
+    (if (epsilon > 0) Constraints.requireNumeric(s, col, id) else Constraints.requireCol(s, col, id)) ++
+      (if (values.isEmpty) List(SuiteError.EmptyEnum(id)) else Nil) ++
+      (if (epsilon > 0 && !values.forall(_.isInstanceOf[Number]))
+        List(SuiteError.Unsupported(id, "epsilon compare requires numeric enum values")) else Nil)
   def pred = {
     val c = org.apache.spark.sql.functions.col(col)
-    c.isNull || c.isin(values: _*)
+    if (epsilon <= 0) c.isNull || c.isin(values: _*)
+    else {
+      val d = c.cast(DoubleType)
+      val hits = values.collect { case n: Number =>
+        abs(d - lit(n.doubleValue())) < epsilon
+      }
+      c.isNull || hits.reduceOption(_ || _).getOrElse(lit(false))
+    }
   }
   protected def pathStr = col
   protected def boundStr = s"in {${values.mkString(",")}}"
@@ -267,7 +326,7 @@ final case class ArrayElemRange(col: String, min: Double, max: Double) extends R
   import Constraints._
   val id = s"elemRange($col)"
   def selfCheck(s: StructType) =
-    requireArray(s, col, id) ++ (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil)
+    requireNumericArray(s, col, id) ++ (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   private def elemOk(x: Column) = x.cast(DoubleType) >= min && x.cast(DoubleType) <= max
   // native single-loop-per-row expression; forall() would interpret a
@@ -346,12 +405,31 @@ final case class ArraySizeBounds(col: String, min: Option[Int] = None, max: Opti
 }
 
 /** C14 uniqueItems WITHIN one array (schema.rs:738-755). The reference builds
-  * a per-array hash set; columnar equivalent is size == size(array_distinct). */
+  * a per-array hash set; columnar equivalent is size == size(array_distinct).
+  * Violations carry the reference's NotUnique span pair (schema.rs:744-752):
+  * one entry per DUPLICATE occurrence at path `col.<i>`, with the first
+  * occurrence's index in the bound — pay-per-defect like ArrayElemRange.
+  * Null elements are not compared (array_position skips null). */
 final case class ArrayUniqueItems(col: String) extends RowConstraint {
+  import Constraints._
   val id = s"uniqueItems($col)"
   def selfCheck(s: StructType) = Constraints.requireArray(s, col, id)
   private def c = org.apache.spark.sql.functions.col(col)
   def pred = c.isNull || size(c) === size(array_distinct(c))
+  override def vios: Column = {
+    // duplicate occurrence ⇔ first index of the value (1-based array_position
+    // minus 1) is strictly before this element's own index
+    val firstIdx = (s: Column) => array_position(c, s.getField("v")) - 1
+    val dups = org.apache.spark.sql.functions.filter(
+      transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
+      (s: Column) => coalesce(firstIdx(s) < s.getField("i"), lit(false)))
+    val entries = transform(dups, (s: Column) =>
+      entryC(id,
+        concat(lit(col + "."), s.getField("i").cast(StringType)),
+        concat(lit(s"duplicate of $col."), firstIdx(s).cast(StringType)),
+        s.getField("v")))
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
+  }
   protected def pathStr = col
   protected def boundStr = "all elements distinct"
   protected def actualCol = (size(c) - size(array_distinct(c))).cast(StringType)
@@ -493,7 +571,9 @@ final case class MapKeyPattern(col: String, pattern: String) extends RowConstrai
 final case class MapValueRange(col: String, keyPattern: String, min: Double, max: Double)
     extends RowConstraint {
   import Constraints._
-  val id = s"mapValueRange($col)"
+  // id carries the key pattern: one schema routinely declares several
+  // properties of the same map column, and duplicate ids fail suite compile
+  val id = s"mapValueRange($col:$keyPattern)"
   def selfCheck(s: StructType) = {
     val t = Constraints.fieldType(s, col) match {
       case None => List(SuiteError.UnknownColumn(col, id))
@@ -626,14 +706,14 @@ final case class TagDispatch(name: String, tagCol: String,
 }
 
 /** C12 positional items (tuple schema, schema.rs:718-735): element at 1-based
-  * `pos` must lie in [min,max]; `additional` optionally bounds every element
-  * PAST the positional prefix (additionalItems analog). Missing position
-  * passes (arrays shorter than pos are a size concern — C15/C16). */
+  * `pos` must lie in [min,max]. Elements PAST the positional prefix are
+  * bounded by [[ArrayTailRange]] (the additionalItems analog). Missing
+  * position passes (arrays shorter than pos are a size concern — C15/C16). */
 final case class ArrayElemAtRange(col: String, pos: Int, min: Double, max: Double)
     extends RowConstraint {
   val id = s"elemAt($col.$pos)"
   def selfCheck(s: StructType) =
-    Constraints.requireArray(s, col, id) ++
+    Constraints.requireNumericArray(s, col, id) ++
       (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil) ++
       (if (pos < 1) List(SuiteError.Unsupported(id, s"pos=$pos (1-based)")) else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
@@ -643,6 +723,167 @@ final case class ArrayElemAtRange(col: String, pos: Int, min: Double, max: Doubl
   protected def pathStr = s"$col.${pos - 1}" // dotted span uses 0-based index (Keys)
   protected def boundStr = s"elem@$pos in [$min,$max]"
   protected def actualCol = v
+}
+
+/** C12 completion — `additionalItems` (schema.rs:727-735): every element PAST
+  * the positional prefix (1-based positions ≥ `fromPos`) must lie in
+  * [min,max]. Per-element spans `col.<i>` like ArrayElemRange, pay-per-defect.
+  * Null tail elements are violations (corrupt data), mirroring ArrayElemRange. */
+final case class ArrayTailRange(col: String, fromPos: Int, min: Double, max: Double)
+    extends RowConstraint {
+  import Constraints._
+  val id = s"elemTail($col.$fromPos+)"
+  def selfCheck(s: StructType) =
+    requireNumericArray(s, col, id) ++
+      (if (min > max) List(SuiteError.InvalidBounds(id, min, max)) else Nil) ++
+      (if (fromPos < 1) List(SuiteError.Unsupported(id, s"fromPos=$fromPos (1-based)")) else Nil)
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def elemOk(x: Column) = x.cast(DoubleType) >= min && x.cast(DoubleType) <= max
+  // hot path: native loop over the (copy-free beyond the slice) tail; arrays
+  // shorter than the prefix have an empty tail and trivially pass
+  def pred = c.isNull ||
+    graft.functions.VecFunctions.array_all_in_range(
+      slice(c, lit(fromPos), greatest(size(c), lit(0))), min, max)
+  override def vios: Column = {
+    val failIdx = org.apache.spark.sql.functions.filter(
+      transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
+      (s: Column) => s.getField("i") >= fromPos - 1 &&
+        !coalesce(elemOk(s.getField("v")), lit(false)))
+    val entries = transform(failIdx, (s: Column) =>
+      entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"elem@>=$fromPos in [$min,$max]"
+  protected def actualCol = c
+}
+
+/** C11 for string arrays — items.pattern: every element matches the regex.
+  * Null elements are violations. Regex compiled once at suite-compile. */
+final case class ArrayElemPattern(col: String, pattern: String) extends RowConstraint {
+  import Constraints._
+  val id = s"elemPattern($col)"
+  def selfCheck(s: StructType) =
+    requireStringArray(s, col, id) ++
+      (scala.util.Try(java.util.regex.Pattern.compile(pattern)) match {
+        case scala.util.Failure(e) => List(SuiteError.InvalidPattern(pattern, e.getMessage))
+        case _ => Nil
+      })
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def elemOk(x: Column) = coalesce(x.rlike(pattern), lit(false))
+  def pred = c.isNull || coalesce(forall(c, elemOk _), lit(false))
+  override def vios: Column = {
+    val failIdx = org.apache.spark.sql.functions.filter(
+      transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
+      (s: Column) => !elemOk(s.getField("v")))
+    val entries = transform(failIdx, (s: Column) =>
+      entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"elem pattern $pattern"
+  protected def actualCol = c.cast(StringType)
+}
+
+/** C11 for string arrays — items.minLength/maxLength: every element's char
+  * length within bounds. Null elements are violations. */
+final case class ArrayElemLength(col: String, min: Option[Int] = None, max: Option[Int] = None)
+    extends RowConstraint {
+  import Constraints._
+  val id = s"elemLength($col)"
+  def selfCheck(s: StructType) =
+    requireStringArray(s, col, id) ++
+      ((min, max) match {
+        case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
+        case _ => Nil
+      })
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def elemOk(x: Column) = {
+    val n = length(x)
+    val lo = min.map(a => n >= a).getOrElse(lit(true))
+    val hi = max.map(b => n <= b).getOrElse(lit(true))
+    coalesce(lo && hi, lit(false))
+  }
+  def pred = c.isNull || coalesce(forall(c, elemOk _), lit(false))
+  override def vios: Column = {
+    val failIdx = org.apache.spark.sql.functions.filter(
+      transform(c, (x: Column, i: Column) => struct(x.as("v"), i.as("i"))),
+      (s: Column) => !elemOk(s.getField("v")))
+    val entries = transform(failIdx, (s: Column) =>
+      entry(id, concat(lit(col + "."), s.getField("i").cast(StringType)), boundStr, s.getField("v")))
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"elem length in [${min.getOrElse(0)},${max.map(_.toString).getOrElse("inf")}]"
+  protected def actualCol = c.cast(StringType)
+}
+
+/** C1 `type` keyword, JSON-Schema-typed — the loader's counterpart of
+  * [[TypeIs]]: the column's Catalyst type must CONFORM to ≥1 of the declared
+  * JSON types (reference `check_type!` dispatch, macros.rs:26-114 +
+  * schema.rs:390-612; type arrays per draft-07). Static: Spark schemas are
+  * table-wide, so a mismatch is a compile-time SuiteError (InvalidType
+  * analog), never a per-row violation. `element=true` checks the ELEMENT
+  * type of an array column (items.type). */
+final case class JsonTypeIs(col: String, jsonTypes: Seq[String], element: Boolean = false)
+    extends RowConstraint {
+  val id = if (element) s"elemType($col)" else s"type($col)"
+  def selfCheck(s: StructType) = {
+    val unknown = jsonTypes.filterNot(Constraints.jsonTypeNames)
+    if (jsonTypes.isEmpty) List(SuiteError.EmptyEnum(id))
+    else if (unknown.nonEmpty)
+      List(SuiteError.Unsupported(id, s"unknown JSON type(s): ${unknown.mkString(",")}"))
+    else Constraints.fieldType(s, col) match {
+      case None => List(SuiteError.UnknownColumn(col, id))
+      case Some(dt0) =>
+        val target: Either[SuiteError, DataType] =
+          if (!element) Right(dt0)
+          else dt0 match {
+            case ArrayType(et, _) => Right(et)
+            case other => Left(SuiteError.TypeMismatch(col, "array", other, id))
+          }
+        target match {
+          case Left(e) => List(e)
+          case Right(dt) =>
+            if (jsonTypes.exists(Constraints.jsonTypeConforms(dt, _))) Nil
+            else List(SuiteError.TypeMismatch(col, jsonTypes.mkString("|"), dt, id))
+        }
+    }
+  }
+  def pred = lit(true) // statically proven at compile time
+  protected def pathStr = col
+  protected def boundStr = s"type ${jsonTypes.mkString("|")}"
+  protected def actualCol = lit("")
+}
+
+/** C19 `additionalProperties: false` for STATICALLY-keyed objects: the root
+  * table (`col = ""`) or a struct column. Every present field must be
+  * declared — decided at compile time (the C1 stance: Spark schemas are
+  * table-wide, so UnknownProperty is a compile error here; the reference
+  * raises it per value, schema.rs:941-956). Dynamic maps use [[MapKeysIn]]. */
+final case class StructKeysIn(col: String, allowed: Seq[String]) extends RowConstraint {
+  val id = if (col.isEmpty) "structKeys(<root>)" else s"structKeys($col)"
+  def selfCheck(s: StructType) = {
+    val fieldsE: Either[List[SuiteError], Seq[String]] =
+      if (col.isEmpty) Right(s.fieldNames.toSeq)
+      else Constraints.fieldType(s, col) match {
+        case None => Left(List(SuiteError.UnknownColumn(col, id)))
+        case Some(st: StructType) => Right(st.fieldNames.toSeq)
+        case Some(dt) => Left(List(SuiteError.TypeMismatch(col, "struct", dt, id)))
+      }
+    fieldsE match {
+      case Left(es) => es
+      case Right(fields) =>
+        val allowedSet = allowed.toSet
+        fields.filterNot(allowedSet).toList.map(f =>
+          SuiteError.Unsupported(id,
+            s"undeclared property '${if (col.isEmpty) f else s"$col.$f"}' (additionalProperties: false)"))
+    }
+  }
+  def pred = lit(true) // statically proven at compile time
+  protected def pathStr = col
+  protected def boundStr = s"properties in {${allowed.mkString(",")}}"
+  protected def actualCol = lit("")
 }
 
 /** K6 $ref analog: resolved from the suite's definitions map at compile time

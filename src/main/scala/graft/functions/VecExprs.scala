@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 
 object VecGetter {
+  /** Java literal for a double bound embedded in generated code. */
+  def jlit(d: Double): String =
+    if (d == Double.NegativeInfinity) "Double.NEGATIVE_INFINITY"
+    else if (d == Double.PositiveInfinity) "Double.POSITIVE_INFINITY"
+    else if (d.isNaN) "Double.NaN"
+    else s"${d}D"
+
   /** Element-type-aware numeric reader — VecDot/VecNorm/SignLshBands accept
     * any numeric array (float embeddings, double-typed derived columns). */
   def forType(dt: DataType): (ArrayData, Int) => Double = dt match {
@@ -34,21 +41,46 @@ object VecGetter {
   }
 }
 
-/** dot(a, b) over two numeric arrays, accumulated in double. */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** dot(a, b) over two numeric arrays, accumulated in double. Mismatched
+  * lengths (ragged embeddings) yield NULL — a truncated dot would be a
+  * plausible but WRONG score; enforce equal dims upstream or filter nulls.
+  * Implements `doGenCode`, so the scoring stage stays inside whole-stage
+  * codegen with a primitive loop (no per-row boxing). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   @transient private lazy val getL = VecGetter.forType(left.dataType)
   @transient private lazy val getR = VecGetter.forType(right.dataType)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
     s
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val getA = CodeGenerator.getValue(a, left.dataType.asInstanceOf[ArrayType].elementType, i)
+      val getB = CodeGenerator.getValue(b, right.dataType.asInstanceOf[ArrayType].elementType, i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double)($getA) * (double)($getB);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -182,9 +214,11 @@ case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
 
 /** All numeric array elements within [lo, hi] — the hot token-domain
   * predicate. One JVM loop per row with early exit; `forall(...)` would pay
-  * per-element lambda interpretation on every token of every row. */
+  * per-element lambda interpretation on every token of every row. Implements
+  * `doGenCode`: the S1 scan projection keeps this check as a primitive loop
+  * inside whole-stage codegen instead of an interpreted-eval island. */
 case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   @transient private lazy val getter: (ArrayData, Int) => Double =
     child.dataType.asInstanceOf[ArrayType].elementType match {
@@ -210,6 +244,29 @@ case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
     }
     true
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val at = child.dataType.asInstanceOf[ArrayType]
+      val getV = CodeGenerator.getValue(arr, at.elementType, i)
+      val nullElem =
+        if (at.containsNull) s"if ($arr.isNullAt($i)) { ${ev.value} = false; break; }"
+        else ""
+      s"""
+         |final int $n = $arr.numElements();
+         |${ev.value} = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullElem
+         |  final double $v = (double)($getV);
+         |  if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)}) {
+         |    ${ev.value} = false;
+         |    break;
+         |  }
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -254,14 +311,18 @@ case class WordShingles(child: Expression, k: Int)
 }
 
 /** Count of positions where two long arrays agree — MinHash signature
-  * agreement (estimated Jaccard numerator). */
+  * agreement (estimated Jaccard numerator). Mismatched lengths yield NULL
+  * (signatures are fixed-width by construction; a mismatch means corrupt
+  * input, not "compare the shorter prefix"). */
 case class LongArrayEqCount(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var c = 0
     var i = 0
     while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }

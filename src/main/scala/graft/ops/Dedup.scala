@@ -13,28 +13,34 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Exact dedup: group by content hash. Two-level signature
-    * (xxhash64 bucket + md5) keeps the shuffle key narrow while making
-    * collisions within a group practically impossible. Returns one row per
-    * duplicate GROUP: (sig, n, keep_id, dup_ids). */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** Exact dedup: group by content hash. Returns one row per duplicate
+    * GROUP: (sig, n, keep_id, dup_ids) where `dup_ids` is CAPPED at
+    * `maxDupIds` (the smallest ids; `n` still counts all copies). The cap is
+    * enforced in the AGGREGATION BUFFER via [[graft.functions.BoundedMinList]]
+    * — not post-hoc on an unbounded collect_list — so a viral document
+    * duplicated 10^8 times costs its reducer O(maxDupIds) memory, not an OOM. */
+  def exact(df: DataFrame, textCol: String, idCol: String, maxDupIds: Int = 100): DataFrame =
     df.select(md5(col(textCol)).as("sig"), col(idCol).as("id"))
       .groupBy("sig")
-      .agg(count(lit(1)).as("n"), min("id").as("keep_id"), collect_list("id").as("ids"))
+      .agg(count(lit(1)).as("n"), min("id").as("keep_id"),
+        // keep_id is always the global min, so it is IN the bounded list;
+        // filtering it out leaves ≤ maxDupIds duplicates, sorted ascending
+        graft.functions.BoundedMinList.bounded_min_list(col("id"), maxDupIds + 1).as("ids"))
       .filter(col("n") > 1)
       .select(col("sig"), col("n"), col("keep_id"),
-        array_sort(filter(col("ids"), _ =!= col("keep_id"))).as("dup_ids"))
+        filter(col("ids"), _ =!= col("keep_id")).as("dup_ids"))
 
   /** The pipeline output form of exact dedup: the corpus with duplicates
-    * dropped, keeping the smallest id per content group. One shuffle keyed by
-    * the content hash; everything else rides along. */
-  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+    * dropped, keeping the smallest id per content group. ONE shuffle keyed by
+    * the content hash, skew-proof: `min_by` partial-aggregates map-side, so a
+    * hot duplicate contributes at most one candidate row per map task —
+    * unlike a `row_number` window, which would serialize every copy of a hot
+    * hash into a single task (the straggler/spill anti-pattern at 100 TB).
+    * `idCol` must uniquely identify rows. */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__sig"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
 
   /** Word-level shingles of size `k`, distinct, lowercased — native
     * single-pass expression (graft.functions.WordShingles). */
@@ -140,18 +146,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram (word) Jaccard similarity for candidate pairs within a
-    * blocking key — the verification stage after LSH, or standalone with a
-    * cheap blocker (e.g. same source+lang). Integer outputs (inter, uni)
-    * alongside the ratio keep it oracle-exact. */
+  /** Exact n-gram (word) Jaccard similarity for pairs within a blocking key —
+    * standalone form with a cheap blocker (e.g. same source+lang). The
+    * block-local self-join is QUADRATIC in block size, so `maxBlock` drops
+    * pathological blocks (same groupBy + broadcast anti-join guard as
+    * minhashLsh's oversized buckets) rather than letting one reducer go
+    * cartesian — at 100 TB a (web, en) block is billions of rows. For
+    * LSH-generated candidates use [[ngramJaccardFor]], which is linear in the
+    * candidate count. Integer outputs (inter, uni) keep it oracle-exact. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[String], shingleK: Int = 1, minJaccard: Double = 0.8): DataFrame = {
+      blockCols: Seq[String], shingleK: Int = 1, minJaccard: Double = 0.8,
+      maxBlock: Int = 10000): DataFrame = {
     val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), shingleK).as("grams")): _*)
-    val l = base.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
-    val r = base.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)
-    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+    val oversized = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock).select(blockCols.map(col): _*)
+    val guarded = base.join(broadcast(oversized), blockCols, "left_anti")
+    val l = guarded.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
+    val r = guarded.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)
+    scorePairs(l.join(r, blockCols).filter(col("id_a") < col("id_b")), minJaccard)
+  }
+
+  /** Exact n-gram Jaccard for a PRE-COMPUTED candidate-pair frame
+    * (id_a, id_b) — the verification stage after [[minhashLsh]] /
+    * [[simhashPairs]]. Linear in |candidates|: two hash joins re-attach the
+    * gram sets, no self-join, no quadratic block risk. */
+  def ngramJaccardFor(df: DataFrame, textCol: String, idCol: String,
+      candidates: DataFrame, shingleK: Int = 1, minJaccard: Double = 0.8): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("grams"))
+    val pairs = candidates.select("id_a", "id_b")
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+    scorePairs(pairs, minJaccard)
+  }
+
+  private def scorePairs(pairs: DataFrame, minJaccard: Double): DataFrame =
+    pairs
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
       // inter >= t*uni (not inter/uni >= t): multiply-form is what the
@@ -160,7 +191,6 @@ object Dedup {
         col("inter").cast(DoubleType) >= lit(minJaccard) * col("uni").cast(DoubleType))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"))
-  }
 
   /** Embedding near-dup: cosine ≥ threshold via LSH candidate buckets (see
     * [[Similarity.cosineLshPairs]]); re-exported here for discoverability. */

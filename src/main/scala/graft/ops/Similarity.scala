@@ -39,15 +39,44 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs brute-force top-k per row within a blocking column — the
-    * exact-verification stage. */
+  /** All-pairs brute-force top-k per row within a blocking column — an
+    * exact-verification UTILITY, quadratic in block size by construction.
+    * `maxBlock` drops pathological blocks (groupBy + broadcast anti-join, the
+    * same guard shape as cosineLshPairs' oversized buckets) so one reducer
+    * never goes cartesian. For the scale path, generate candidates with
+    * [[cosineLshPairs]] and rank with [[topKForCandidates]] instead. */
   def topKPerRow(df: DataFrame, vecCol: String, idCol: String, blockCol: String,
-      k: Int): DataFrame = {
-    val l = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      k: Int, maxBlock: Int = 4096): DataFrame = {
+    val base = df.select(col(blockCol), col(idCol), col(vecCol))
+    val oversized = base.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock).select(col(blockCol))
+    val guarded = base.join(broadcast(oversized), Seq(blockCol), "left_anti")
+    val l = guarded.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = guarded.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(desc("cos"), col("id_b"))
     l.join(r, Seq(blockCol)).filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rn"))
+  }
+
+  /** Top-k per row over a PRE-COMPUTED candidate frame (id_a, id_b) — the
+    * scale path after [[cosineLshPairs]]. Linear in |candidates|: two hash
+    * joins re-attach vectors, one window bounded by per-id candidate counts.
+    * Candidates are treated as undirected: each pair ranks on both sides. */
+  def topKForCandidates(df: DataFrame, vecCol: String, idCol: String,
+      candidates: DataFrame, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val undirected = candidates.select("id_a", "id_b")
+      .union(candidates.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .dropDuplicates("id_a", "id_b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(desc("cos"), col("id_b"))
+    undirected
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

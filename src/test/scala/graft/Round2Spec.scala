@@ -1,0 +1,225 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 additions: additionalItems (ArrayTailRange), string-item checks,
+  * float-enum EPSILON parity, uniqueItems duplicate spans, JSON `type`
+  * conformance, static additionalProperties, bounded dedup aggregation,
+  * guarded/candidate-driven jaccard + topK, ragged-vector null semantics. */
+class Round2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def runSuite(df: org.apache.spark.sql.DataFrame, suite: ConstraintSuite) = {
+    val compiled = suite.compile(df.schema).fold(
+      es => fail(s"suite failed to compile: ${es.map(_.msg).mkString("; ")}"),
+      identity)
+    compiled.run(df)
+  }
+
+  // --- C12 completion: additionalItems (reference schema.rs:727-735) ---
+
+  test("ArrayTailRange: elements past the positional prefix, per-element spans") {
+    val df = Seq(
+      ("a", Seq(999, 5, 6, 7)),   // prefix element unconstrained; tail ok
+      ("b", Seq(999, 5, 60, 7)),  // tail index 2 out of range
+      ("c", Seq(999)),            // no tail -> passes
+      ("d", Seq.empty[Int])
+    ).toDF("doc_id", "xs")
+    val r = runSuite(df, ConstraintSuite("doc_id", Seq(ArrayTailRange("xs", 2, 0, 10))))
+    val v = r.violations.collect().map(x =>
+      (x.getAs[String]("doc_id"), x.getAs[String]("path"), x.getAs[String]("actual")))
+    assert(v.toSet === Set(("b", "xs.2", "60")))
+  }
+
+  test("ArrayTailRange: selfCheck rejects non-numeric element types") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("xs", ArrayType(StringType))))
+    val errs = ConstraintSuite("doc_id", Seq(ArrayTailRange("xs", 2, 0, 10))).compile(schema)
+    assert(errs.isLeft)
+    assert(errs.left.toOption.get.exists(_.isInstanceOf[SuiteError.TypeMismatch]))
+  }
+
+  test("ArrayElemRange: selfCheck rejects array<string> (compile-time, not executor crash)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("xs", ArrayType(StringType))))
+    val errs = ConstraintSuite("doc_id", Seq(ArrayElemRange("xs", 0, 10))).compile(schema)
+    assert(errs.isLeft)
+    assert(errs.left.toOption.get.exists(_.isInstanceOf[SuiteError.TypeMismatch]))
+  }
+
+  // --- string items (items.pattern / items.minLength) ---
+
+  test("ArrayElemPattern: every element matches; per-element spans") {
+    val df = Seq(
+      ("a", Seq("tok_1", "tok_2")),
+      ("b", Seq("tok_1", "BAD"))).toDF("doc_id", "xs")
+    val r = runSuite(df, ConstraintSuite("doc_id", Seq(ArrayElemPattern("xs", "^tok_[0-9]+$"))))
+    val v = r.violations.collect().map(x =>
+      (x.getAs[String]("doc_id"), x.getAs[String]("path"), x.getAs[String]("actual")))
+    assert(v.toSet === Set(("b", "xs.1", "BAD")))
+  }
+
+  test("ArrayElemLength: element char-length bounds") {
+    val df = Seq(("a", Seq("abc", "defg")), ("b", Seq("abc", "x"))).toDF("doc_id", "xs")
+    val r = runSuite(df, ConstraintSuite("doc_id", Seq(ArrayElemLength("xs", Some(2), Some(5)))))
+    val v = r.violations.collect().map(x => (x.getAs[String]("doc_id"), x.getAs[String]("path")))
+    assert(v.toSet === Set(("b", "xs.1")))
+  }
+
+  // --- float-enum EPSILON (reference macros.rs:189) ---
+
+  test("EnumIn epsilon: f64::EPSILON compare for fractional enums") {
+    val eps = 2.220446049250313e-16
+    // 0.1+0.2 is 5.55e-17 above 0.3: exact isin would reject it, the
+    // reference's abs(a-b) < f64::EPSILON accepts it (macros.rs:189)
+    val df = Seq(("a", 0.3), ("b", 0.1 + 0.2), ("c", 0.4)).toDF("doc_id", "x")
+    val exact = runSuite(df, ConstraintSuite("doc_id", Seq(EnumIn("x", Seq(0.3, 0.5)))))
+    assert(exact.violations.select("doc_id").as[String].collect().toSet === Set("b", "c"))
+    val epsed = runSuite(df, ConstraintSuite("doc_id", Seq(EnumIn("x", Seq(0.3, 0.5), epsilon = eps))))
+    assert(epsed.violations.select("doc_id").as[String].collect().toSet === Set("c"))
+  }
+
+  test("EnumIn epsilon: values within epsilon pass, outside fail") {
+    val eps = 1e-9
+    val df = Seq(("a", 1.0), ("b", 1.0 + 1e-10), ("c", 1.1)).toDF("doc_id", "x")
+    val r = runSuite(df, ConstraintSuite("doc_id", Seq(EnumIn("x", Seq(1.0), epsilon = eps))))
+    assert(r.violations.select("doc_id").as[String].collect().toSet === Set("c"))
+  }
+
+  test("EnumIn epsilon: non-numeric enum values rejected at compile") {
+    val schema = StructType(Seq(StructField("doc_id", StringType), StructField("x", DoubleType)))
+    val errs = ConstraintSuite("doc_id", Seq(EnumIn("x", Seq("a"), epsilon = 1e-9))).compile(schema)
+    assert(errs.isLeft)
+  }
+
+  // --- uniqueItems duplicate spans (reference schema.rs:744-752 NotUnique) ---
+
+  test("ArrayUniqueItems: spans carry duplicate index and first-occurrence index") {
+    val df = Seq(("a", Seq(1, 2, 1, 3, 2))).toDF("doc_id", "xs")
+    val r = runSuite(df, ConstraintSuite("doc_id", Seq(ArrayUniqueItems("xs"))))
+    val v = r.violations.collect().map(x =>
+      (x.getAs[String]("path"), x.getAs[String]("bound"), x.getAs[String]("actual")))
+    assert(v.toSet === Set(
+      ("xs.2", "duplicate of xs.0", "1"),
+      ("xs.4", "duplicate of xs.1", "2")))
+  }
+
+  // --- JSON `type` keyword conformance (C1, macros.rs:26-114) ---
+
+  test("JsonTypeIs: static conformance incl. draft-07 type arrays") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n", LongType),
+      StructField("xs", ArrayType(IntegerType))))
+    def errsOf(c: RowConstraint) = ConstraintSuite("doc_id", Seq(c)).compile(schema)
+    assert(errsOf(JsonTypeIs("n", Seq("integer"))).isRight)
+    assert(errsOf(JsonTypeIs("n", Seq("number"))).isRight)
+    assert(errsOf(JsonTypeIs("n", Seq("string"))).isLeft)
+    assert(errsOf(JsonTypeIs("n", Seq("string", "number"))).isRight) // type: ["string","number"]
+    assert(errsOf(JsonTypeIs("xs", Seq("array"))).isRight)
+    assert(errsOf(JsonTypeIs("xs", Seq("integer"), element = true)).isRight)
+    assert(errsOf(JsonTypeIs("xs", Seq("string"), element = true)).isLeft)
+    assert(errsOf(JsonTypeIs("n", Seq("bogus"))).isLeft)
+  }
+
+  test("StructKeysIn: root additionalProperties:false is a compile-time check") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("extra", LongType)))
+    assert(ConstraintSuite("doc_id", Seq(StructKeysIn("", Seq("doc_id", "extra")))).compile(schema).isRight)
+    val bad = ConstraintSuite("doc_id", Seq(StructKeysIn("", Seq("doc_id")))).compile(schema)
+    assert(bad.isLeft)
+    assert(bad.left.toOption.get.exists(_.msg.contains("extra")))
+  }
+
+  // --- ragged-vector null semantics (VecDot / LongArrayEqCount) ---
+
+  test("VecDot / LongArrayEqCount: mismatched lengths yield NULL, not a truncated score") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+    val dots = df.select(graft.functions.VecFunctions.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(dots.toSeq === Seq(Some(11.0), None))
+    val ldf = Seq((Seq(1L, 2L), Seq(1L, 3L)), (Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    val eqs = ldf.select(graft.functions.VecFunctions.long_array_eq_count(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(eqs.toSeq === Seq(Some(1), None))
+  }
+
+  // --- bounded dedup aggregation ---
+
+  test("Dedup.exact: dup_ids bounded by maxDupIds even for a hot duplicate group") {
+    val hot = (1L to 500L).map(i => (i, "same text")) :+ (1000L, "unique")
+    val df = hot.toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id", maxDupIds = 10).collect()
+    assert(got.length === 1)
+    val row = got.head
+    assert(row.getAs[Long]("n") === 500)
+    assert(row.getAs[Long]("keep_id") === 1L)
+    assert(row.getAs[Seq[Long]]("dup_ids") === (2L to 11L)) // 10 smallest dups, sorted
+  }
+
+  test("dropExactDups: min_by keep-one matches the window formulation") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.dropExactDups(df, "text", "doc_id")
+    assert(got.columns.toSeq === df.columns.toSeq) // schema preserved
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet === want)
+  }
+
+  // --- guarded / candidate-driven quadratic stages ---
+
+  test("ngramJaccard: oversized blocks are dropped, not joined quadratically") {
+    val block = (1L to 50L).map(i => (i, "common words here", "big"))
+    val small = Seq((100L, "alpha beta gamma", "sm"), (101L, "alpha beta gamma", "sm"))
+    val df = (block ++ small).toDF("doc_id", "text", "src")
+    val got = Dedup.ngramJaccard(df, "text", "doc_id", Seq("src"), maxBlock = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 101L))) // the 50-row block never produced pairs
+  }
+
+  test("ngramJaccardFor: candidate verification matches the blocked self-join") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "alpha beta gamma delta", "s"),
+      (3L, "totally different words", "s")).toDF("doc_id", "text", "src")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccardFor(df, "text", "doc_id", cands, minJaccard = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("topKForCandidates ranks only within the candidate set") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Similarity.topKForCandidates(df, "embedding", "vec_id", cands, k = 1)
+      .filter(col("id_a") === 1L).select("id_b").as[Long].collect()
+    assert(got.toSeq === Seq(2L))
+  }
+
+  test("topKPerRow: oversized blocks guarded") {
+    val big = (1L to 30L).map(i => (i, Seq(1.0f, 0.0f), "big"))
+    val small = Seq((100L, Seq(1.0f, 0.0f), "sm"), (101L, Seq(0.9f, 0.1f), "sm"))
+    val df = (big ++ small).toDF("vec_id", "embedding", "blk")
+    val got = Similarity.topKPerRow(df, "embedding", "vec_id", "blk", k = 1, maxBlock = 10)
+    assert(got.select("id_a").as[Long].collect().toSet === Set(100L, 101L))
+  }
+
+  // --- checkpoint resume robustness ---
+
+  test("completedBuckets: existing-but-empty checkpoint dir resumes as empty set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-empty").toString
+    assert(Checkpoint.completedBuckets(spark, dir, "run1") === Set.empty[Int])
+  }
+}
