@@ -76,6 +76,27 @@ object SparkEntry {
       val c = ArrayElemAtRange("embedding", 1, -0.3, 0.3)
       ld(s, dir, "embeddings").filter(!c.pred).select(col("vec_id"))
     }),
+    "a_elem_tail" -> ((s, dir) => { // additionalItems analog (C12 tail)
+      val c = ArrayTailRange("embedding", 3, -0.45, 0.45)
+      ld(s, dir, "embeddings").filter(!c.pred).select(col("vec_id"))
+    }),
+    // ---- runtime JSON Schema → engine → violation profile (loader E2E) ----
+    "v_jsonschema" -> ((s, dir) => {
+      val df = ld(s, dir, "documents")
+      val schemaJson =
+        """{"type":"object","required":["doc_id","text"],
+            "properties":{
+              "doc_id":{"type":"integer","minimum":0},
+              "text":{"type":"string","minLength":60,"maxLength":400,"pattern":"[A-Za-z]"},
+              "n_chars":{"minimum":0,"maximum":375},
+              "lang":{"enum":["en","es","fr","de"]},
+              "source":{"type":"string","pattern":"^src[0-9]+$"}}}"""
+      val suite = JsonSchema.parse(schemaJson, "doc_id", tableSchema = Some(df.schema))
+        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+      val compiled = suite.compile(df.schema)
+        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+      compiled.run(df).violations.groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))
+    }),
     // ---- cross-row: uniqueness / referential (SURVEY.md §2.4) ----
     "v_unique" -> ((s, dir) => // agg checks emit native-typed keys; stringify for the oracle
       Unique("l_orderkey").run(ld(s, dir, "lineitem"))
@@ -108,6 +129,12 @@ object SparkEntry {
     "v_drift_ks" -> ((s, dir) => // rows-only: float statistic
       Drift.ks(ld(s, dir, "documents"), "n_chars", "source", 50.0)
         .select(col("source"), col("ks"), col("grp_total"))),
+    // fixed-point variants: per-term rounding makes the statistic
+    // order-independent → oracle-exact (no float summation ambiguity)
+    "v_drift_chi2_fp" -> ((s, dir) =>
+      Drift.chiSquareFixedPoint(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
+    "v_drift_ks_fp" -> ((s, dir) =>
+      Drift.ksFixedPoint(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -273,6 +300,75 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
          WHERE len(embedding) >= 1
            AND NOT (embedding[1] >= -0.3 AND embedding[1] <= 0.3)""",
+    "a_elem_tail" ->
+      """SELECT vec_id FROM embeddings
+         WHERE len(list_filter(embedding[3:], x -> NOT (x >= -0.45 AND x <= 0.45))) > 0""",
+    "v_jsonschema" ->
+      """WITH v AS (
+           SELECT 'nonnull(doc_id)' AS constraint_id, count(*) AS n FROM documents WHERE doc_id IS NULL
+           UNION ALL SELECT 'nonnull(text)', count(*) FROM documents WHERE text IS NULL
+           UNION ALL SELECT 'range(doc_id)', count(*) FROM documents
+             WHERE doc_id IS NOT NULL AND NOT (doc_id >= 0)
+           UNION ALL SELECT 'length(text)', count(*) FROM documents
+             WHERE text IS NOT NULL AND NOT (length(text) >= 60 AND length(text) <= 400)
+           UNION ALL SELECT 'regex(text)', count(*) FROM documents
+             WHERE text IS NOT NULL AND NOT regexp_matches(text, '[A-Za-z]')
+           UNION ALL SELECT 'range(n_chars)', count(*) FROM documents
+             WHERE n_chars IS NOT NULL AND NOT (n_chars >= 0 AND n_chars <= 375)
+           UNION ALL SELECT 'enum(lang)', count(*) FROM documents
+             WHERE lang IS NOT NULL AND lang NOT IN ('en','es','fr','de')
+           UNION ALL SELECT 'regex(source)', count(*) FROM documents
+             WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$'))
+         SELECT constraint_id, CAST(n AS BIGINT) AS n FROM v WHERE n > 0""",
+    "v_drift_chi2_fp" ->
+      """WITH binned AS (
+           SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin
+           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         obs AS (SELECT grp, bin, count(*) AS obs FROM binned GROUP BY grp, bin),
+         gt AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS grp_total FROM obs GROUP BY grp),
+         bt AS (SELECT bin, CAST(sum(obs) AS BIGINT) AS bin_total FROM obs GROUP BY bin),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM obs),
+         cells AS (
+           SELECT gt.grp, gt.grp_total, bt.bin, bt.bin_total,
+                  COALESCE(obs.obs, 0) AS obs, tot.n_total
+           FROM gt CROSS JOIN bt
+           LEFT JOIN obs ON obs.grp = gt.grp AND obs.bin = bt.bin
+           CROSS JOIN tot),
+         terms AS (
+           SELECT grp, grp_total,
+                  CAST(round(CASE
+                    WHEN CAST(grp_total AS DOUBLE) * bin_total / n_total > 0
+                    THEN (obs - CAST(grp_total AS DOUBLE) * bin_total / n_total)
+                       * (obs - CAST(grp_total AS DOUBLE) * bin_total / n_total)
+                       / (CAST(grp_total AS DOUBLE) * bin_total / n_total)
+                    ELSE 0 END * 1000000.0) AS BIGINT) AS term_fp
+           FROM cells)
+         SELECT grp AS source, CAST(sum(term_fp) AS BIGINT) AS chi2_fp, grp_total
+         FROM terms GROUP BY grp, grp_total""",
+    "v_drift_ks_fp" ->
+      """WITH binned AS (
+           SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin
+           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         obs AS (SELECT grp, bin, count(*) AS obs FROM binned GROUP BY grp, bin),
+         gt AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS grp_total FROM obs GROUP BY grp),
+         bt AS (SELECT bin, CAST(sum(obs) AS BIGINT) AS bin_total FROM obs GROUP BY bin),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM obs),
+         cells AS (
+           SELECT gt.grp, gt.grp_total, bt.bin, bt.bin_total,
+                  COALESCE(obs.obs, 0) AS obs, tot.n_total
+           FROM gt CROSS JOIN bt
+           LEFT JOIN obs ON obs.grp = gt.grp AND obs.bin = bt.bin
+           CROSS JOIN tot),
+         cum AS (
+           SELECT grp, grp_total, n_total,
+                  sum(obs) OVER (PARTITION BY grp ORDER BY bin) AS cum_obs,
+                  sum(bin_total) OVER (PARTITION BY grp ORDER BY bin) AS cum_bin
+           FROM cells)
+         SELECT grp AS source,
+                CAST(max(CAST(round(abs(CAST(cum_obs AS DOUBLE) / grp_total
+                  - CAST(cum_bin AS DOUBLE) / n_total) * 1000000.0) AS BIGINT)) AS BIGINT) AS ks_fp,
+                grp_total
+         FROM cum GROUP BY grp, grp_total""",
     "v_ref" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
                 'orphan rows=' || CAST(count(*) AS VARCHAR) AS actual

@@ -67,6 +67,44 @@ object Drift {
       .select(col("grp").as(groupCol), col("ks"), col("grp_total"))
   }
 
+  /** χ² in FIXED POINT: each cell's term is rounded to `scale` decimals and
+    * summed as integers, so the statistic is ORDER-INDEPENDENT and
+    * bit-identical across engines (per-term double arithmetic over integer
+    * counts is deterministic; only the summation order varied). Returns
+    * (groupCol, chi2_fp: Long = round(chi2·scale) summed per term, grp_total). */
+  def chiSquareFixedPoint(df: DataFrame, valueCol: String, groupCol: String,
+      binWidth: Double, scale: Double = 1e6): DataFrame = {
+    cells(df, valueCol, groupCol, binWidth)
+      // grp_total cast FIRST so the product is double (never overflows at
+      // 10^12 rows where a long·long product would)
+      .withColumn("exp", col("grp_total").cast(DoubleType) * col("bin_total") / col("n_total"))
+      .withColumn("term_fp",
+        round(when(col("exp") > 0,
+          (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+          .otherwise(lit(0.0)) * scale).cast(LongType))
+      .groupBy(col("grp"))
+      .agg(sum("term_fp").as("chi2_fp"), first("grp_total").as("grp_total"))
+      .select(col("grp").as(groupCol), col("chi2_fp"), col("grp_total"))
+  }
+
+  /** KS in FIXED POINT: per-cell |CDF_g − CDF_pool| is rounded, then maxed —
+    * round is monotone, so max(round(x)) == round(max(x)) and the result is
+    * oracle-exact. Returns (groupCol, ks_fp: Long, grp_total). */
+  def ksFixedPoint(df: DataFrame, valueCol: String, groupCol: String,
+      binWidth: Double, scale: Double = 1e6): DataFrame = {
+    val c = cells(df, valueCol, groupCol, binWidth)
+    val wGrp = Window.partitionBy("grp").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.withColumn("cum_obs", sum("obs").over(wGrp))
+      .withColumn("cum_bin", sum("bin_total").over(wGrp))
+      .withColumn("diff_fp", round(abs(
+        col("cum_obs").cast(DoubleType) / col("grp_total") -
+          col("cum_bin").cast(DoubleType) / col("n_total")) * scale).cast(LongType))
+      .groupBy(col("grp"))
+      .agg(max("diff_fp").as("ks_fp"), first("grp_total").as("grp_total"))
+      .select(col("grp").as(groupCol), col("ks_fp"), col("grp_total"))
+  }
+
   /** Exact per-(group, bin) histogram — the oracle-friendly building block
     * (integer counts only, no floating point). */
   def histogram(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame =

@@ -1,6 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types.StructType
 import scala.jdk.CollectionConverters._
 
 /** Runtime JSON Schema (draft-07 subset) → [[ConstraintSuite]] loader — the
@@ -14,33 +15,58 @@ import scala.jdk.CollectionConverters._
   *
   * | keyword | constraint |
   * | --- | --- |
+  * | type / ["t1","t2"]     | JsonTypeIs (C1, static) / IsNull for "null" (C23) |
   * | required               | NonNull (C21) |
-  * | minimum/maximum/exclusive* | Range (C4-C7) |
+  * | minimum/maximum/exclusive* | Range (C4-C7; BOTH bounds apply — strictest per side) |
   * | multipleOf             | MultipleOf (C3) |
   * | pattern                | Regex (C8) |
   * | minLength/maxLength    | LengthBounds (C9/C10) |
-  * | enum                   | EnumIn (C2) |
-  * | items.minimum/maximum  | ArrayElemRange (C11) |
-  * | items.enum             | ArrayElemIn (C11) |
+  * | enum / const           | EnumIn (C2; fractional floats ⇒ f64::EPSILON mode, macros.rs:189) |
+  * | items (object form)    | ArrayElemRange / ArrayElemIn / ArrayElemPattern / ArrayElemLength / JsonTypeIs(element) (C11) |
+  * | items (tuple form)     | ArrayElemAtRange per position (C12, schema.rs:718-726) |
+  * | additionalItems        | ArrayTailRange; `false` ⇒ maxItems=prefix (schema.rs:727-735) |
   * | contains.const         | ArrayContainsValue (C13) |
   * | minItems/maxItems      | ArraySizeBounds (C15/C16) |
   * | uniqueItems            | ArrayUniqueItems (C14) |
+  * | properties (nested)    | struct column ⇒ dotted-path recursion; map column ⇒ MapValueRange (C17) |
+  * | patternProperties      | MapValueRange(keyPattern) (C18) |
+  * | additionalProperties:false | struct/root ⇒ StructKeysIn (static); map ⇒ MapKeysIn (C19) |
+  * | propertyNames.pattern  | MapKeyPattern (C20) |
+  * | required (nested)      | struct ⇒ NonNull(dotted); map ⇒ MapRequiredKeys (C21) |
+  * | min/maxProperties      | MapSizeBounds (C22) |
   * | allOf/anyOf/oneOf/not  | All/AnyOf/OneOf/NotC (K1-K3, K5) |
   * | if/then/else           | IfThenElse (K4) |
   * | $ref #/definitions/X   | inline expansion (K6; missing ⇒ MissingDefinition) |
   * | false / true schema    | Never / Always (C24) |
   *
-  * Unknown keywords are IGNORED (JSON Schema semantics: annotations);
-  * unsupported STRUCTURAL features (e.g. non-local $ref) are compile errors,
-  * matching the reference's `ExternalReference` (errors.rs:169-181).
+  * Whether nested object keywords target a STRUCT column (static fields,
+  * dotted-path constraints) or a MAP column (dynamic keys, Map* constraints)
+  * is decided from `tableSchema` when given; without it the loader assumes
+  * dynamic maps (the runtime-schema use case).
+  *
+  * ANNOTATION keywords (title, description, format, …) are ignored per JSON
+  * Schema semantics. Anything STRUCTURAL the engine cannot express is a
+  * compile ERROR, never a silent no-op — matching the reference's
+  * `ExternalReference`-style failure (errors.rs:169-181): an ignored
+  * constraint would silently under-validate.
   */
 object JsonSchema {
 
   private val mapper = new ObjectMapper()
 
+  /** `f64::EPSILON` — the reference's float-enum compare tolerance (macros.rs:189). */
+  val F64Epsilon: Double = 2.220446049250313e-16
+
+  private val annotationKeys = Set(
+    "title", "description", "default", "examples", "$comment", "format",
+    "readOnly", "writeOnly", "deprecated", "$schema", "$id",
+    "contentMediaType", "contentEncoding")
+
   /** Parse a root object schema into a suite keyed by `keyCol`.
-    * All problems are accumulated, reference-style. */
-  def parse(json: String, keyCol: String, nBuckets: Int = 256)
+    * All problems are accumulated, reference-style. `tableSchema` (optional)
+    * routes nested object keywords to struct vs map constraints. */
+  def parse(json: String, keyCol: String, nBuckets: Int = 256,
+      tableSchema: Option[StructType] = None)
       : Either[List[SuiteError], ConstraintSuite] = {
     val root =
       try mapper.readTree(json)
@@ -69,68 +95,269 @@ object JsonSchema {
       }
     }
 
-    /** Compile one property subschema against its column. */
+    def keysOf(n: JsonNode): List[String] =
+      n.properties().asScala.map(_.getKey).toList
+
+    /** Error on structural keywords outside `handled` (annotations pass). */
+    def flagUnsupported(n: JsonNode, handled: Set[String], ctx: String): Unit =
+      keysOf(n).filterNot(handled).filterNot(annotationKeys).foreach { k =>
+        errors += SuiteError.Unsupported(ctx, s"unsupported keyword '$k'")
+      }
+
+    def num(n: JsonNode, k: String): Option[Double] =
+      Option(n.get(k)).filter(_.isNumber).map(_.asDouble())
+    def intOpt(n: JsonNode, k: String): Option[Int] =
+      Option(n.get(k)).filter(_.isNumber).map(_.asInt())
+    def txt(n: JsonNode, k: String): Option[String] =
+      Option(n.get(k)).filter(_.isTextual).map(_.asText())
+
+    /** draft-07: minimum AND exclusiveMinimum apply independently — compile
+      * the single strictest effective bound per side (exclusive wins ties). */
+    def mergedBounds(n: JsonNode): (Option[Double], Boolean, Option[Double], Boolean) = {
+      val lo = num(n, "minimum"); val xlo = num(n, "exclusiveMinimum")
+      val hi = num(n, "maximum"); val xhi = num(n, "exclusiveMaximum")
+      val (minV, minX) = (lo, xlo) match {
+        case (Some(a), Some(b)) => if (b >= a) (Some(b), true) else (Some(a), false)
+        case (Some(a), None) => (Some(a), false)
+        case (None, Some(b)) => (Some(b), true)
+        case (None, None) => (None, false)
+      }
+      val (maxV, maxX) = (hi, xhi) match {
+        case (Some(a), Some(b)) => if (b <= a) (Some(b), true) else (Some(a), false)
+        case (Some(a), None) => (Some(a), false)
+        case (None, Some(b)) => (Some(b), true)
+        case (None, None) => (None, false)
+      }
+      (minV, minX, maxV, maxX)
+    }
+
+    /** Inclusive-normalized bounds for element-domain constraints (which are
+      * inclusive-only): exclusive b ⇒ nextUp/nextDown(b) — exact in the
+      * double domain (`x > b ⇔ x ≥ nextUp(b)` for every double x). */
+    def inclusiveBounds(n: JsonNode): (Option[Double], Option[Double]) = {
+      val (minV, minX, maxV, maxX) = mergedBounds(n)
+      (minV.map(v => if (minX) Math.nextUp(v) else v),
+        maxV.map(v => if (maxX) Math.nextDown(v) else v))
+    }
+
+    def enumValues(e: JsonNode): (Seq[Any], Boolean) = {
+      val values = e.elements().asScala.map { v =>
+        if (v.isTextual) v.asText()
+        else if (v.isIntegralNumber) v.asLong()
+        else if (v.isNumber) v.asDouble()
+        else if (v.isBoolean) v.asBoolean()
+        else v.toString
+      }.toSeq
+      val fractional = values.exists {
+        case d: Double => d != Math.floor(d) || d.isInfinite
+        case _ => false
+      }
+      val allNumeric = values.forall(_.isInstanceOf[Number])
+      (values, fractional && allNumeric)
+    }
+
+    def jsonTypes(n: JsonNode): List[String] =
+      Option(n.get("type")).toList.flatMap { t =>
+        if (t.isTextual) List(t.asText())
+        else if (t.isArray) t.elements().asScala.map(_.asText()).toList
+        else Nil
+      }
+
+    def colKind(colPath: String): String =
+      tableSchema.flatMap(s => Constraints.fieldType(s, colPath)) match {
+        case Some(_: StructType) => "struct"
+        case _ => "map" // dynamic-map default; Map* selfChecks surface mismatches
+      }
+
+    /** Compile one property subschema against its (possibly dotted) column. */
     def compileProp(col: String, node0: JsonNode, depth: Int): List[RowConstraint] = {
       if (node0.isBoolean)
         return if (node0.asBoolean()) Nil else List(Never(s"never($col)"))
       val node = resolve(node0, depth)
       val out = scala.collection.mutable.ListBuffer.empty[RowConstraint]
-      def num(k: String): Option[Double] = Option(node.get(k)).filter(_.isNumber).map(_.asDouble())
-      def intOpt(k: String): Option[Int] = Option(node.get(k)).filter(_.isNumber).map(_.asInt())
-      def txt(k: String): Option[String] = Option(node.get(k)).filter(_.isTextual).map(_.asText())
 
-      // numeric bounds (draft-07: exclusiveMinimum/Maximum are numbers)
-      val lo = num("minimum"); val xlo = num("exclusiveMinimum")
-      val hi = num("maximum"); val xhi = num("exclusiveMaximum")
-      if (lo.isDefined || hi.isDefined || xlo.isDefined || xhi.isDefined)
+      // ---- type (C1): static conformance; lone "null" = per-row IsNull (C23)
+      val types = jsonTypes(node)
+      if (types == List("null")) out += IsNull(col)
+      else if (types.nonEmpty) out += JsonTypeIs(col, types)
+
+      // ---- numeric bounds
+      val (minV, minX, maxV, maxX) = mergedBounds(node)
+      if (minV.isDefined || maxV.isDefined)
         out += Range(col,
-          min = xlo.orElse(lo).getOrElse(Double.NegativeInfinity),
-          max = xhi.orElse(hi).getOrElse(Double.PositiveInfinity),
-          exclusiveMin = xlo.isDefined, exclusiveMax = xhi.isDefined)
-      num("multipleOf").foreach(m => out += MultipleOf(col, m))
-      txt("pattern").foreach(p => out += Regex(col, p))
-      val minL = intOpt("minLength"); val maxL = intOpt("maxLength")
+          min = minV.getOrElse(Double.NegativeInfinity),
+          max = maxV.getOrElse(Double.PositiveInfinity),
+          exclusiveMin = minX, exclusiveMax = maxX)
+      num(node, "multipleOf").foreach(m => out += MultipleOf(col, m))
+      txt(node, "pattern").foreach(p => out += Regex(col, p))
+      val minL = intOpt(node, "minLength"); val maxL = intOpt(node, "maxLength")
       if (minL.isDefined || maxL.isDefined) out += LengthBounds(col, minL, maxL)
+
+      // ---- const / enum (fractional float enums ⇒ EPSILON compare)
       Option(node.get("enum")).filter(_.isArray).foreach { e =>
-        val values = e.elements().asScala.map { v =>
-          if (v.isTextual) v.asText()
-          else if (v.isIntegralNumber) v.asLong()
-          else if (v.isNumber) v.asDouble()
-          else if (v.isBoolean) v.asBoolean()
-          else v.toString
-        }.toSeq
-        out += EnumIn(col, values)
+        val (values, eps) = enumValues(e)
+        out += EnumIn(col, values, epsilon = if (eps) F64Epsilon else 0.0)
       }
-      // arrays
+      Option(node.get("const")).foreach { c =>
+        val (values, eps) = enumValues(mapper.createArrayNode().add(c.deepCopy[JsonNode]()))
+        out += EnumIn(col, values, epsilon = if (eps) F64Epsilon else 0.0)
+      }
+
+      // ---- arrays
       Option(node.get("items")).foreach { it =>
-        val itR = if (it.isBoolean) it else resolve(it, depth)
-        if (!itR.isBoolean) {
-          val elo = Option(itR.get("minimum")).filter(_.isNumber).map(_.asDouble())
-          val ehi = Option(itR.get("maximum")).filter(_.isNumber).map(_.asDouble())
-          if (elo.isDefined || ehi.isDefined)
-            out += ArrayElemRange(col, elo.getOrElse(Double.NegativeInfinity),
-              ehi.getOrElse(Double.PositiveInfinity))
-          Option(itR.get("enum")).filter(_.isArray).foreach { e =>
-            val values = e.elements().asScala.map(v =>
-              if (v.isTextual) v.asText()
-              else if (v.isIntegralNumber) v.asLong()
-              else v.asDouble()).toSeq
-            out += ArrayElemIn(col, values)
+        if (it.isArray) {
+          // tuple form (C12): per-position bounds; one Catalyst element type
+          // per array, so positional TYPE checks collapse to the element type
+          val subs = it.elements().asScala.toList
+          subs.zipWithIndex.foreach { case (s0, i) =>
+            val s = if (s0.isBoolean) s0 else resolve(s0, depth)
+            if (s.isBoolean) {
+              if (!s.asBoolean())
+                errors += SuiteError.Unsupported(s"$col.items[$i]", "false positional schema")
+            } else {
+              val (lo, hi) = inclusiveBounds(s)
+              if (lo.isDefined || hi.isDefined)
+                out += ArrayElemAtRange(col, i + 1,
+                  lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+              flagUnsupported(s, Set("minimum", "maximum", "exclusiveMinimum",
+                "exclusiveMaximum", "type"), s"$col.items[$i]")
+            }
           }
+          Option(node.get("additionalItems")).foreach { ai =>
+            if (ai.isBoolean) {
+              if (!ai.asBoolean()) out += ArraySizeBounds(col, None, Some(subs.length))
+            } else {
+              val aiR = resolve(ai, depth)
+              val (lo, hi) = inclusiveBounds(aiR)
+              if (lo.isDefined || hi.isDefined)
+                out += ArrayTailRange(col, subs.length + 1,
+                  lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+              flagUnsupported(aiR, Set("minimum", "maximum", "exclusiveMinimum",
+                "exclusiveMaximum", "type"), s"$col.additionalItems")
+            }
+          }
+        } else if (it.isBoolean) {
+          if (!it.asBoolean()) out += ArraySizeBounds(col, None, Some(0)) // items:false ⇒ only []
+        } else {
+          val itR = resolve(it, depth)
+          val itTypes = jsonTypes(itR)
+          if (itTypes.nonEmpty) out += JsonTypeIs(col, itTypes, element = true)
+          val (lo, hi) = inclusiveBounds(itR)
+          if (lo.isDefined || hi.isDefined)
+            out += ArrayElemRange(col,
+              lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+          Option(itR.get("enum")).filter(_.isArray).foreach { e =>
+            out += ArrayElemIn(col, enumValues(e)._1)
+          }
+          txt(itR, "pattern").foreach(p => out += ArrayElemPattern(col, p))
+          val eMinL = intOpt(itR, "minLength"); val eMaxL = intOpt(itR, "maxLength")
+          if (eMinL.isDefined || eMaxL.isDefined) out += ArrayElemLength(col, eMinL, eMaxL)
+          flagUnsupported(itR, Set("type", "minimum", "maximum", "exclusiveMinimum",
+            "exclusiveMaximum", "enum", "pattern", "minLength", "maxLength"), s"$col.items")
         }
       }
-      Option(node.get("contains")).flatMap(c => Option(c.get("const"))).foreach { cst =>
-        val v: Any =
-          if (cst.isTextual) cst.asText()
-          else if (cst.isIntegralNumber) cst.asLong()
-          else cst.asDouble()
-        out += ArrayContainsValue(col, v)
+      if (node.has("additionalItems") && !Option(node.get("items")).exists(_.isArray)) {
+        // draft-07: additionalItems is meaningful only with tuple-form items;
+        // elsewhere it is an annotation — ignore, don't error
       }
-      val minI = intOpt("minItems"); val maxI = intOpt("maxItems")
+      Option(node.get("contains")).foreach { c =>
+        Option(c.get("const")) match {
+          case Some(cst) =>
+            val v: Any =
+              if (cst.isTextual) cst.asText()
+              else if (cst.isIntegralNumber) cst.asLong()
+              else cst.asDouble()
+            out += ArrayContainsValue(col, v)
+          case None =>
+            // an unexpressible `contains` would silently under-validate
+            errors += SuiteError.Unsupported(s"$col.contains",
+              "only contains.const is supported")
+        }
+      }
+      val minI = intOpt(node, "minItems"); val maxI = intOpt(node, "maxItems")
       if (minI.isDefined || maxI.isDefined) out += ArraySizeBounds(col, minI, maxI)
       if (Option(node.get("uniqueItems")).exists(_.asBoolean(false)))
         out += ArrayUniqueItems(col)
-      // combinators (per property, same column)
+
+      // ---- nested object keywords: struct column ⇒ static/dotted, else map
+      val objProps: List[(String, JsonNode)] =
+        Option(node.get("properties"))
+          .map(p => p.properties().asScala.map(e => e.getKey -> e.getValue).toList)
+          .getOrElse(Nil)
+      val nestedRequired: List[String] =
+        Option(node.get("required")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil)
+      val hasObjKeywords = objProps.nonEmpty || nestedRequired.nonEmpty ||
+        node.has("patternProperties") || node.has("additionalProperties") ||
+        node.has("propertyNames") || node.has("minProperties") || node.has("maxProperties")
+      if (hasObjKeywords) colKind(col) match {
+        case "struct" =>
+          // static fields: recurse with dotted paths (fieldType walks structs)
+          objProps.foreach { case (k, sub) => out ++= compileProp(s"$col.$k", sub, depth + 1) }
+          nestedRequired.foreach(k => out += NonNull(s"$col.$k"))
+          Option(node.get("additionalProperties")).foreach { ap =>
+            if (ap.isBoolean && !ap.asBoolean())
+              out += StructKeysIn(col, objProps.map(_._1))
+            else if (!ap.isBoolean)
+              errors += SuiteError.Unsupported(s"$col.additionalProperties",
+                "schema-form additionalProperties on a struct column")
+          }
+          List("patternProperties", "propertyNames", "minProperties", "maxProperties")
+            .filter(node.has).foreach(k =>
+              errors += SuiteError.Unsupported(s"$col.$k",
+                "dynamic-key keyword on a STRUCT column (fields are static)"))
+        case _ => // dynamic map
+          objProps.foreach { case (k, sub) =>
+            val subR = if (sub.isBoolean) sub else resolve(sub, depth)
+            if (!subR.isBoolean) {
+              val (lo, hi) = inclusiveBounds(subR)
+              if (lo.isDefined || hi.isDefined)
+                out += MapValueRange(col, "^" + java.util.regex.Pattern.quote(k) + "$",
+                  lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+              // map values share ONE Catalyst type: per-key `type` is checked
+              // table-wide by MapValueRange's selfCheck; others are inexpressible
+              flagUnsupported(subR, Set("minimum", "maximum", "exclusiveMinimum",
+                "exclusiveMaximum", "type"), s"$col.properties.$k")
+            } else if (!subR.asBoolean())
+              errors += SuiteError.Unsupported(s"$col.properties.$k", "false property schema")
+          }
+          if (nestedRequired.nonEmpty) out += MapRequiredKeys(col, nestedRequired)
+          Option(node.get("additionalProperties")).foreach { ap =>
+            if (ap.isBoolean) {
+              if (!ap.asBoolean()) {
+                if (objProps.nonEmpty) out += MapKeysIn(col, objProps.map(_._1))
+                else errors += SuiteError.Unsupported(s"$col.additionalProperties",
+                  "additionalProperties:false with no properties declared")
+              }
+            } else errors += SuiteError.Unsupported(s"$col.additionalProperties",
+              "schema-form additionalProperties (applies to unmatched keys only)")
+          }
+          Option(node.get("patternProperties")).foreach { pp =>
+            pp.properties().asScala.foreach { e =>
+              val sub = if (e.getValue.isBoolean) e.getValue else resolve(e.getValue, depth)
+              if (!sub.isBoolean) {
+                val (lo, hi) = inclusiveBounds(sub)
+                if (lo.isDefined || hi.isDefined)
+                  out += MapValueRange(col, e.getKey,
+                    lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+                flagUnsupported(sub, Set("minimum", "maximum", "exclusiveMinimum",
+                  "exclusiveMaximum", "type"), s"$col.patternProperties.${e.getKey}")
+              }
+            }
+          }
+          Option(node.get("propertyNames")).foreach { pn =>
+            txt(pn, "pattern") match {
+              case Some(p) => out += MapKeyPattern(col, p)
+              case None => errors += SuiteError.Unsupported(s"$col.propertyNames",
+                "only propertyNames.pattern is supported")
+            }
+            flagUnsupported(pn, Set("pattern", "type"), s"$col.propertyNames")
+          }
+          val minP = intOpt(node, "minProperties"); val maxP = intOpt(node, "maxProperties")
+          if (minP.isDefined || maxP.isDefined) out += MapSizeBounds(col, minP, maxP)
+      }
+
+      // ---- combinators (per property, same column)
       def subList(k: String): List[List[RowConstraint]] =
         Option(node.get(k)).filter(_.isArray).map(_.elements().asScala.toList
           .map(n => compileProp(col, n, depth + 1))).getOrElse(Nil)
@@ -150,6 +377,15 @@ object JsonSchema {
           All(col + ".then", compileProp(col, t, depth + 1)),
           e.map(x => All(col + ".else", compileProp(col, x, depth + 1))))
       }
+      // structural keywords nobody above handled (e.g. dependencies) are
+      // ERRORS, not silent no-ops
+      flagUnsupported(node, Set("type", "minimum", "maximum", "exclusiveMinimum",
+        "exclusiveMaximum", "multipleOf", "pattern", "minLength", "maxLength",
+        "enum", "const", "items", "additionalItems", "contains", "minItems",
+        "maxItems", "uniqueItems", "properties", "patternProperties",
+        "additionalProperties", "propertyNames", "minProperties", "maxProperties",
+        "required", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "$ref", "definitions"), col)
       out.toList
     }
 
@@ -163,8 +399,21 @@ object JsonSchema {
     val required: Set[String] = Option(rootR.get("required")).filter(_.isArray)
       .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
 
+    // root additionalProperties:false — UnknownProperty decided statically
+    // against the table schema (C19 at root; reference raises it per value)
+    val rootKeys: List[RowConstraint] =
+      Option(rootR.get("additionalProperties")) match {
+        case Some(ap) if ap.isBoolean && !ap.asBoolean() =>
+          List(StructKeysIn("", props.map(_._1)))
+        case Some(ap) if !ap.isBoolean =>
+          errors += SuiteError.Unsupported("additionalProperties",
+            "schema-form additionalProperties at root"); Nil
+        case _ => Nil
+      }
+
     val checks: List[RowConstraint] =
       required.toList.sorted.map(NonNull(_)) ++
+        rootKeys ++
         props.flatMap { case (col, sub) => compileProp(col, sub, 0) }
 
     if (errors.nonEmpty) Left(errors.toList)

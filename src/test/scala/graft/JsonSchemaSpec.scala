@@ -105,4 +105,150 @@ class JsonSchemaSpec extends SparkSpec {
     assert(JsonSchema.parse("{not json", "k").isLeft)
     assert(JsonSchema.parse("""{"type":"object"}""", "k").isLeft)
   }
+
+  // ------------------------------------------------------------------
+  // round 2: type keyword, object keywords, tuple items, strictness
+  // ------------------------------------------------------------------
+
+  test("type keyword compiles to static conformance (C1, macros.rs:26-114)") {
+    val s = """{"type":"object","properties":{"doc_id":{"type":"integer"}}}"""
+    val suite = JsonSchema.parse(s, "doc_id").toOption.get
+    val es = suite.compile(df.schema).left.toOption.get // doc_id is string
+    assert(es.exists { case SuiteError.TypeMismatch("doc_id", "integer", _, _) => true; case _ => false })
+
+    val ok = """{"type":"object","properties":{"n_tok":{"type":"integer"},
+                 "doc_id":{"type":["string","null"]},
+                 "tokens":{"type":"array","items":{"type":"integer"}}}}"""
+    assert(JsonSchema.parse(ok, "doc_id").toOption.get.compile(df.schema).isRight)
+
+    val badElem = """{"type":"object","properties":{"tokens":{"items":{"type":"string"}}}}"""
+    assert(JsonSchema.parse(badElem, "doc_id").toOption.get.compile(df.schema).isLeft)
+  }
+
+  test("minimum AND exclusiveMinimum both apply (strictest per side, draft-07)") {
+    // minimum=5 + exclusiveMinimum=3 must reject 3<x<5 (x>=5 is the
+    // effective bound); the old orElse kept only '>3'
+    val s = """{"type":"object","properties":{"n_tok":{"minimum":5,"exclusiveMinimum":3}}}"""
+    val compiled = JsonSchema.parse(s, "doc_id").toOption.get.compile(df.schema).toOption.get
+    val data = Seq(("a", 4), ("b", 5), ("c", 2)).toDF("doc_id", "n_tok")
+    val bad = compiled.run(data).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("a", "c"))
+    // exclusive wins when it is the stricter one
+    val s2 = """{"type":"object","properties":{"n_tok":{"minimum":3,"exclusiveMinimum":5}}}"""
+    val c2 = JsonSchema.parse(s2, "doc_id").toOption.get.compile(df.schema).toOption.get
+    val bad2 = c2.run(Seq(("a", 5), ("b", 6)).toDF("doc_id", "n_tok"))
+      .violations.select("doc_id").as[String].collect().toSet
+    assert(bad2 === Set("a")) // 5 fails '>5'
+  }
+
+  test("tuple-form items + additionalItems (C12, schema.rs:718-735)") {
+    val s = """{"type":"object","properties":{"tokens":{
+                 "items":[{"minimum":0,"maximum":9},{"minimum":0,"maximum":9}],
+                 "additionalItems":{"minimum":0,"maximum":50}}}}"""
+    val compiled = JsonSchema.parse(s, "doc_id").toOption.get.compile(df.schema).toOption.get
+    val data = Seq(
+      ("a", Seq(1, 2, 30, 40)),  // ok: prefix in 0-9, tail in 0-50
+      ("b", Seq(10, 2, 30)),     // pos 1 out of prefix range
+      ("c", Seq(1, 2, 99))       // tail out of range
+    ).toDF("doc_id", "tokens")
+    val v = compiled.run(data).violations.collect()
+      .map(x => (x.getAs[String]("doc_id"), x.getAs[String]("constraint_id"), x.getAs[String]("path")))
+    assert(v.toSet === Set(
+      ("b", "elemAt(tokens.1)", "tokens.0"),
+      ("c", "elemTail(tokens.3+)", "tokens.2")))
+
+    // additionalItems:false = no elements past the prefix
+    val sf = """{"type":"object","properties":{"tokens":{
+                  "items":[{"minimum":0}],"additionalItems":false}}}"""
+    val cf = JsonSchema.parse(sf, "doc_id").toOption.get.compile(df.schema).toOption.get
+    val badLen = cf.run(Seq(("a", Seq(1)), ("b", Seq(1, 2))).toDF("doc_id", "tokens"))
+      .violations.select("doc_id").as[String].collect().toSet
+    assert(badLen === Set("b"))
+  }
+
+  test("unsupported structural keywords error instead of silently under-validating") {
+    // contains without const (reference evaluates full subschemas; we cannot)
+    val c = """{"type":"object","properties":{"tokens":{"contains":{"minimum":3}}}}"""
+    assert(JsonSchema.parse(c, "doc_id").isLeft)
+    // unhandled keyword inside items
+    val i = """{"type":"object","properties":{"tokens":{"items":{"multipleOf":2}}}}"""
+    assert(JsonSchema.parse(i, "doc_id").isLeft)
+    // dependencies at the property level
+    val d = """{"type":"object","properties":{"n_tok":{"dependencies":{"a":["b"]}}}}"""
+    assert(JsonSchema.parse(d, "doc_id").isLeft)
+    // annotations stay ignored
+    val a = """{"type":"object","properties":{"n_tok":{"title":"x","description":"y","format":"int32"}}}"""
+    assert(JsonSchema.parse(a, "doc_id").isRight)
+  }
+
+  test("fractional float enums load in EPSILON mode (macros.rs:189)") {
+    val s = """{"type":"object","properties":{"score":{"enum":[0.3, 0.5]}}}"""
+    val data = Seq(("a", 0.1 + 0.2), ("b", 0.4)).toDF("doc_id", "score")
+    val compiled = JsonSchema.parse(s, "doc_id").toOption.get.compile(data.schema).toOption.get
+    val bad = compiled.run(data).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("b")) // 0.1+0.2 ≈ 0.3 within f64::EPSILON
+  }
+
+  test("object keywords on a MAP column compile to Map* constraints (C17-C22)") {
+    val s = """{"type":"object","properties":{"props":{
+                 "type":"object",
+                 "required":["num_a"],
+                 "properties":{"num_a":{"minimum":0,"maximum":10}},
+                 "patternProperties":{"^pct_":{"minimum":0,"maximum":100}},
+                 "propertyNames":{"pattern":"^[a-z_]+$"},
+                 "maxProperties":3}}}"""
+    val data = Seq(
+      ("ok", Map("num_a" -> 5.0, "pct_x" -> 50.0)),
+      ("badv", Map("num_a" -> 50.0)),
+      ("missing", Map("pct_x" -> 500.0)),
+      ("badkey", Map("num_a" -> 1.0, "BAD" -> 1.0))
+    ).toDF("doc_id", "props")
+    val compiled = JsonSchema.parse(s, "doc_id").toOption.get.compile(data.schema).toOption.get
+    val v = compiled.run(data).violations.collect()
+      .map(x => (x.getAs[String]("doc_id"), x.getAs[String]("constraint_id")))
+    assert(v.toSet === Set(
+      ("badv", "mapValueRange(props:^\\Qnum_a\\E$)"),
+      ("missing", "mapRequired(props)"),
+      ("missing", "mapValueRange(props:^pct_)"),
+      ("badkey", "mapKeyPattern(props)")))
+  }
+
+  test("object keywords on a STRUCT column recurse with dotted paths (test_verify port)") {
+    // adapts verify/tests/schemars.rs:38-105 to the typed-table world:
+    // nested properties/required walk the struct; additionalProperties:false
+    // and type mismatches are COMPILE errors (schemas are table-wide)
+    val data = Seq(
+      ("a", Inner(1.0, Seq("x", "yy"))),
+      ("b", Inner(9.9, Seq("x", "yy", "zzz"))), // enum miss + maxItems
+      ("c", Inner(2.5, null))                   // required inner_values missing
+    ).toDF("doc_id", "some_inner")
+    val s = """{"type":"object","properties":{"some_inner":{
+                 "type":"object",
+                 "required":["inner_values","inner_value"],
+                 "properties":{
+                   "inner_values":{"type":"array","maxItems":2,"items":{"type":"string"}},
+                   "inner_value":{"enum":[1.0, 2.5]}}}}}"""
+    val suite = JsonSchema.parse(s, "doc_id", tableSchema = Some(data.schema)).toOption.get
+    val compiled = suite.compile(data.schema).toOption.get
+    val v = compiled.run(data).violations.collect()
+      .map(x => (x.getAs[String]("doc_id"), x.getAs[String]("constraint_id")))
+    assert(v.toSet === Set(
+      ("b", "enum(some_inner.inner_value)"),
+      ("b", "sizeBounds(some_inner.inner_values)"),
+      ("c", "nonnull(some_inner.inner_values)")))
+
+    // the reference's unexpected_property / wrong-type / missing-required
+    // trio surfaces at COMPILE time here
+    val strict = """{"type":"object","additionalProperties":false,
+                    "required":["some_int"],
+                    "properties":{"doc_id":{"type":"boolean"}}}"""
+    val es = JsonSchema.parse(strict, "doc_id", tableSchema = Some(data.schema))
+      .toOption.get.compile(data.schema).left.toOption.get
+    assert(es.exists(_.msg.contains("some_int")))            // RequiredProperty analog
+    assert(es.exists(_.msg.contains("some_inner")))          // UnknownProperty analog
+    assert(es.exists { case SuiteError.TypeMismatch("doc_id", "boolean", _, _) => true; case _ => false })
+  }
 }
+
+/** Struct fixture for the nested-properties (test_verify) port. */
+case class Inner(inner_value: Double, inner_values: Seq[String])
