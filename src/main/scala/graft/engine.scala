@@ -21,8 +21,15 @@ final case class ValidationResult(
   *
   * Execution model (SURVEY.md §3.4 / §4.3):
   *  - S1 (narrow, no shuffle): one wide `select` evaluates every row-local
-  *    predicate + violation constructor inside whole-stage codegen, plus the
-  *    stable bucket id `pmod(xxhash64(key), nBuckets)`.
+  *    PREDICATE (boolean flags) plus the stable bucket id
+  *    `pmod(xxhash64(key), nBuckets)`. Violation CONSTRUCTORS (per-element
+  *    spans via higher-order functions, which are CodegenFallback) are NOT
+  *    in this projection — they would evict the whole stage from whole-stage
+  *    codegen, making every clean row pay interpreted evaluation. They live
+  *    in a second projection gated behind `filter(!allOk)`, so span
+  *    construction is pay-per-defect at the PLAN level: the scan + flags
+  *    stage stays codegen'd and only failing rows reach the interpreted
+  *    span expressions.
   *  - per-bucket report: one two-phase hash aggregation keyed by bucket.
   *  - S2/S3: each AggConstraint contributes its own shuffle (uniqueness
   *    groupBy / referential anti-join / drift agg); results union in.
@@ -39,34 +46,44 @@ final case class CompiledSuite(
   import Constraints._
 
   val BUCKET = "__bucket"
-  val VIOS = "__vios"
   private def okCol(i: Int) = s"__ok_$i"
 
   def bucketOf(key: Column): Column = pmod(xxhash64(key), lit(nBuckets.toLong)).cast(IntegerType)
 
-  /** S1: the single-pass projection. Adds bucket id, one boolean per check,
-    * and the concatenated violation array (accumulate-all-errors: every
-    * check contributes independently, reference errors.rs:411-415). */
+  /** All row-local flags pass (defined over an annotated frame). */
+  private[graft] def allOkCol: Column =
+    rowChecks.indices.map(i => col(okCol(i))).reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Concatenated violation array (accumulate-all-errors: every check
+    * contributes independently, reference errors.rs:411-415). References the
+    * ORIGINAL input columns, so it can be evaluated over any frame that
+    * retains them — the defect-only frame in [[rowViolations]]. */
+  private[graft] def viosOf: Column =
+    rowChecks.map(_.vios).reduceOption(concat(_, _)).getOrElse(noVios)
+
+  /** S1: the single-pass projection — bucket id + one boolean per check.
+    * Deliberately flags-only: predicates are codegen-able (custom
+    * expressions implement doGenCode), so this stage stays inside
+    * whole-stage codegen; span constructors would evict it (see class doc). */
   def annotate(df: DataFrame): DataFrame = {
     val flags = rowChecks.zipWithIndex.map { case (c, i) =>
       coalesce(c.pred, lit(false)).as(okCol(i))
     }
-    val vios = rowChecks.map(_.vios).reduceOption(concat(_, _)).getOrElse(noVios)
     df.select(
       (df.columns.map(col).toSeq :+
         bucketOf(col(keyCol)).as(BUCKET)) ++
-        flags :+
-        vios.as(VIOS): _*)
+        flags: _*)
   }
 
   /** Row-local violations with key + bucket attached, one row per violation
-    * entry. Only failing rows carry non-empty arrays, so the explode is
-    * proportional to the defect rate, not the corpus (SURVEY.md §7.4). */
+    * entry. The violation-array expressions run ONLY on rows that failed at
+    * least one flag, so span construction (interpreted HOFs) is proportional
+    * to the defect rate, not the corpus (SURVEY.md §7.4). */
   def rowViolations(annotated: DataFrame): DataFrame =
     annotated
-      .filter(size(col(VIOS)) > 0)
+      .filter(!allOkCol)
       .select(col(keyCol).cast(StringType).as("doc_id"), col(BUCKET).as("bucket_id"),
-        explode(col(VIOS)).as("v"))
+        explode(viosOf).as("v"))
       .select(
         col("v.constraint_id"), col("v.path"), col("v.bound"), col("v.actual"),
         col("doc_id"), col("bucket_id"))

