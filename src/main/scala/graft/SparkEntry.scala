@@ -135,6 +135,9 @@ object SparkEntry {
       Drift.chiSquareFixedPoint(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
     "v_drift_ks_fp" -> ((s, dir) =>
       Drift.ksFixedPoint(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
+    "v_drift_psi" -> ((s, dir) => // rows-only: ln() statistic
+      Drift.psi(ld(s, dir, "documents"), "n_chars", "source", 50.0)
+        .select(col("source"), col("psi"), col("grp_total"))),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -196,6 +199,15 @@ object SparkEntry {
     "s_ann_lsh" -> ((s, dir) => // rows-only: LSH-bucketed scale path
       Similarity.cosineLshPairs(ld(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, bands = 8, planesPerBand = 4)),
+    "s_ann_ivf" -> ((s, dir) => { // rows-only: float cosine (IVF probe path)
+      val e = ld(s, dir, "embeddings")
+      val model = Ivf.train(e, "embedding", nlist = 8, iters = 2)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      Ivf.searchTopK(Ivf.index(e.filter(col("vec_id") =!= 0), "embedding", model),
+        "embedding", "vec_id", model, q, k = 10, nprobe = 3)
+        .select("vec_id", "list_id")
+    }),
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) =>
       ld(s, dir, "documents").select(

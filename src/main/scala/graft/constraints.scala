@@ -993,6 +993,26 @@ final case class DriftChiSquare(valueCol: String, groupCol: String, binWidth: Do
   }
 }
 
+/** Drift via Population Stability Index per group vs pooled (the industry-
+  * standard monitoring statistic; >0.25 conventionally = shifted). */
+final case class DriftPSI(valueCol: String, groupCol: String, binWidth: Double,
+    threshold: Double = 0.25) extends AggConstraint {
+  val id = s"driftPSI($valueCol by $groupCol)"
+  def selfCheck(s: StructType) =
+    Constraints.requireNumeric(s, valueCol, id) ++ Constraints.requireCol(s, groupCol, id) ++
+      (if (binWidth <= 0) List(SuiteError.Unsupported(id, s"binWidth=$binWidth")) else Nil)
+  def run(df: DataFrame): DataFrame = {
+    val stats = Drift.psi(df, valueCol, groupCol, binWidth)
+    stats.filter(org.apache.spark.sql.functions.col("psi") > threshold)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(valueCol).as("path"),
+        lit(s"psi <= $threshold vs pooled").as("bound"),
+        concat(lit("psi="), org.apache.spark.sql.functions.col("psi").cast(StringType)).as("actual"),
+        org.apache.spark.sql.functions.col(groupCol).as("key"))
+  }
+}
+
 /** Drift via two-sample Kolmogorov–Smirnov on binned CDFs per group vs pooled. */
 final case class DriftKS(valueCol: String, groupCol: String, binWidth: Double,
     threshold: Double) extends AggConstraint {

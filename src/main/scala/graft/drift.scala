@@ -105,6 +105,22 @@ object Drift {
       .select(col("grp").as(groupCol), col("ks_fp"), col("grp_total"))
   }
 
+  /** Population Stability Index per group vs the pooled distribution:
+    * psi(g) = Σ_bins (p_g − p_pool)·ln(p_g / p_pool), probabilities floored
+    * at `minP` (standard smoothing so empty cells contribute finitely).
+    * Common thresholds: <0.1 stable, 0.1–0.25 moderate, >0.25 shifted.
+    * Same scale shape as χ²: one fact-table agg, then ≤ groups×bins algebra. */
+  def psi(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double,
+      minP: Double = 1e-6): DataFrame = {
+    cells(df, valueCol, groupCol, binWidth)
+      .withColumn("p_g", greatest(col("obs").cast(DoubleType) / col("grp_total"), lit(minP)))
+      .withColumn("p_pool", greatest(col("bin_total").cast(DoubleType) / col("n_total"), lit(minP)))
+      .withColumn("term", (col("p_g") - col("p_pool")) * log(col("p_g") / col("p_pool")))
+      .groupBy(col("grp"))
+      .agg(sum("term").as("psi"), first("grp_total").as("grp_total"))
+      .select(col("grp").as(groupCol), col("psi"), col("grp_total"))
+  }
+
   /** Exact per-(group, bin) histogram — the oracle-friendly building block
     * (integer counts only, no floating point). */
   def histogram(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame =

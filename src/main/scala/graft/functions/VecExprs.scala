@@ -332,6 +332,35 @@ case class LongArrayEqCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Index of the nearest centroid (squared L2, ties → lowest index) — the IVF
+  * coarse-quantizer assignment. Centroids ship inside the expression (they
+  * are the trained model, nlist×dim doubles — a few KB), so assignment is one
+  * narrow codegen-stage-friendly pass with no join. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "NearestCentroid requires >= 1 centroid")
+  override def dataType: DataType = IntegerType
+  @transient private lazy val get = VecGetter.forType(child.dataType)
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(dim, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = get(x, i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers. */
 object VecFunctions {
   import org.apache.spark.sql.GraftShim
@@ -350,4 +379,6 @@ object VecFunctions {
   def array_all_in_range(a: Column, lo: Double, hi: Double): Column =
     c(ArrayAllInRange(e(a), lo, hi))
   def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    c(NearestCentroid(e(vec), centroids))
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest neighbor — the index-backed scale
+  * path next to [[Similarity.cosineLshPairs]]: a coarse k-means quantizer
+  * splits the corpus into `nlist` lists; a query probes only its `nprobe`
+  * nearest lists, scanning ~nprobe/nlist of the data instead of all of it.
+  *
+  * Scale shape:
+  *  - TRAIN is a few linear passes: assignment is one narrow projection
+  *    (centroids ride inside a custom expression, no join); the centroid
+  *    update is a (list, dim)-keyed aggregation — map-side combinable, at
+  *    most nlist×dim result rows regardless of corpus size. Sums use
+  *    FIXED-POINT longs, so trained centroids are bit-identical at any
+  *    parallelism (double sums would depend on partition order).
+  *  - INDEX is one projection; persist it partitioned/bucketed by `list_id`
+  *    so a probe becomes partition pruning at the source.
+  *  - SEARCH broadcasts nothing and shuffles nothing: filter on
+  *    `list_id ∈ probes` (pushdown-able) + TakeOrderedAndProject top-k.
+  *
+  * Determinism: init picks the `nlist` rows with smallest `xxhash64(vec)` —
+  * no driver randomness; Lloyd iterations are a fixed count.
+  */
+object Ivf {
+
+  /** Trained coarse quantizer: `centroids(i)` is list i's center. */
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+    /** nprobe nearest list ids to a query vector (driver-side, tiny). */
+    def probesFor(query: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(c.length, query.length)
+        while (j < n) { val t = query(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(math.max(1, nprobe)).map(_._2).toSeq
+  }
+
+  private val FpScale = 1L << 20 // fixed-point scale for parallelism-independent sums
+
+  /** Assignment column for a vector column given trained centroids. */
+  def listIdOf(vec: Column, model: Model): Column =
+    graft.functions.VecFunctions.nearest_centroid(vec, model.centroids)
+
+  /** Train `nlist` centroids with `iters` Lloyd steps. Input vectors should
+    * be bounded (|v| ≲ 1e3) — fixed-point sums at 2^20 scale hold ~9e12 rows
+    * per (list, dim) cell before long overflow. */
+  def train(df: DataFrame, vecCol: String, nlist: Int, iters: Int = 3): Model = {
+    require(nlist > 0 && iters >= 0, "nlist > 0, iters >= 0")
+    val vecs = df.select(col(vecCol).as("v")).filter(col("v").isNotNull && size(col("v")) > 0)
+    // deterministic init: hash-sample ~32·nlist rows to the driver (tiny),
+    // then farthest-point selection (k-means++ without RNG) — smallest-hash
+    // alone could seed every centroid inside one dense cluster
+    val sample: Array[Array[Double]] = vecs
+      .withColumn("__h", xxhash64(col("v")))
+      .orderBy(col("__h"), col("v").cast(StringType)) // total order even on hash ties
+      .limit(math.max(nlist * 32, 256))
+      .collect()
+      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    if (sample.isEmpty) return Model(Array(Array(0.0)))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (seeds.length < math.min(nlist, sample.length)) {
+      // farthest point from the chosen set; ties resolve to the lowest index
+      val next = sample.iterator.zipWithIndex
+        .map { case (p, i) => (seeds.iterator.map(s => d2(p, s)).min, -i) }
+        .zipWithIndex.maxBy { case ((d, negI), _) => (d, negI) }._2
+      seeds += sample(next)
+    }
+    var centroids: Array[Array[Double]] = seeds.toArray
+    var it = 0
+    while (it < iters) {
+      val model = Model(centroids)
+      // (list, dim)-keyed fixed-point sums: two-phase agg, ≤ nlist×dim rows out
+      val cells = vecs
+        .select(listIdOf(col("v"), model).as("list_id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(sum(round(col("x").cast(DoubleType) * FpScale).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      cells.foreach { r =>
+        val l = r.getInt(0); val d = r.getInt(1)
+        if (l < next.length && d < next(l).length)
+          next(l)(d) = r.getLong(2).toDouble / FpScale / r.getLong(3)
+      }
+      centroids = next // lists with no members keep their previous center
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** The corpus with its IVF list assignment attached — persist this
+    * partitioned by `list_id` so probes prune at the source. */
+  def index(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("list_id", listIdOf(col(vecCol), model))
+
+  /** Top-k cosine neighbors of `query` scanning only `nprobe` lists of an
+    * indexed corpus (output of [[index]]). */
+  def searchTopK(indexed: DataFrame, vecCol: String, idCol: String,
+      model: Model, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val probes = model.probesFor(query, nprobe)
+    val qLit = typedlit(query)
+    indexed
+      .filter(col("list_id").isin(probes: _*))
+      .withColumn("cos", Similarity.cosine(col(vecCol), qLit))
+      .orderBy(desc("cos"), col(idCol))
+      .select(col(idCol), col("cos"), col("list_id"))
+      .limit(k)
+  }
+}

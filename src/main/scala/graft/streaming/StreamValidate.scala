@@ -50,4 +50,49 @@ object StreamValidate {
       .groupBy(window(col(tsCol), window_), col("v.constraint_id"))
       .agg(count(lit(1)).as("violations"))
   }
+
+  /** CROSS-BATCH uniqueness — the streaming-native form of the north rule's
+    * `Unique` check, via `flatMapGroupsWithState` (custom per-key state):
+    * state = how many times this key has EVER been seen; every arrival that
+    * makes the total exceed 1 emits a [[DupKeyEvent]] with the new duplicate
+    * count. Requires OutputMode.Update downstream.
+    *
+    * Scale notes: state is one long per distinct key, hash-partitioned by the
+    * state store — at 10^12 distinct keys use the RocksDB state store provider
+    * and set `ttl` (processing-time timeout) so retired keys age out;
+    * unbounded-horizon uniqueness belongs to the batch layer (`Unique`).
+    */
+  def duplicateKeysStream(stream: DataFrame, keyCol: String,
+      ttl: Option[String] = None): org.apache.spark.sql.Dataset[DupKeyEvent] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val ke: Encoder[KeySeenState] = Encoders.product[KeySeenState]
+    implicit val de: Encoder[DupKeyEvent] = Encoders.product[DupKeyEvent]
+    val keys = stream.select(col(keyCol).cast(org.apache.spark.sql.types.StringType))
+      .na.drop().as[String]
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    keys.groupByKey(identity)
+      .flatMapGroupsWithState[KeySeenState, DupKeyEvent](OutputMode.Update(), timeoutConf) {
+        (key: String, rows: Iterator[String], state: GroupState[KeySeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrived = rows.size.toLong
+            val before = state.getOption.map(_.seen).getOrElse(0L)
+            val total = before + arrived
+            state.update(KeySeenState(total))
+            ttl.foreach(state.setTimeoutDuration)
+            if (total > 1 && arrived > 0) Iterator(DupKeyEvent(key, total - 1))
+            else Iterator.empty
+          }
+      }
+  }
 }
+
+/** Per-key streaming state: total arrivals ever seen for the key. */
+final case class KeySeenState(seen: Long)
+
+/** Emitted when a key becomes (more) duplicated: `dup_count` = arrivals
+  * beyond the first — the streaming analog of `Unique`'s `count=n` actual. */
+final case class DupKeyEvent(key: String, dup_count: Long)

@@ -222,4 +222,83 @@ class Round2Spec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-empty").toString
     assert(Checkpoint.completedBuckets(spark, dir, "run1") === Set.empty[Int])
   }
+
+  // --- IVF ANN (index-backed scale path) ---
+
+  test("Ivf: train/index/search finds planted cluster neighbors via probed lists") {
+    // three well-separated 4-d clusters, 30 points each
+    def cluster(base: Array[Float], from: Int): Seq[(Long, Seq[Float])] =
+      (0 until 30).map(i => ((from + i).toLong,
+        base.zipWithIndex.map { case (b, d) => b + 0.01f * ((i + d) % 5) }.toSeq))
+    val data = cluster(Array(10f, 0f, 0f, 0f), 0) ++
+      cluster(Array(0f, 10f, 0f, 0f), 100) ++
+      cluster(Array(0f, 0f, 10f, 0f), 200)
+    val df = data.toDF("vec_id", "embedding")
+    val model = Ivf.train(df, "embedding", nlist = 3, iters = 3)
+    assert(model.nlist === 3)
+    val indexed = Ivf.index(df, "embedding", model).cache()
+    // every cluster lands in ONE list (separation >> spread)
+    val listsPerCluster = indexed
+      .groupBy((col("vec_id") / 100).cast("int").as("c"))
+      .agg(countDistinct("list_id").as("nl"))
+      .select("nl").as[Long].collect()
+    assert(listsPerCluster.forall(_ === 1L))
+    // probing 1 list returns only same-cluster neighbors
+    val q = Array(10.0, 0.0, 0.0, 0.0)
+    val hits = Ivf.searchTopK(indexed, "embedding", "vec_id", model, q, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(hits.length === 5 && hits.forall(_ < 100))
+  }
+
+  test("Ivf: training is deterministic across input partitioning (fixed-point sums)") {
+    val data = (0 until 200).map(i => (i.toLong, Seq.tabulate(4)(d => ((i * 31 + d * 7) % 100) / 100.0f)))
+    val df = data.toDF("vec_id", "embedding")
+    val m1 = Ivf.train(df.repartition(2), "embedding", nlist = 4, iters = 2)
+    val m2 = Ivf.train(df.repartition(7), "embedding", nlist = 4, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  // --- PSI drift ---
+
+  test("Drift.psi: skewed group scores high vs pooled, uniform groups stay low") {
+    // a, b: uniform over bins 0-9; c: all mass on bins 0-4 — PSI is vs the
+    // POOLED mix, so a/b pick up a little drift from c's contamination
+    // (~0.1) while c's missing upper support blows past 1.0
+    val stable = (0 until 500).map(i => ("a", (i % 100).toDouble)) ++
+      (0 until 500).map(i => ("b", (i % 100).toDouble))
+    val skewed = (0 until 500).map(i => ("c", (i % 50).toDouble))
+    val df = (stable ++ skewed).toDF("source", "x")
+    val psis = Drift.psi(df, "x", "source", 10.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psis("a") < 0.3 && psis("b") < 0.3)
+    assert(psis("c") > 1.0)
+    val vios = DriftPSI("x", "source", 10.0, threshold = 0.5).run(df).collect()
+    assert(vios.length === 1 && vios.head.getAs[String]("key") === "c")
+  }
+
+  // --- cross-batch streaming uniqueness (flatMapGroupsWithState) ---
+
+  test("duplicateKeysStream: duplicates detected ACROSS micro-batches via custom state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val stream = input.toDF().withColumnRenamed("value", "doc_id")
+    val q = graft.streaming.StreamValidate.duplicateKeysStream(stream, "doc_id")
+      .writeStream.format("memory").queryName("dups_out").outputMode("update").start()
+    try {
+      input.addData("a", "b")
+      q.processAllAvailable() // batch 1: all first-seen, no events
+      assert(spark.sql("select * from dups_out").count() === 0)
+      input.addData("a", "c", "c")
+      q.processAllAvailable() // batch 2: 'a' re-appears (cross-batch), 'c' twice (in-batch)
+      val out = spark.sql("select key, dup_count from dups_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out === Map("a" -> 1L, "c" -> 1L))
+      input.addData("a")
+      q.processAllAvailable() // batch 3: 'a' again → dup_count grows
+      val out3 = spark.sql("select key, dup_count from dups_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out3("a") === 2L)
+    } finally q.stop()
+  }
 }
