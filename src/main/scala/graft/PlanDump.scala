@@ -21,6 +21,8 @@ object PlanDump {
     }
 
     dump("S1 row-local annotate (narrow, single pass)", compiled.annotate(corpus))
+    dump("row violations (defect-gated span projection AFTER the codegen'd flags filter)",
+      compiled.rowViolations(compiled.annotate(corpus)))
     dump("bucket report (one exchange, partial agg)", compiled.bucketReport(compiled.annotate(corpus)))
     dump("uniqueness (hash shuffle, 2-phase count)", Unique("doc_id").run(corpus))
     dump("referential (broadcast anti-join)",
