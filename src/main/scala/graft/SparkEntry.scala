@@ -183,6 +183,11 @@ object SparkEntry {
       Dedup.ngramJaccard(ld(s, dir, "documents"), "text", "doc_id",
         blockCols = Seq("source", "lang"), shingleK = 1, minJaccard = 0.8)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))),
+    "d_neardup_drop" -> ((s, dir) => // rows-only: LSH candidates are hash-dependent
+      Dedup.dropNearDups(ld(s, dir, "documents").filter(col("doc_id") < 2000),
+        "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
+        threshold = 0.5, maxBucket = 500)
+        .select(col("doc_id"))),
     // ---- similarity search ----
     "s_ann_quantized" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")

@@ -197,4 +197,66 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 4): DataFrame =
     Similarity.cosineLshPairs(df, vecCol, idCol, threshold, bands, planesPerBand)
+
+  /** Connected components over an undirected similar-pair frame
+    * (`id_a`, `id_b`) → (`id`, `component` = min id reachable). Near-dup
+    * PAIRS are not dedup GROUPS: a~b and b~c must collapse to one {a,b,c}
+    * cluster with one survivor, so the pipeline needs the transitive closure.
+    *
+    * Algorithm: min-label propagation — each iteration every vertex takes the
+    * min of its own label and its neighbors' labels (one shuffle join + one
+    * groupBy per iteration); stop when an iteration changes nothing or at
+    * `maxIter`. Converges in O(component diameter) iterations; near-dup
+    * clusters are dense (diameter 2-3). Per-iteration frames are persisted
+    * and the previous one released, so the lineage (and its recompute cost)
+    * does not grow with iterations — the standard iterative-algorithm
+    * discipline at scale. For web-scale graphs with long chains, swap in the
+    * alternating large-star/small-star variant; the API stays the same.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor-min pass: for each dst, min over neighbors' current labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
+        .persist()
+      val changed = next.filter(col("__changed")).limit(1).count() // any-change probe
+      val prev = labels
+      labels = next.drop("__changed")
+      prev.unpersist()
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH candidates → exact
+    * n-gram Jaccard verification → connected components → keep the smallest
+    * id per cluster. Returns the surviving rows of `df` (schema preserved).
+    * Every stage is the guarded/bounded variant — no all-pairs joins, no
+    * unbounded per-group state. */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val candidates = minhashLsh(df, textCol, idCol, numHashes, bands, shingleK,
+      threshold, maxBucket)
+    val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
+    val cc = connectedComponents(verified.select("id_a", "id_b"))
+    // survivors: cluster representatives (id == component) + rows in no cluster
+    val losers = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

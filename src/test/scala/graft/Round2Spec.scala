@@ -276,6 +276,36 @@ class Round2Spec extends SparkSpec {
     assert(vios.length === 1 && vios.head.getAs[String]("key") === "c")
   }
 
+  // --- connected components + end-to-end near-dup removal ---
+
+  test("connectedComponents: transitive closure over pair chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 8L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("connectedComponents: converges on a longer chain within diameter iterations") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(1L))
+    assert(cc.keySet === (1L to 8L).toSet)
+  }
+
+  test("dropNearDups: chained near-dups collapse to ONE survivor (pairs are not groups)") {
+    val base = (1 to 60).map(i => s"w$i")
+    val a = base.mkString(" ")                                   // 1
+    val b = (base.take(55) ++ (1 to 5).map(i => s"x$i")).mkString(" ") // ~a
+    val c = (base.take(50) ++ (1 to 10).map(i => s"x$i")).mkString(" ") // ~b, farther from a
+    val unrelated = (100 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, unrelated)).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(df, "text", "doc_id", numHashes = 128, bands = 32,
+      shingleK = 1, threshold = 0.7).select("doc_id").as[Long].collect().toSet
+    // {1,2,3} form one chained cluster -> survivor 1; 4 untouched
+    assert(kept === Set(1L, 4L))
+  }
+
   // --- cross-batch streaming uniqueness (flatMapGroupsWithState) ---
 
   test("duplicateKeysStream: duplicates detected ACROSS micro-batches via custom state") {
