@@ -57,4 +57,90 @@ class PropertySpec extends SparkSpec {
       assert(compiled.run(df).violations.count() === expected)
     }
   }
+
+  test("ArrayTailRange matches a Scala model on random arrays (C12 additionalItems)") {
+    val gen = Gen.listOfN(150, for {
+      id <- Gen.choose(0, 1000000)
+      xs <- Gen.listOf(Gen.choose(-20, 120))
+    } yield (s"d-$id", xs))
+    val c = ArrayTailRange("xs", fromPos = 3, min = 0, max = 100)
+    for (rows <- samples(gen, 10)) {
+      val d = rows.distinctBy(_._1)
+      val df = d.toDF("doc_id", "xs")
+      val compiled = ConstraintSuite("doc_id", Seq(c)).compile(df.schema).toOption.get
+      // model: every element at 0-based index >= 2 must be in [0, 100]
+      val expectedBad = d.filter { case (_, xs) =>
+        xs.zipWithIndex.exists { case (v, i) => i >= 2 && (v < 0 || v > 100) }
+      }.map(_._1).toSet
+      val got = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+      assert(got === expectedBad)
+      // and the per-element spans name exactly the offending indices
+      val spans = compiled.run(df).violations.select("doc_id", "path").as[(String, String)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      d.foreach { case (id, xs) =>
+        val bad = xs.zipWithIndex.collect {
+          case (v, i) if i >= 2 && (v < 0 || v > 100) => s"xs.$i"
+        }.toSet
+        if (bad.nonEmpty) assert(spans(id) === bad)
+      }
+    }
+  }
+
+  test("EnumIn epsilon matches the reference float-compare model") {
+    val eps = 1e-9
+    val enumVals = Seq(0.25, 1.5, -3.75)
+    val gen = Gen.listOfN(150, for {
+      id <- Gen.choose(0, 1000000)
+      base <- Gen.oneOf(enumVals)
+      jitter <- Gen.oneOf(0.0, 1e-12, -1e-12, 1e-6, 0.5)
+    } yield (s"d-$id", base + jitter))
+    val c = EnumIn("x", enumVals, epsilon = eps)
+    for (rows <- samples(gen, 10)) {
+      val d = rows.distinctBy(_._1)
+      val df = d.toDF("doc_id", "x")
+      val compiled = ConstraintSuite("doc_id", Seq(c)).compile(df.schema).toOption.get
+      val expectedBad = d.filter { case (_, v) =>
+        !enumVals.exists(e => math.abs(v - e) < eps)
+      }.map(_._1).toSet
+      val got = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+      assert(got === expectedBad)
+    }
+  }
+
+  test("loader bound-merge: compiled Range accepts exactly the draft-07 intersection") {
+    val boundGen = for {
+      lo <- Gen.option(Gen.choose(-50, 50))
+      xlo <- Gen.option(Gen.choose(-50, 50))
+      hi <- Gen.option(Gen.choose(0, 100))
+      xhi <- Gen.option(Gen.choose(0, 100))
+    } yield (lo, xlo, hi, xhi)
+    val values = (-60 to 110 by 7).map(_.toDouble)
+    for ((lo, xlo, hi, xhi) <- samples(boundGen, 30)) {
+      val kws = List(
+        lo.map(v => s""""minimum":$v"""), xlo.map(v => s""""exclusiveMinimum":$v"""),
+        hi.map(v => s""""maximum":$v"""), xhi.map(v => s""""exclusiveMaximum":$v""")).flatten
+      // the engine rejects inverted effective bounds at compile (InvalidBounds)
+      // — a deliberate stricter-than-draft-07 stance; skip those cases here
+      val effMin = (lo.toList ++ xlo.toList).maxOption
+      val effMax = (hi.toList ++ xhi.toList).minOption
+      val inverted = (effMin, effMax) match {
+        case (Some(a), Some(b)) => a > b
+        case _ => false
+      }
+      if (kws.nonEmpty && !inverted) {
+        val json = s"""{"type":"object","properties":{"x":{${kws.mkString(",")}}}}"""
+        val df = values.zipWithIndex.map { case (v, i) => (s"d-$i", v) }.toDF("doc_id", "x")
+        val compiled = JsonSchema.parse(json, "doc_id").toOption.get
+          .compile(df.schema).toOption.get
+        // draft-07 model: ALL present keywords apply independently
+        def ok(v: Double) =
+          lo.forall(v >= _) && xlo.forall(v > _) && hi.forall(v <= _) && xhi.forall(v < _)
+        val expectedBad = values.zipWithIndex.collect {
+          case (v, i) if !ok(v) => s"d-$i"
+        }.toSet
+        val got = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+        assert(got === expectedBad, s"bounds lo=$lo xlo=$xlo hi=$hi xhi=$xhi")
+      }
+    }
+  }
 }
