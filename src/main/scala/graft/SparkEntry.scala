@@ -186,7 +186,7 @@ object SparkEntry {
     "d_neardup_drop" -> ((s, dir) => // rows-only: LSH candidates are hash-dependent
       Dedup.dropNearDups(ld(s, dir, "documents").filter(col("doc_id") < 2000),
         "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
-        threshold = 0.5, maxBucket = 500)
+        threshold = 0.7, maxBucket = 500)
         .select(col("doc_id"))),
     // ---- similarity search ----
     "s_ann_quantized" -> ((s, dir) => {
