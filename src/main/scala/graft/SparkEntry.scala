@@ -233,6 +233,17 @@ object SparkEntry {
     "t_langid" -> ((s, dir) =>
       ld(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "t_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(ld(s, dir, "documents"), "text", 50)),
+    "p_sample" -> ((s, dir) => { // rows-only: xxhash64 gate has no DuckDB analog
+      val d = ld(s, dir, "documents")
+      val (train, test) = Sampling.trainTestSplit(d, "doc_id", testFraction = 0.2)
+      val strat = Sampling.stratifiedSample(d, "lang", "doc_id",
+        Map("en" -> 0.5), defaultFraction = 1.0)
+      train.select(lit("train").as("part"), col("doc_id"))
+        .union(test.select(lit("test").as("part"), col("doc_id")))
+        .union(strat.select(lit("strat").as("part"), col("doc_id")))
+    }),
     // ---- events: windowed agg / sessionization / set ops ----
     "e_window" -> ((s, dir) =>
       ld(s, dir, "events")
@@ -485,6 +496,13 @@ object SparkEntry {
                      WHEN c_de > 0 THEN 'de'
                      ELSE 'unknown' END AS lang_pred
          FROM h""",
+    "t_top_terms" ->
+      """SELECT term, count(*) AS df FROM (
+           SELECT doc_id,
+                  unnest(list_distinct(regexp_extract_all(
+                    lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'gi')), '[a-z0-9]+'))) AS term
+           FROM documents)
+         GROUP BY term ORDER BY df DESC, term LIMIT 50""",
     "e_window" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Everything here is HASH-gated, never RNG-gated: membership is a pure
+  * function of the row key (+ salt), so samples are reproducible at any
+  * parallelism, stable across resumed/re-run jobs, and composable (the same
+  * row lands on the same side of every split in every run). `sample()`'s
+  * seed, by contrast, is per-partition state — repartition the input and the
+  * sample changes. All variants are one narrow filter: no shuffle, pushdown-
+  * friendly, trivially parallel at 10^12 rows.
+  */
+object Sampling {
+
+  private val Denom = 1000000L
+
+  /** Hash gate in [0, 1): stable per (key, salt). */
+  private def gate(key: Column, salt: Long): Column =
+    pmod(xxhash64(key, lit(salt)), lit(Denom))
+
+  /** Deterministic Bernoulli sample: keeps `fraction` of rows, selected by
+    * key hash. Exact membership, approximate size (binomial). */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(gate(col(keyCol), salt) < (fraction * Denom).toLong)
+  }
+
+  /** Disjoint, exhaustive train/test split on the same hash gate — a row is
+    * in exactly one side, in every run, at any parallelism. */
+  def trainTestSplit(df: DataFrame, keyCol: String, testFraction: Double,
+      salt: Long = 0L): (DataFrame, DataFrame) = {
+    require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
+    val cut = (testFraction * Denom).toLong
+    val g = gate(col(keyCol), salt)
+    (df.filter(g >= cut), df.filter(g < cut))
+  }
+
+  /** Per-stratum fractions (e.g. downsample "web" to 10%, keep "books");
+    * strata absent from the map keep `defaultFraction`. The fraction lookup
+    * is a compile-time CASE chain — strata maps are small (sources,
+    * languages), so no join is ever needed. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: Long = 0L): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "fractions in [0,1]")
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(lit((defaultFraction * Denom).toLong)) {
+      case ((s, f), acc) => when(col(strataCol) === s, lit((f * Denom).toLong)).otherwise(acc)
+    }
+    df.filter(gate(col(keyCol), salt) < cut)
+  }
+
+  /** Cap each stratum at ~`maxRows`: counts strata (one small agg), derives
+    * per-stratum keep fractions, then hash-filters. Two narrow passes, NO
+    * per-stratum window/sort — a row_number cap would serialize a hot
+    * stratum into one task. The cap is approximate (binomial around
+    * maxRows); exact-k selection belongs to a sort-based job the caller
+    * opts into knowingly. */
+  def capStrata(df: DataFrame, strataCol: String, keyCol: String, maxRows: Long,
+      salt: Long = 0L): DataFrame = {
+    require(maxRows > 0, "maxRows > 0")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)) // strata are low-cardinality
+    val fractions = counts.collect {
+      case (s, n) if n > maxRows => String.valueOf(s) -> maxRows.toDouble / n
+    }.toMap
+    if (fractions.isEmpty) df
+    else stratifiedSample(df, strataCol, keyCol, fractions, defaultFraction = 1.0, salt = salt)
+  }
+}

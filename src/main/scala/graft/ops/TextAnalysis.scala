@@ -87,6 +87,17 @@ object TextAnalysis {
       transform(split(text, ""), ch => ascii(ch).cast(LongType)),
       lit(0L), (acc, c) => acc * 31L + c)
 
+  /** Corpus-wide top-k terms by DOCUMENT frequency (docs containing the
+    * term — `word_shingles(k=1)` is per-doc distinct, so explode+count is DF
+    * not TF). Scale shape: narrow tokenize projection → explode → two-phase
+    * hash agg with map-side combine on the term key → TakeOrdered k.
+    * Deterministic ties: (df desc, term asc). */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(graft.functions.VecFunctions.word_shingles(col(textCol), 1)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term"))
+      .limit(k)
+
   /** One-call document profile: everything above as columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

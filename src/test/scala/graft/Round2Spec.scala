@@ -306,6 +306,50 @@ class Round2Spec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  // --- deterministic sampling ---
+
+  test("Sampling: hash-gated splits are disjoint, exhaustive, and partitioning-independent") {
+    val df = (0L until 5000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val (train, test) = Sampling.trainTestSplit(df, "doc_id", 0.2)
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    val testIds = test.select("doc_id").as[Long].collect().toSet
+    assert(trainIds.intersect(testIds).isEmpty)
+    assert(trainIds.size + testIds.size === 5000)
+    assert(math.abs(testIds.size - 1000) < 150) // binomial around 20%
+    // same membership at different partitioning (sample() would differ)
+    val (_, test2) = Sampling.trainTestSplit(df.repartition(13), "doc_id", 0.2)
+    assert(test2.select("doc_id").as[Long].collect().toSet === testIds)
+    // a kept row stays kept at a larger fraction (nested samples)
+    val s10 = Sampling.deterministicSample(df, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
+    val s30 = Sampling.deterministicSample(df, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30))
+  }
+
+  test("Sampling: stratified fractions and approximate per-stratum caps") {
+    val df = ((0L until 4000L).map(i => (i, "web")) ++ (4000L until 4500L).map(i => (i, "books")))
+      .toDF("doc_id", "source")
+    val strat = Sampling.stratifiedSample(df, "source", "doc_id", Map("web" -> 0.25))
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("books") === 500) // default fraction 1.0 keeps everything
+    assert(math.abs(bySrc("web") - 1000) < 150)
+    val capped = Sampling.capStrata(df, "source", "doc_id", maxRows = 600)
+    val byCap = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCap("books") === 500) // under cap: untouched
+    assert(math.abs(byCap("web") - 600) < 120)
+  }
+
+  test("TextAnalysis.topTerms: document frequency with deterministic ties") {
+    val df = Seq(
+      (1L, "alpha beta alpha"), // alpha counted once per doc (DF, not TF)
+      (2L, "alpha gamma"),
+      (3L, "beta delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("alpha", 2L), ("beta", 2L), ("delta", 1L)))
+  }
+
   // --- cross-batch streaming uniqueness (flatMapGroupsWithState) ---
 
   test("duplicateKeysStream: duplicates detected ACROSS micro-batches via custom state") {
