@@ -76,6 +76,39 @@ object Smoke {
       threshold = 0.999, bands = 4, planesPerBand = 4)
     check("ann", pairs.count() >= 1000, s"${pairs.count()} high-cos pairs (planted clones)")
 
+    // 6. IVF index + probed search (100 identical-content groups -> tight clusters)
+    val ivfModel = Ivf.train(embs, "embedding", nlist = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray
+    val hits = Ivf.searchTopK(Ivf.index(embs, "embedding", ivfModel),
+      "embedding", "vec_id", ivfModel, q, k = 5, nprobe = 2).collect()
+    check("ivf", hits.length == 5 && hits.forall(_.getAs[Double]("cos") > 0.99),
+      s"top-5 cos=${hits.map(h => f"${h.getAs[Double]("cos")}%.3f").mkString(",")}")
+
+    // 7. end-to-end near-dup pipeline (pairs -> components -> one survivor per group)
+    val kept = Dedup.dropNearDups(docs, "text", "doc_id", numHashes = 32, bands = 8,
+      shingleK = 1, threshold = 0.9)
+    check("neardup-pipeline", kept.count() == 500,
+      s"${kept.count()} survivors of 2000 docs in 500 content groups")
+
+    // 8. deterministic sampling: disjoint split, stable across partitioning
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 0.25)
+    val (train2, _) = Sampling.trainTestSplit(docs.repartition(5), "doc_id", 0.25)
+    val stable = train.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      train2.select("doc_id").collect().map(_.getLong(0)).toSet
+    check("sampling", train.count() + test.count() == 2000 && stable,
+      s"train=${train.count()} test=${test.count()} partition-stable=$stable")
+
+    // 9. runtime JSON Schema -> suite -> violations
+    val js = """{"type":"object","required":["doc_id"],
+                 "properties":{"doc_id":{"type":"integer","minimum":0},
+                               "text":{"type":"string","minLength":20}}}"""
+    val jsResult = JsonSchema.parse(js, "doc_id", tableSchema = Some(docs.schema))
+      .flatMap(_.compile(docs.schema).left.map(identity))
+      .fold(es => sys.error(es.map(_.msg).mkString("; ")), c => c.run(docs))
+    check("jsonschema", jsResult.violations.count() == 0,
+      "draft-07 schema compiled + ran clean on clean docs")
+
     spark.stop()
     println(s"[smoke] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"}")
     if (failures > 0) sys.exit(1)
