@@ -183,6 +183,9 @@ object SparkEntry {
       Dedup.ngramJaccard(ld(s, dir, "documents"), "text", "doc_id",
         blockCols = Seq("source", "lang"), shingleK = 1, minJaccard = 0.8)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))),
+    "d_dup_spans" -> ((s, dir) => // duplicated 3-word spans across >= 5 docs
+      Dedup.duplicatedSpans(ld(s, dir, "documents"), "text", "doc_id",
+        spanWords = 3, minDocs = 5)),
     "d_neardup_drop" -> ((s, dir) => // rows-only: LSH candidates are hash-dependent
       Dedup.dropNearDups(ld(s, dir, "documents").filter(col("doc_id") < 2000),
         "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
@@ -496,6 +499,17 @@ object SparkEntry {
                      WHEN c_de > 0 THEN 'de'
                      ELSE 'unknown' END AS lang_pred
          FROM h""",
+    "d_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_extract_all(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'gi')), '[a-z0-9]+') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                        for i in generate_series(1, greatest(len(ts)-2, 0))])) AS span
+           FROM toks)
+         SELECT span, count(*) AS n_docs FROM grams GROUP BY span HAVING count(*) >= 5""",
     "t_top_terms" ->
       """SELECT term, count(*) AS df FROM (
            SELECT doc_id,

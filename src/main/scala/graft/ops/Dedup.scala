@@ -198,6 +198,39 @@ object Dedup {
       threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 4): DataFrame =
     Similarity.cosineLshPairs(df, vecCol, idCol, threshold, bands, planesPerBand)
 
+  /** Duplicated text SPANS across documents — the boilerplate / repeated-
+    * passage detector (and the contamination-analysis primitive): word
+    * `spanWords`-grams appearing in ≥ `minDocs` DISTINCT documents.
+    * `word_shingles` is per-document distinct, so the count after explode IS
+    * document frequency — one narrow projection, one two-phase hash agg.
+    * Returns (span, n_docs). */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 10, minDocs: Int = 2): DataFrame =
+    df.select(explode(shingles(col(textCol), spanWords)).as("span"))
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate ratio: the fraction of a doc's spans that are
+    * corpus-duplicated (≥ `minDocs` docs). High ratio ⇒ templated/boiler-
+    * plate content — a standard quality-filter signal. Two aggregations and
+    * one semi-join, all keyed by span/doc hashes; no all-pairs anything. */
+  def boilerplateRatio(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    // persisted: read by the duplicate-set agg, the per-doc agg, and the
+    // semi-join (released by Spark's LRU; one-shot callers can clearCache)
+    val spans = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), spanWords)).as("span")).persist()
+    val dup = spans.groupBy("span").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDocs).select("span")
+    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_boiler"),
+        (col("n_boiler").cast(DoubleType) / col("n_spans")).as("boiler_ratio"))
+  }
+
   /** Connected components over an undirected similar-pair frame
     * (`id_a`, `id_b`) → (`id`, `component` = min id reachable). Near-dup
     * PAIRS are not dedup GROUPS: a~b and b~c must collapse to one {a,b,c}

@@ -340,6 +340,21 @@ class Round2Spec extends SparkSpec {
     assert(math.abs(byCap("web") - 600) < 120)
   }
 
+  test("duplicatedSpans + boilerplateRatio: repeated passages flagged across docs") {
+    val boiler = "subscribe to our newsletter today"
+    val df = Seq(
+      (1L, s"unique words one $boiler"),
+      (2L, s"different things two $boiler"),
+      (3L, s"more stuff three $boiler"),
+      (4L, "completely unrelated content here now")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", spanWords = 5, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(spans.toSeq === Seq((boiler, 3L)))
+    val ratios = Dedup.boilerplateRatio(df, "text", "doc_id", spanWords = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ratios(1L) === 1L && ratios(4L) === 0L) // docs 1-3 contain the span once
+  }
+
   test("TextAnalysis.topTerms: document frequency with deterministic ties") {
     val df = Seq(
       (1L, "alpha beta alpha"), // alpha counted once per doc (DF, not TF)
