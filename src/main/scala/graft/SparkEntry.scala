@@ -180,11 +180,15 @@ object SparkEntry {
       Dedup.simhashPairs(ld(s, dir, "documents").filter(col("doc_id") < 2000),
         "text", "doc_id", shingleK = 2, maxHamming = 8, maxBucket = 500)),
     "d_ngram_jaccard" -> ((s, dir) =>
+      // maxBlock = unbounded HERE because the DuckDB oracle joins every
+      // block — the correctness gate must not depend on fixture block sizes
+      // staying under the production guard default
       Dedup.ngramJaccard(ld(s, dir, "documents"), "text", "doc_id",
-        blockCols = Seq("source", "lang"), shingleK = 1, minJaccard = 0.8)
+        blockCols = Seq("source", "lang"), shingleK = 1, minJaccard = 0.8,
+        maxBlock = Int.MaxValue)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))),
     "d_dup_spans" -> ((s, dir) => // duplicated 3-word spans across >= 5 docs
-      Dedup.duplicatedSpans(ld(s, dir, "documents"), "text", "doc_id",
+      Dedup.duplicatedSpans(ld(s, dir, "documents"), "text",
         spanWords = 3, minDocs = 5)),
     "d_neardup_drop" -> ((s, dir) => // rows-only: LSH candidates are hash-dependent
       Dedup.dropNearDups(ld(s, dir, "documents").filter(col("doc_id") < 2000),

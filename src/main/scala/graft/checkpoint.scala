@@ -28,8 +28,14 @@ object Checkpoint {
     if (!fs.exists(p)) Set.empty
     else {
       // a run that crashed before its first commit leaves the directory with
-      // no data files — schema inference throws; treat as "nothing completed"
-      scala.util.Try(spark.read.parquet(path)).toOption match {
+      // no data files — schema inference throws AnalysisException; treat as
+      // "nothing completed". ONLY that case: a corrupt footer or transient
+      // IO error must fail fast — swallowing it would silently resume from
+      // zero, reprocess every bucket, and append duplicate lineage rows.
+      val dfOpt =
+        try Some(spark.read.parquet(path))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      dfOpt match {
         case None => Set.empty
         case Some(df) if !df.columns.contains("run_id") => Set.empty
         case Some(df) =>

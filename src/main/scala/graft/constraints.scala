@@ -96,14 +96,16 @@ object Constraints {
       case Some(dt) => List(SuiteError.TypeMismatch(c, "map", dt, ctx))
     }
 
-  /** Array column whose ELEMENTS are numeric — the compile-time guard for
-    * element-range checks (ArrayAllInRange's getter would otherwise throw on
-    * executors at run time, breaking the compile-time type-check contract). */
+  /** Array column whose ELEMENTS are PRIMITIVE numerics — the compile-time
+    * guard for element-range checks. Deliberately excludes DecimalType (a
+    * NumericType): ArrayAllInRange's getter/codegen reads primitive slots
+    * only, so admitting decimals here would re-open the executor-crash hole
+    * this guard exists to close. */
   private[graft] def requireNumericArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
     fieldType(schema, c) match {
       case None => List(SuiteError.UnknownColumn(c, ctx))
-      case Some(ArrayType(_: NumericType, _)) => Nil
-      case Some(dt) => List(SuiteError.TypeMismatch(c, "array<numeric>", dt, ctx))
+      case Some(ArrayType(ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType, _)) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "array<numeric (non-decimal)>", dt, ctx))
     }
 
   /** Array column whose ELEMENTS are strings (items.pattern / items length). */
@@ -428,7 +430,12 @@ final case class ArrayUniqueItems(col: String) extends RowConstraint {
         concat(lit(col + "."), s.getField("i").cast(StringType)),
         concat(lit(s"duplicate of $col."), firstIdx(s).cast(StringType)),
         s.getField("v")))
-    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
+    // NULL duplicates have no array_position span (comparisons are null) —
+    // fall back to one row-level entry so a failing flag ALWAYS has a
+    // violation row (report and violations frame must never disagree)
+    val withFallback = when(size(entries) > 0, entries)
+      .otherwise(array(entry(id, lit(col), boundStr, actualCol)))
+    when(coalesce(pred, lit(false)), noVios).otherwise(withFallback).cast(vioArrayType)
   }
   protected def pathStr = col
   protected def boundStr = "all elements distinct"
@@ -825,23 +832,34 @@ final case class ArrayElemLength(col: String, min: Option[Int] = None, max: Opti
   * table-wide, so a mismatch is a compile-time SuiteError (InvalidType
   * analog), never a per-row violation. `element=true` checks the ELEMENT
   * type of an array column (items.type). */
-final case class JsonTypeIs(col: String, jsonTypes: Seq[String], element: Boolean = false)
-    extends RowConstraint {
-  val id = if (element) s"elemType($col)" else s"type($col)"
+final case class JsonTypeIs(col: String, jsonTypes: Seq[String],
+    element: Boolean = false, mapValue: Boolean = false) extends RowConstraint {
+  // element/mapValue ids carry the type set: one column can legitimately
+  // accumulate several such checks (tuple positions, several map properties)
+  // and duplicate ids fail suite compile
+  val id =
+    if (element) s"elemType($col:${jsonTypes.mkString("|")})"
+    else if (mapValue) s"mapValueType($col:${jsonTypes.mkString("|")})"
+    else s"type($col)"
   def selfCheck(s: StructType) = {
     val unknown = jsonTypes.filterNot(Constraints.jsonTypeNames)
     if (jsonTypes.isEmpty) List(SuiteError.EmptyEnum(id))
+    else if (element && mapValue) List(SuiteError.Unsupported(id, "element and mapValue both set"))
     else if (unknown.nonEmpty)
       List(SuiteError.Unsupported(id, s"unknown JSON type(s): ${unknown.mkString(",")}"))
     else Constraints.fieldType(s, col) match {
       case None => List(SuiteError.UnknownColumn(col, id))
       case Some(dt0) =>
         val target: Either[SuiteError, DataType] =
-          if (!element) Right(dt0)
-          else dt0 match {
+          if (element) dt0 match {
             case ArrayType(et, _) => Right(et)
             case other => Left(SuiteError.TypeMismatch(col, "array", other, id))
           }
+          else if (mapValue) dt0 match {
+            case MapType(_, vt, _) => Right(vt)
+            case other => Left(SuiteError.TypeMismatch(col, "map", other, id))
+          }
+          else Right(dt0)
         target match {
           case Left(e) => List(e)
           case Right(dt) =>

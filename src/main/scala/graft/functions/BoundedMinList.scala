@@ -45,9 +45,17 @@ case class BoundedMinList(
     new java.util.TreeSet[AnyRef]() // Long / Integer / UTF8String: all Comparable
 
   override def update(buf: java.util.TreeSet[AnyRef], input: InternalRow): java.util.TreeSet[AnyRef] = {
-    val v = child.eval(input)
-    if (v != null) {
-      buf.add(v.asInstanceOf[AnyRef])
+    val v0 = child.eval(input)
+    if (v0 != null) {
+      // COPY string values: a UTF8String from eval points into the
+      // operator's reused row buffer — storing it uncopied means the bytes
+      // mutate under us on the next row (Spark's own Collect aggregate
+      // calls copyValue for the same reason). Long/Integer are immutable.
+      val v = v0 match {
+        case s: UTF8String => s.clone()
+        case other => other.asInstanceOf[AnyRef]
+      }
+      buf.add(v)
       if (buf.size > k) buf.pollLast()
     }
     buf

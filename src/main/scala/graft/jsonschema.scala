@@ -193,14 +193,22 @@ object JsonSchema {
       val minL = intOpt(node, "minLength"); val maxL = intOpt(node, "maxLength")
       if (minL.isDefined || maxL.isDefined) out += LengthBounds(col, minL, maxL)
 
-      // ---- const / enum (fractional float enums ⇒ EPSILON compare)
-      Option(node.get("enum")).filter(_.isArray).foreach { e =>
-        val (values, eps) = enumValues(e)
-        out += EnumIn(col, values, epsilon = if (eps) F64Epsilon else 0.0)
-      }
-      Option(node.get("const")).foreach { c =>
-        val (values, eps) = enumValues(mapper.createArrayNode().add(c.deepCopy[JsonNode]()))
-        out += EnumIn(col, values, epsilon = if (eps) F64Epsilon else 0.0)
+      // ---- const / enum (fractional float enums ⇒ EPSILON compare).
+      // Both present (legal draft-07): they apply independently, so compile
+      // the INTERSECTION — two EnumIn's would collide on the id.
+      val enumVs = Option(node.get("enum")).filter(_.isArray).map(enumValues)
+      val constVs = Option(node.get("const"))
+        .map(c => enumValues(mapper.createArrayNode().add(c.deepCopy[JsonNode]())))
+      (enumVs, constVs) match {
+        case (Some((evs, eEps)), Some((cvs, cEps))) =>
+          val inter = evs.filter(cvs.contains)
+          if (inter.isEmpty) out += Never(s"never($col:enum/const disjoint)")
+          else out += EnumIn(col, inter, epsilon = if (eEps || cEps) F64Epsilon else 0.0)
+        case (Some((evs, eps)), None) =>
+          out += EnumIn(col, evs, epsilon = if (eps) F64Epsilon else 0.0)
+        case (None, Some((cvs, eps))) =>
+          out += EnumIn(col, cvs, epsilon = if (eps) F64Epsilon else 0.0)
+        case _ => ()
       }
 
       // ---- arrays
@@ -219,6 +227,10 @@ object JsonSchema {
               if (lo.isDefined || hi.isDefined)
                 out += ArrayElemAtRange(col, i + 1,
                   lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+              // a positional type check collapses to the (single) element
+              // type; identical checks dedupe via `distinct` below
+              val pts = jsonTypes(s)
+              if (pts.nonEmpty) out += JsonTypeIs(col, pts, element = true)
               flagUnsupported(s, Set("minimum", "maximum", "exclusiveMinimum",
                 "exclusiveMaximum", "type"), s"$col.items[$i]")
             }
@@ -232,6 +244,8 @@ object JsonSchema {
               if (lo.isDefined || hi.isDefined)
                 out += ArrayTailRange(col, subs.length + 1,
                   lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+              val ats = jsonTypes(aiR)
+              if (ats.nonEmpty) out += JsonTypeIs(col, ats, element = true)
               flagUnsupported(aiR, Set("minimum", "maximum", "exclusiveMinimum",
                 "exclusiveMaximum", "type"), s"$col.additionalItems")
             }
@@ -314,8 +328,10 @@ object JsonSchema {
               if (lo.isDefined || hi.isDefined)
                 out += MapValueRange(col, "^" + java.util.regex.Pattern.quote(k) + "$",
                   lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
-              // map values share ONE Catalyst type: per-key `type` is checked
-              // table-wide by MapValueRange's selfCheck; others are inexpressible
+              // map values share ONE Catalyst type, so per-key `type`
+              // collapses to a static map-VALUE type check (deduped below)
+              val mts = jsonTypes(subR)
+              if (mts.nonEmpty) out += JsonTypeIs(col, mts, mapValue = true)
               flagUnsupported(subR, Set("minimum", "maximum", "exclusiveMinimum",
                 "exclusiveMaximum", "type"), s"$col.properties.$k")
             } else if (!subR.asBoolean())
@@ -340,6 +356,8 @@ object JsonSchema {
                 if (lo.isDefined || hi.isDefined)
                   out += MapValueRange(col, e.getKey,
                     lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
+                val pts = jsonTypes(sub)
+                if (pts.nonEmpty) out += JsonTypeIs(col, pts, mapValue = true)
                 flagUnsupported(sub, Set("minimum", "maximum", "exclusiveMinimum",
                   "exclusiveMaximum", "type"), s"$col.patternProperties.${e.getKey}")
               }
@@ -386,7 +404,9 @@ object JsonSchema {
         "additionalProperties", "propertyNames", "minProperties", "maxProperties",
         "required", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
         "$ref", "definitions"), col)
-      out.toList
+      // identical constraints from different keywords (e.g. two tuple
+      // positions both declaring {"type":"integer"}) collapse to one
+      out.toList.distinct
     }
 
     val rootR = resolve(root, 0)

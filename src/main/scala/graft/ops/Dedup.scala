@@ -204,7 +204,7 @@ object Dedup {
     * `word_shingles` is per-document distinct, so the count after explode IS
     * document frequency — one narrow projection, one two-phase hash agg.
     * Returns (span, n_docs). */
-  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+  def duplicatedSpans(df: DataFrame, textCol: String,
       spanWords: Int = 10, minDocs: Int = 2): DataFrame =
     df.select(explode(shingles(col(textCol), spanWords)).as("span"))
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
@@ -240,9 +240,10 @@ object Dedup {
     * min of its own label and its neighbors' labels (one shuffle join + one
     * groupBy per iteration); stop when an iteration changes nothing or at
     * `maxIter`. Converges in O(component diameter) iterations; near-dup
-    * clusters are dense (diameter 2-3). Per-iteration frames are persisted
-    * and the previous one released, so the lineage (and its recompute cost)
-    * does not grow with iterations — the standard iterative-algorithm
+    * clusters are dense (diameter 2-3). Per-iteration frames are eagerly
+    * localCheckpoint'ed (flat plan — lineage and analysis cost do NOT grow
+    * with iterations) and the previous iteration's block storage is freed as
+    * soon as the next is materialized — the standard iterative-algorithm
     * discipline at scale. For web-scale graphs with long chains, swap in the
     * alternating large-star/small-star variant; the API stays the same.
     */
@@ -275,12 +276,27 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.agg(coalesce(sum(col("__changed").cast("long")), lit(0L)))
         .head().getLong(0)
+      // `next` is materialized (eager checkpoint + the agg above), so the
+      // previous iteration's block storage can be released NOW instead of
+      // waiting for driver GC to reach the ContextCleaner — otherwise up to
+      // maxIter full label sets pile up in executor memory during the loop
+      freeLocalCheckpoint(labels)
       labels = next.drop("__changed")
       converged = changed == 0
       iter += 1
     }
+    freeLocalCheckpoint(edges)
     labels
   }
+
+  /** Release the cached partitions behind a localCheckpoint'ed frame
+    * (Dataset.unpersist only talks to the CacheManager, which never knew
+    * about them). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidates → exact
     * n-gram Jaccard verification → connected components → keep the smallest

@@ -59,16 +59,22 @@ object Sampling {
     * per-stratum window/sort — a row_number cap would serialize a hot
     * stratum into one task. The cap is approximate (binomial around
     * maxRows); exact-k selection belongs to a sort-based job the caller
-    * opts into knowingly. */
+    * opts into knowingly. The NULL stratum is capped too (missing-metadata
+    * rows are often exactly the stratum that explodes), via an isNull
+    * branch — a string-keyed map could never match it. */
   def capStrata(df: DataFrame, strataCol: String, keyCol: String, maxRows: Long,
       salt: Long = 0L): DataFrame = {
     require(maxRows > 0, "maxRows > 0")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.get(0) -> r.getLong(1)) // strata are low-cardinality
-    val fractions = counts.collect {
-      case (s, n) if n > maxRows => String.valueOf(s) -> maxRows.toDouble / n
-    }.toMap
-    if (fractions.isEmpty) df
-    else stratifiedSample(df, strataCol, keyCol, fractions, defaultFraction = 1.0, salt = salt)
+    val over = counts.filter(_._2 > maxRows)
+    if (over.isEmpty) df
+    else {
+      val cut = over.foldRight(lit(Denom): Column) { case ((s, n), acc) =>
+        val cond = if (s == null) col(strataCol).isNull else col(strataCol) === lit(s)
+        when(cond, lit((maxRows.toDouble / n * Denom).toLong)).otherwise(acc)
+      }
+      df.filter(gate(col(keyCol), salt) < cut)
+    }
   }
 }

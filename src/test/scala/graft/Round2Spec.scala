@@ -347,7 +347,7 @@ class Round2Spec extends SparkSpec {
       (2L, s"different things two $boiler"),
       (3L, s"more stuff three $boiler"),
       (4L, "completely unrelated content here now")).toDF("doc_id", "text")
-    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", spanWords = 5, minDocs = 3)
+    val spans = Dedup.duplicatedSpans(df, "text", spanWords = 5, minDocs = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(spans.toSeq === Seq((boiler, 3L)))
     val ratios = Dedup.boilerplateRatio(df, "text", "doc_id", spanWords = 5, minDocs = 3)
@@ -363,6 +363,87 @@ class Round2Spec extends SparkSpec {
     val got = TextAnalysis.topTerms(df, "text", 3).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("alpha", 2L), ("beta", 2L), ("delta", 1L)))
+  }
+
+  // --- round-2 code-review regression fixes ---
+
+  test("BoundedMinList: string ids survive buffer reuse (UTF8String copied into the buffer)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-strids").toString
+    (0 until 100).map(i => (f"id-$i%03d", s"text-${i % 10}"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir) // parquet scan -> reused row buffers
+    val got = Dedup.exact(df, "text", "doc_id", maxDupIds = 3).collect()
+    assert(got.length === 10)
+    got.foreach { r =>
+      val keep = r.getAs[String]("keep_id")
+      val dups = r.getAs[scala.collection.Seq[String]]("dup_ids").toList
+      // ids of group k are id-00k, id-01k, ... ascending; cap at 3
+      assert(dups.length === 3 && dups === dups.sorted && !dups.contains(keep))
+      assert((keep +: dups).forall(_.startsWith("id-")))
+      assert((keep +: dups).distinct.size === 4) // no buffer-aliased repeats
+    }
+  }
+
+  test("decimal element arrays are rejected at compile, not on executors") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("xs", ArrayType(DecimalType(10, 2)))))
+    assert(ConstraintSuite("doc_id", Seq(ArrayElemRange("xs", 0, 10))).compile(schema).isLeft)
+    assert(ConstraintSuite("doc_id", Seq(ArrayTailRange("xs", 1, 0, 10))).compile(schema).isLeft)
+  }
+
+  test("ArrayUniqueItems: null-only duplicates still produce a violation row") {
+    val df = Seq(("a", Seq[Integer](null, null)), ("b", Seq[Integer](1, 2)))
+      .toDF("doc_id", "xs")
+    val r = runSuite(df, ConstraintSuite("doc_id", Seq(ArrayUniqueItems("xs"))))
+    // report says row 'a' fails — the violations frame must agree
+    val v = r.violations.collect()
+    assert(v.length === 1 && v.head.getAs[String]("doc_id") === "a")
+    val rep = r.report.agg(sum("fail")).collect()(0).getLong(0)
+    assert(rep === 1L)
+  }
+
+  test("loader: enum+const compile to their intersection; disjoint pair rejects all") {
+    val both = """{"type":"object","properties":{"n_tok":{"enum":[5, 7],"const":5}}}"""
+    val df = Seq(("a", 5), ("b", 7), ("c", 9)).toDF("doc_id", "n_tok")
+    val c1 = JsonSchema.parse(both, "doc_id").toOption.get.compile(df.schema).toOption.get
+    assert(c1.run(df).violations.select("doc_id").as[String].collect().toSet === Set("b", "c"))
+    val disjoint = """{"type":"object","properties":{"n_tok":{"enum":[5],"const":6}}}"""
+    val c2 = JsonSchema.parse(disjoint, "doc_id").toOption.get.compile(df.schema).toOption.get
+    assert(c2.run(df).violations.count() === 3) // Never: nothing satisfies both
+  }
+
+  test("loader: type inside tuple items / additionalItems / map properties is CHECKED") {
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("tokens", ArrayType(IntegerType)),
+      StructField("props", MapType(StringType, DoubleType))))
+    // positional string type vs array<int> column -> compile error
+    val tup = """{"type":"object","properties":{"tokens":{"items":[{"type":"string"}]}}}"""
+    assert(JsonSchema.parse(tup, "doc_id").toOption.get.compile(schema).isLeft)
+    // additionalItems type mismatch -> compile error
+    val ai = """{"type":"object","properties":{"tokens":{
+                  "items":[{"minimum":0}],"additionalItems":{"type":"string"}}}}"""
+    assert(JsonSchema.parse(ai, "doc_id").toOption.get.compile(schema).isLeft)
+    // map property declaring a non-numeric value type vs map<string,double> -> error
+    val mp = """{"type":"object","properties":{"props":{"properties":{"k":{"type":"string"}}}}}"""
+    assert(JsonSchema.parse(mp, "doc_id").toOption.get.compile(schema).isLeft)
+    // conforming declarations pass, duplicates collapse
+    val ok = """{"type":"object","properties":{"tokens":{
+                  "items":[{"type":"integer"},{"type":"integer"}]},
+                "props":{"properties":{"k":{"type":"number"},"j":{"type":"number"}}}}}"""
+    assert(JsonSchema.parse(ok, "doc_id").toOption.get.compile(schema).isRight)
+  }
+
+  test("capStrata caps the NULL stratum too") {
+    val rows = (0L until 1000L).map(i => (i, null: String)) ++
+      (1000L until 1100L).map(i => (i, "books"))
+    val df = rows.toDF("doc_id", "source")
+    val capped = Sampling.capStrata(df, "source", "doc_id", maxRows = 100)
+    val byKey = capped.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1)).toMap
+    assert(byKey("books") === 100) // at cap: untouched
+    assert(byKey("<null>") < 200) // capped to ~100, not kept wholesale
   }
 
   // --- cross-batch streaming uniqueness (flatMapGroupsWithState) ---
