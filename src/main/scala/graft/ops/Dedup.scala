@@ -198,6 +198,20 @@ object Dedup {
       threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 4): DataFrame =
     Similarity.cosineLshPairs(df, vecCol, idCol, threshold, bands, planesPerBand)
 
+  /** End-to-end EMBEDDING near-duplicate removal: sign-LSH cosine candidate
+    * pairs → connected components → keep the smallest id per cluster. The
+    * semantic-dedup counterpart of [[dropNearDups]]; schema preserved. */
+  def dropEmbeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    val pairs = Similarity.cosineLshPairs(df, vecCol, idCol, threshold, bands,
+      planesPerBand, maxBucket).select("id_a", "id_b").persist()
+    val cc = connectedComponents(pairs)
+    pairs.unpersist()
+    val losers = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Duplicated text SPANS across documents — the boilerplate / repeated-
     * passage detector (and the contamination-analysis primitive): word
     * `spanWords`-grams appearing in ≥ `minDocs` DISTINCT documents.

@@ -293,6 +293,25 @@ class Round2Spec extends SparkSpec {
     assert(cc.keySet === (1L to 8L).toSet)
   }
 
+  test("dropEmbeddingNearDups: semantic clones collapse to one survivor per cluster") {
+    // 3 clusters of 5 near-identical vectors + 5 scattered singletons
+    def clone(base: Array[Float], id: Long, j: Int) =
+      (id, base.zipWithIndex.map { case (b, d) => b + 0.001f * ((j + d) % 3) }.toSeq)
+    val clusters = (0 until 3).flatMap { c =>
+      val base = Array.tabulate(8)(d => if (d == c) 10f else 0f)
+      (0 until 5).map(j => clone(base, c * 100L + j, j))
+    }
+    val singles = (0 until 5).map(i =>
+      (500L + i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 10 - 5).toFloat).toSeq))
+    val df = (clusters ++ singles).toDF("vec_id", "embedding")
+    val kept = Dedup.dropEmbeddingNearDups(df, "embedding", "vec_id",
+      threshold = 0.999, bands = 8, planesPerBand = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(0L, 100L, 200L)) === Set(0L, 100L, 200L)) // reps survive
+    assert(kept.count(_ < 500L) === 3) // each cluster reduced to exactly one
+    assert((500L until 505L).forall(kept.contains)) // singletons untouched
+  }
+
   test("dropNearDups: chained near-dups collapse to ONE survivor (pairs are not groups)") {
     val base = (1 to 60).map(i => s"w$i")
     val a = base.mkString(" ")                                   // 1
