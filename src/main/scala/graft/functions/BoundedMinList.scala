@@ -47,16 +47,23 @@ case class BoundedMinList(
   override def update(buf: java.util.TreeSet[AnyRef], input: InternalRow): java.util.TreeSet[AnyRef] = {
     val v0 = child.eval(input)
     if (v0 != null) {
-      // COPY string values: a UTF8String from eval points into the
-      // operator's reused row buffer — storing it uncopied means the bytes
-      // mutate under us on the next row (Spark's own Collect aggregate
-      // calls copyValue for the same reason). Long/Integer are immutable.
-      val v = v0 match {
-        case s: UTF8String => s.clone()
-        case other => other.asInstanceOf[AnyRef]
+      // hot-path short circuit: a full buffer whose max is <= v cannot admit
+      // v — skip the clone + O(log k) insert/evict churn the viral-duplicate
+      // case would otherwise pay per copy (compare BEFORE cloning: reading
+      // the transient value is safe, only storing it is not)
+      val full = buf.size >= k
+      if (!full || buf.last().asInstanceOf[Comparable[AnyRef]].compareTo(v0.asInstanceOf[AnyRef]) > 0) {
+        // COPY string values: a UTF8String from eval points into the
+        // operator's reused row buffer — storing it uncopied means the bytes
+        // mutate under us on the next row (Spark's own Collect aggregate
+        // calls copyValue for the same reason). Long/Integer are immutable.
+        val v = v0 match {
+          case s: UTF8String => s.clone()
+          case other => other.asInstanceOf[AnyRef]
+        }
+        buf.add(v)
+        if (buf.size > k) buf.pollLast()
       }
-      buf.add(v)
-      if (buf.size > k) buf.pollLast()
     }
     buf
   }

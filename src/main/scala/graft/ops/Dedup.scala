@@ -230,19 +230,25 @@ object Dedup {
     * one semi-join, all keyed by span/doc hashes; no all-pairs anything. */
   def boilerplateRatio(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 10, minDocs: Int = 2): DataFrame = {
-    // persisted: read by the duplicate-set agg, the per-doc agg, and the
-    // semi-join (released by Spark's LRU; one-shot callers can clearCache)
+    // persisted: read by the duplicate-set agg and the semi-join
+    // (released by Spark's LRU; one-shot callers can clearCache)
     val spans = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), spanWords)).as("span")).persist()
     val dup = spans.groupBy("span").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minDocs).select("span")
-    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    // per-doc span counts come from df directly (size of the shingle array,
+    // no explode) so SHORT/NULL docs keep a row with n_spans=0 — the output
+    // is one row per input document, as a per-document signal must be
+    val perDoc = df.select(col(idCol).as("id"),
+      greatest(coalesce(size(shingles(col(textCol), spanWords)), lit(0)), lit(0))
+        .cast(LongType).as("n_spans"))
     val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_boiler"))
     perDoc.join(dupPerDoc, Seq("id"), "left")
       .na.fill(0L, Seq("n_boiler"))
       .select(col("id").as(idCol), col("n_spans"), col("n_boiler"),
-        (col("n_boiler").cast(DoubleType) / col("n_spans")).as("boiler_ratio"))
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_boiler").cast(DoubleType) / col("n_spans")).as("boiler_ratio"))
   }
 
   /** Connected components over an undirected similar-pair frame
@@ -261,7 +267,8 @@ object Dedup {
     * discipline at scale. For web-scale graphs with long chains, swap in the
     * alternating large-star/small-star variant; the API stays the same.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      failOnNonConvergence: Boolean = false): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
@@ -300,6 +307,14 @@ object Dedup {
       iter += 1
     }
     freeLocalCheckpoint(edges)
+    if (!converged) {
+      // truncated propagation = components may still be SPLIT (under-dedup
+      // downstream) — never let that pass silently
+      val msg = s"connectedComponents did not converge after $maxIter iterations; " +
+        "labels may split long chains (raise maxIter or set failOnNonConvergence)"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

@@ -17,16 +17,26 @@ object Sampling {
 
   private val Denom = 1000000L
 
-  /** Hash gate in [0, 1): stable per (key, salt). */
-  private def gate(key: Column, salt: Long): Column =
-    pmod(xxhash64(key, lit(salt)), lit(Denom))
+  /** Hash gate in [0, 1): stable per (key, op-tag, salt). Each public op
+    * hashes under its OWN tag so composed calls stay independent: without
+    * it, capStrata over a trainTestSplit train side (gate ≥ cut₁) filtering
+    * gate < cut₂ could silently empty a stratum. Within one op, the same
+    * salt still nests (sample(0.1) ⊆ sample(0.3)) — that property is per-op
+    * by design. */
+  private def gate(key: Column, opTag: Long, salt: Long): Column =
+    pmod(xxhash64(key, lit(opTag), lit(salt)), lit(Denom))
+
+  private val TagSample = 1L
+  private val TagSplit = 2L
+  private val TagStratified = 3L
+  private val TagCap = 4L
 
   /** Deterministic Bernoulli sample: keeps `fraction` of rows, selected by
     * key hash. Exact membership, approximate size (binomial). */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: Long = 0L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(gate(col(keyCol), salt) < (fraction * Denom).toLong)
+    df.filter(gate(col(keyCol), TagSample, salt) < (fraction * Denom).toLong)
   }
 
   /** Disjoint, exhaustive train/test split on the same hash gate — a row is
@@ -35,7 +45,7 @@ object Sampling {
       salt: Long = 0L): (DataFrame, DataFrame) = {
     require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
     val cut = (testFraction * Denom).toLong
-    val g = gate(col(keyCol), salt)
+    val g = gate(col(keyCol), TagSplit, salt)
     (df.filter(g >= cut), df.filter(g < cut))
   }
 
@@ -51,7 +61,7 @@ object Sampling {
     val cut = fractions.toSeq.sortBy(_._1).foldRight(lit((defaultFraction * Denom).toLong)) {
       case ((s, f), acc) => when(col(strataCol) === s, lit((f * Denom).toLong)).otherwise(acc)
     }
-    df.filter(gate(col(keyCol), salt) < cut)
+    df.filter(gate(col(keyCol), TagStratified, salt) < cut)
   }
 
   /** Cap each stratum at ~`maxRows`: counts strata (one small agg), derives
@@ -74,7 +84,7 @@ object Sampling {
         val cond = if (s == null) col(strataCol).isNull else col(strataCol) === lit(s)
         when(cond, lit((maxRows.toDouble / n * Denom).toLong)).otherwise(acc)
       }
-      df.filter(gate(col(keyCol), salt) < cut)
+      df.filter(gate(col(keyCol), TagCap, salt) < cut)
     }
   }
 }

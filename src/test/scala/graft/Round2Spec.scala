@@ -454,6 +454,39 @@ class Round2Spec extends SparkSpec {
     assert(JsonSchema.parse(ok, "doc_id").toOption.get.compile(schema).isRight)
   }
 
+  test("sampling ops compose: capStrata after a split samples independently") {
+    // same-gate ops would make this degenerate (train side has gate>=cut,
+    // cap filters gate<cut2 -> empty); per-op hash tags keep them independent
+    val df = (0L until 4000L).map(i => (i, "web")).toDF("doc_id", "source")
+    val (train, _) = Sampling.trainTestSplit(df, "doc_id", 0.5)
+    val n = train.count()
+    val capped = Sampling.capStrata(train, "source", "doc_id", maxRows = 500)
+    val kept = capped.count()
+    assert(kept > 350 && kept < 650, s"expected ~500 of $n, got $kept")
+  }
+
+  test("boilerplateRatio: short/null docs keep a row with n_spans=0") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "tiny"),                 // fewer words than spanWords
+      (3L, null: String)
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRatio(df, "text", "doc_id", spanWords = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // one row per input doc, always
+    assert(got(2L) === ((0L, 0.0)) && got(3L) === ((0L, 0.0)))
+  }
+
+  test("connectedComponents: non-convergence is surfaced, not silent") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2, failOnNonConvergence = true).collect()
+    }
+    // and with enough iterations the same input converges cleanly
+    val cc = Dedup.connectedComponents(chain, maxIter = 20, failOnNonConvergence = true)
+    assert(cc.select("component").distinct().count() === 1)
+  }
+
   test("capStrata caps the NULL stratum too") {
     val rows = (0L until 1000L).map(i => (i, null: String)) ++
       (1000L until 1100L).map(i => (i, "books"))
