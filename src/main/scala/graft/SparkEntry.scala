@@ -288,6 +288,16 @@ object SparkEntry {
       compiled.run(corpus).violations
         .groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))
     }),
+    "seq_decontaminate" -> ((s, dir) => { // rows-only: 64-bit span hashes
+      val corpus = DataGen.sequences(s, 20000, maxLen = 32)
+      // benchmark = a deterministic slice of the corpus itself -> those
+      // sequences (and any sharing a 13-token window) must be flagged
+      val benchmark = corpus.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+        .select(col("tokens"))
+      Decontaminate.overlapReport(corpus.filter(col("n_tok") >= 13), "tokens", "doc_id",
+        benchmark, "tokens", n = 13)
+        .agg(count(lit(1)).as("n_contaminated"), sum("n_overlap").as("total_overlap"))
+    }),
     "seq_report" -> ((s, dir) => {
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
       val compiled = DataGen.standardSuite(s, maxLen = 32).compile(Seq_.schema)

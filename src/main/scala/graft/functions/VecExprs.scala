@@ -332,6 +332,46 @@ case class LongArrayEqCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Distinct 64-bit hashes of every length-`n` token window in an integer
+  * token array — the decontamination / token-span-dedup kernel for
+  * pre-tokenized corpora. One JVM loop per row: polynomial window hash +
+  * avalanche, deduped in-row (a 10^4-token doc yields ≤ 10^4 hashes, not a
+  * string per window). 64-bit space makes cross-window collisions
+  * negligible at 10^12-sequence scale (birthday bound ≈ 2^-20 per 10^6
+  * distinct spans). */
+case class TokenNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n > 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val get: (ArrayData, Int) => Long =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => (a, i) => a.getInt(i).toLong
+      case LongType => (a, i) => a.getLong(i)
+      case ShortType => (a, i) => a.getShort(i).toLong
+      case other => throw new IllegalArgumentException(s"non-integral token array: $other")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= len) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) { h = (h ^ get(x, i + j)) * 0x100000001b3L; j += 1 }
+      out.add(HashMix.mix(h))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Index of the nearest centroid (squared L2, ties → lowest index) — the IVF
   * coarse-quantizer assignment. Centroids ship inside the expression (they
   * are the trained model, nlist×dim doubles — a few KB), so assignment is one
@@ -381,4 +421,6 @@ object VecFunctions {
   def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(vec), centroids))
+  def token_ngram_hashes(tokens: Column, n: Int): Column =
+    c(TokenNgramHashes(e(tokens), n))
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-level span analysis for PRE-TOKENIZED corpora (the north-rule
+  * payload): duplicated token spans across sequences, and benchmark
+  * decontamination — flagging training sequences that share an n-token
+  * window with an evaluation set.
+  *
+  * Scale shape: spans are 64-bit window hashes (custom
+  * [[graft.functions.TokenNgramHashes]] kernel — one loop per row, deduped
+  * in-row, never a string per window). Dedup is one explode + two-phase hash
+  * agg on the hash key; decontamination broadcasts the benchmark's hash set
+  * (benchmarks are ~10^5-10^7 spans — megabytes — against a 10^12-row
+  * corpus, so the corpus is never shuffled at all: one narrow scan with a
+  * broadcast-hash semi-join per exploded span, then a per-id agg).
+  */
+object Decontaminate {
+
+  /** Distinct window hashes per row. */
+  def spanHashes(tokens: Column, n: Int): Column =
+    graft.functions.VecFunctions.token_ngram_hashes(tokens, n)
+
+  /** Token spans (as 64-bit hashes) occurring in ≥ `minDocs` distinct
+    * sequences — [[Dedup.duplicatedSpans]] for token arrays. Returns
+    * (span_hash, n_docs). */
+  def duplicatedTokenSpans(df: DataFrame, tokensCol: String,
+      n: Int = 13, minDocs: Int = 2): DataFrame =
+    df.select(explode(spanHashes(col(tokensCol), n)).as("span_hash"))
+      .groupBy(col("span_hash")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Contamination report: for every corpus sequence sharing ≥ `minOverlap`
+    * n-token windows with ANY benchmark sequence, the overlap count.
+    * Returns (idCol, n_overlap). The 13-token default window is the
+    * published decontamination convention for benchmark leakage. */
+  def overlapReport(corpus: DataFrame, tokensCol: String, idCol: String,
+      benchmark: DataFrame, benchTokensCol: String,
+      n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val benchSpans = benchmark
+      .select(explode(spanHashes(col(benchTokensCol), n)).as("span_hash"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(spanHashes(col(tokensCol), n)).as("span_hash"))
+      .join(broadcast(benchSpans), Seq("span_hash"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** The corpus with contaminated sequences removed (schema preserved) —
+    * anti-join against the overlap report. */
+  def dropContaminated(corpus: DataFrame, tokensCol: String, idCol: String,
+      benchmark: DataFrame, benchTokensCol: String,
+      n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val flagged = overlapReport(corpus, tokensCol, idCol, benchmark, benchTokensCol,
+      n, minOverlap).select(idCol)
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+}

@@ -325,6 +325,47 @@ class Round2Spec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  // --- token-span dedup + benchmark decontamination ---
+
+  test("TokenNgramHashes: one distinct hash per distinct window; short arrays empty") {
+    val df = Seq(
+      (1L, Seq(1, 2, 3, 4)),
+      (2L, Seq(9, 1, 2, 3)), // shares window (1,2,3) with row 1
+      (3L, Seq(1, 2))        // shorter than n -> no windows
+    ).toDF("doc_id", "tokens")
+    val h = df.select(col("doc_id"),
+      Decontaminate.spanHashes(col("tokens"), 3).as("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h(1L).size === 2 && h(2L).size === 2 && h(3L).isEmpty)
+    assert(h(1L).intersect(h(2L)).size === 1) // the shared (1,2,3) window
+  }
+
+  test("duplicatedTokenSpans: planted shared token span found across sequences") {
+    val shared = Seq(7, 8, 9, 10, 11)
+    val df = Seq(
+      (1L, Seq(1, 2) ++ shared),
+      (2L, shared ++ Seq(3, 4)),
+      (3L, Seq(20, 21) ++ shared ++ Seq(22)),
+      (4L, Seq(30, 31, 32, 33, 34, 35))).toDF("doc_id", "tokens")
+    val dup = Decontaminate.duplicatedTokenSpans(df, "tokens", n = 5, minDocs = 3).collect()
+    assert(dup.length === 1 && dup.head.getAs[Long]("n_docs") === 3)
+  }
+
+  test("overlapReport / dropContaminated: benchmark 13-gram leakage flagged and removed") {
+    val leak = (100 to 112).toSeq // a 13-token benchmark window
+    val corpus = Seq(
+      (1L, (1 to 20).toSeq),
+      (2L, (1 to 5) ++ leak ++ Seq(900)), // contaminated
+      (3L, (50 to 80).toSeq)).toDF("doc_id", "tokens")
+    val benchmark = Seq((Seq(99) ++ leak ++ Seq(113, 114))).map(Tuple1(_)).toDF("tokens")
+    val rep = Decontaminate.overlapReport(corpus, "tokens", "doc_id", benchmark, "tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(2L -> 1L))
+    val clean = Decontaminate.dropContaminated(corpus, "tokens", "doc_id", benchmark, "tokens")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(1L, 3L))
+  }
+
   // --- deterministic sampling ---
 
   test("Sampling: hash-gated splits are disjoint, exhaustive, and partitioning-independent") {
