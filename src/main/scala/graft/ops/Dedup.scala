@@ -190,7 +190,13 @@ object Dedup {
       .filter(col("uni") > 0 &&
         col("inter").cast(DoubleType) >= lit(minJaccard) * col("uni").cast(DoubleType))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"))
+        (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"),
+        // containment = inter / smaller set: catches ASYMMETRIC near-dups
+        // (a doc quoting most of a shorter one) that symmetric Jaccard misses
+        when(least(size(col("g_a")), size(col("g_b"))) > 0,
+          col("inter").cast(DoubleType) /
+            least(size(col("g_a")), size(col("g_b"))).cast(DoubleType))
+          .otherwise(lit(0.0)).as("containment"))
 
   /** Embedding near-dup: cosine ≥ threshold via LSH candidate buckets (see
     * [[Similarity.cosineLshPairs]]); re-exported here for discoverability. */
