@@ -46,12 +46,28 @@ object Ivf {
   def listIdOf(vec: Column, model: Model): Column =
     graft.functions.VecFunctions.nearest_centroid(vec, model.centroids)
 
-  /** Train `nlist` centroids with `iters` Lloyd steps. Input vectors should
-    * be bounded (|v| ≲ 1e3) — fixed-point sums at 2^20 scale hold ~9e12 rows
+  /** Train `nlist` centroids with `iters` Lloyd steps over a DETERMINISTIC
+    * content-hash sample of ≤ `maxTrainRows` vectors — quantizer quality
+    * needs a representative sample, not the corpus, and each Lloyd step
+    * explodes its input ×dim (full-corpus training at 10^12 rows would pay a
+    * 6e13-row explode per iteration for no accuracy gain). The sample gate is
+    * a pure function of vector content, so the trained model is identical at
+    * any parallelism AND stable across reruns. Input vectors should be
+    * bounded (|v| ≲ 1e3) — fixed-point sums at 2^20 scale hold ~9e12 rows
     * per (list, dim) cell before long overflow. */
-  def train(df: DataFrame, vecCol: String, nlist: Int, iters: Int = 3): Model = {
-    require(nlist > 0 && iters >= 0, "nlist > 0, iters >= 0")
-    val vecs = df.select(col(vecCol).as("v")).filter(col("v").isNotNull && size(col("v")) > 0)
+  def train(df: DataFrame, vecCol: String, nlist: Int, iters: Int = 3,
+      maxTrainRows: Long = 200000L): Model = {
+    require(nlist > 0 && iters >= 0 && maxTrainRows > 0,
+      "nlist > 0, iters >= 0, maxTrainRows > 0")
+    val vecsAll = df.select(col(vecCol).as("v")).filter(col("v").isNotNull && size(col("v")) > 0)
+    val total = vecsAll.count()
+    val vecs0 =
+      if (total <= maxTrainRows) vecsAll
+      else {
+        val cut = math.max(1L, (maxTrainRows.toDouble / total * 1000000L).toLong)
+        vecsAll.filter(pmod(xxhash64(col("v")), lit(1000000L)) < cut)
+      }
+    val vecs = vecs0.persist() // every Lloyd step re-reads the (small) sample
     // deterministic init: hash-sample ~32·nlist rows to the driver (tiny),
     // then farthest-point selection (k-means++ without RNG) — smallest-hash
     // alone could seed every centroid inside one dense cluster
@@ -96,6 +112,7 @@ object Ivf {
       centroids = next // lists with no members keep their previous center
       it += 1
     }
+    vecs.unpersist()
     Model(centroids)
   }
 
