@@ -67,4 +67,36 @@ class EdgeSpec extends SparkSpec {
     assert(p.forall(_.getAs[String]("lang_pred") === "unknown"))
     assert(p.forall(!_.getAs[Boolean]("quality_pass")))
   }
+
+  test("round-2 ops degrade to empty/identity on empty inputs, never throw") {
+    import graft.ops._
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Dedup.dropNearDups(emptyDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.duplicatedSpans(emptyDocs, "text").count() === 0)
+    assert(Dedup.boilerplateRatio(emptyDocs, "text", "doc_id").count() === 0)
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.connectedComponents(emptyPairs).count() === 0)
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    assert(Sampling.capStrata(emptyDocs, "text", "doc_id", 10).count() === 0)
+    val (tr, te) = Sampling.trainTestSplit(emptyDocs, "doc_id", 0.5)
+    assert(tr.count() === 0 && te.count() === 0)
+    // empty benchmark: nothing is contaminated; full corpus survives
+    val toks = Seq((1L, Seq(1, 2, 3))).toDF("doc_id", "tokens")
+    val emptyBench = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("tokens", ArrayType(IntegerType)))))
+    assert(Decontaminate.overlapReport(toks, "tokens", "doc_id", emptyBench, "tokens").count() === 0)
+    assert(Decontaminate.dropContaminated(toks, "tokens", "doc_id", emptyBench, "tokens").count() === 1)
+    // IVF on empty input yields the degenerate model without throwing
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val m = Ivf.train(emptyEmb, "embedding", nlist = 4)
+    assert(m.nlist >= 1)
+  }
 }

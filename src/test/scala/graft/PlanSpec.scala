@@ -82,6 +82,36 @@ class PlanSpec extends SparkSpec {
     assert(v.count() >= 0) // evaluates the defect-gated span projection
   }
 
+  test("decontamination: benchmark side broadcast, corpus side never shuffled") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "array(cast(doc_id as int), 1, 2) as tokens")
+    val bench = Seq(Tuple1(Seq(1, 2, 3))).toDF("tokens")
+    val plan = graft.ops.Decontaminate
+      .overlapReport(corpus, "tokens", "doc_id", bench, "tokens", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(3000))
+    // the only Exchange below the semi-join is the benchmark broadcast +
+    // the final per-id agg — the corpus scan feeds the join directly
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+
+  test("IVF assignment is one narrow projection — no join, no exchange") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.ops.Ivf.Model(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val plan = graft.ops.Ivf.index(embs, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(2000))
+  }
+
+  test("duplicatedSpans: partial aggregation before the exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.Dedup.duplicatedSpans(docs, "text", spanWords = 3, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    val exch = plan.indexOf("Exchange")
+    assert(exch >= 0 && plan.lastIndexOf("HashAggregate") > exch, plan.take(3000))
+  }
+
   test("custom expressions survive FORCED codegen (no silent interpreter fallback)") {
     // CODEGEN_ONLY makes invalid generated Java a hard failure instead of a
     // silent fallback; compare against known-good values
