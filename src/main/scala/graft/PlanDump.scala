@@ -33,6 +33,16 @@ object PlanDump {
     dump("v_range pushdown", SparkEntry.queries("v_range")(spark, "/root/testdata/sf0.001"))
     dump("minhash LSH (bare-id candidate shuffle)",
       ops.Dedup.minhashLsh(docs, "text", "doc_id", numHashes = 32, bands = 8, shingleK = 1))
+    import spark.implicits._
+    val toks = docs.selectExpr("doc_id", "array(cast(doc_id as int), 1, 2, 3) as tokens")
+    val bench = Seq(Tuple1(Seq(1, 2, 3))).toDF("tokens")
+    dump("decontamination (benchmark broadcast, corpus never shuffled)",
+      ops.Decontaminate.overlapReport(toks, "tokens", "doc_id", bench, "tokens", n = 2))
+    dump("deterministic sampling (pure narrow filter)",
+      ops.Sampling.deterministicSample(docs, "doc_id", 0.1))
+    dump("IVF assignment (joinless narrow projection)",
+      ops.Ivf.index(docs.selectExpr("doc_id", "array(cast(doc_id as double), 1.0) as v"),
+        "v", ops.Ivf.Model(Array(Array(0.0, 0.0), Array(100.0, 1.0)))))
     spark.stop()
   }
 }
