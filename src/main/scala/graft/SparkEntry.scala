@@ -138,6 +138,8 @@ object SparkEntry {
     "v_drift_psi" -> ((s, dir) => // rows-only: ln() statistic
       Drift.psi(ld(s, dir, "documents"), "n_chars", "source", 50.0)
         .select(col("source"), col("psi"), col("grp_total"))),
+    "v_drift_psi_fp" -> ((s, dir) =>
+      Drift.psiFixedPoint(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -389,6 +391,30 @@ object SparkEntry {
                     ELSE 0 END * 1000000.0) AS BIGINT) AS term_fp
            FROM cells)
          SELECT grp AS source, CAST(sum(term_fp) AS BIGINT) AS chi2_fp, grp_total
+         FROM terms GROUP BY grp, grp_total""",
+    "v_drift_psi_fp" ->
+      """WITH binned AS (
+           SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin
+           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         obs AS (SELECT grp, bin, count(*) AS obs FROM binned GROUP BY grp, bin),
+         gt AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS grp_total FROM obs GROUP BY grp),
+         bt AS (SELECT bin, CAST(sum(obs) AS BIGINT) AS bin_total FROM obs GROUP BY bin),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM obs),
+         cells AS (
+           SELECT gt.grp, gt.grp_total, bt.bin, bt.bin_total,
+                  COALESCE(obs.obs, 0) AS obs, tot.n_total
+           FROM gt CROSS JOIN bt
+           LEFT JOIN obs ON obs.grp = gt.grp AND obs.bin = bt.bin
+           CROSS JOIN tot),
+         terms AS (
+           SELECT grp, grp_total,
+                  CAST(round((greatest(CAST(obs AS DOUBLE) / grp_total, 0.000001)
+                            - greatest(CAST(bin_total AS DOUBLE) / n_total, 0.000001))
+                        * ln(greatest(CAST(obs AS DOUBLE) / grp_total, 0.000001)
+                           / greatest(CAST(bin_total AS DOUBLE) / n_total, 0.000001))
+                        * 1000000.0) AS BIGINT) AS term_fp
+           FROM cells)
+         SELECT grp AS source, CAST(sum(term_fp) AS BIGINT) AS psi_fp, grp_total
          FROM terms GROUP BY grp, grp_total""",
     "v_drift_ks_fp" ->
       """WITH binned AS (

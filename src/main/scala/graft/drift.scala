@@ -121,6 +121,23 @@ object Drift {
       .select(col("grp").as(groupCol), col("psi"), col("grp_total"))
   }
 
+  /** PSI in FIXED POINT (per-term rounding, integer sum — order-independent
+    * like [[chiSquareFixedPoint]]). ln() must agree bitwise between engines
+    * for oracle use; verified empirically on the fixture data (both JVM and
+    * DuckDB ship correctly-rounded-in-practice libm implementations). */
+  def psiFixedPoint(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double,
+      minP: Double = 1e-6, scale: Double = 1e6): DataFrame = {
+    cells(df, valueCol, groupCol, binWidth)
+      .withColumn("p_g", greatest(col("obs").cast(DoubleType) / col("grp_total"), lit(minP)))
+      .withColumn("p_pool", greatest(col("bin_total").cast(DoubleType) / col("n_total"), lit(minP)))
+      .withColumn("term_fp",
+        round((col("p_g") - col("p_pool")) * log(col("p_g") / col("p_pool")) * scale)
+          .cast(LongType))
+      .groupBy(col("grp"))
+      .agg(sum("term_fp").as("psi_fp"), first("grp_total").as("grp_total"))
+      .select(col("grp").as(groupCol), col("psi_fp"), col("grp_total"))
+  }
+
   /** Exact per-(group, bin) histogram — the oracle-friendly building block
     * (integer counts only, no floating point). */
   def histogram(df: DataFrame, valueCol: String, groupCol: String, binWidth: Double): DataFrame =
