@@ -350,6 +350,8 @@ case class TokenNgramHashes(child: Expression, n: Int)
       case ShortType => (a, i) => a.getShort(i).toLong
       case other => throw new IllegalArgumentException(s"non-integral token array: $other")
     }
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val len = x.numElements()
@@ -357,10 +359,17 @@ case class TokenNgramHashes(child: Expression, n: Int)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i + n <= len) {
+      // windows containing NULL tokens are SKIPPED: ArrayData would read a
+      // null slot as 0, silently aliasing null with token id 0 — a corrupt
+      // window must never match a real one
       var h = 0xcbf29ce484222325L
+      var ok = true
       var j = 0
-      while (j < n) { h = (h ^ get(x, i + j)) * 0x100000001b3L; j += 1 }
-      out.add(HashMix.mix(h))
+      while (ok && j < n) {
+        if (mayContainNull && x.isNullAt(i + j)) ok = false
+        else { h = (h ^ get(x, i + j)) * 0x100000001b3L; j += 1 }
+      }
+      if (ok) out.add(HashMix.mix(h))
       i += 1
     }
     val arr = new Array[Long](out.size)

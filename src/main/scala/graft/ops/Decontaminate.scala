@@ -49,12 +49,16 @@ object Decontaminate {
   }
 
   /** The corpus with contaminated sequences removed (schema preserved) —
-    * anti-join against the overlap report. */
+    * BROADCAST anti-join against the flagged id set, keeping the promise
+    * that the corpus side never shuffles (an unhinted anti-join could plan
+    * as SMJ and shuffle all 10^12 rows). The flagged set is bounded by the
+    * benchmark's reach — tiny in any sane setup; if your whole corpus is
+    * contaminated, dedup is not your problem. */
   def dropContaminated(corpus: DataFrame, tokensCol: String, idCol: String,
       benchmark: DataFrame, benchTokensCol: String,
       n: Int = 13, minOverlap: Int = 1): DataFrame = {
     val flagged = overlapReport(corpus, tokensCol, idCol, benchmark, benchTokensCol,
       n, minOverlap).select(idCol)
-    corpus.join(flagged, Seq(idCol), "left_anti")
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
 }

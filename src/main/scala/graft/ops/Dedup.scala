@@ -156,7 +156,7 @@ object Dedup {
     * candidate count. Integer outputs (inter, uni) keep it oracle-exact. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleK: Int = 1, minJaccard: Double = 0.8,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = 10000, minContainment: Option[Double] = None): DataFrame = {
     val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), shingleK).as("grams")): _*)
@@ -165,7 +165,7 @@ object Dedup {
     val guarded = base.join(broadcast(oversized), blockCols, "left_anti")
     val l = guarded.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
     val r = guarded.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)
-    scorePairs(l.join(r, blockCols).filter(col("id_a") < col("id_b")), minJaccard)
+    scorePairs(l.join(r, blockCols).filter(col("id_a") < col("id_b")), minJaccard, minContainment)
   }
 
   /** Exact n-gram Jaccard for a PRE-COMPUTED candidate-pair frame
@@ -173,30 +173,42 @@ object Dedup {
     * [[simhashPairs]]. Linear in |candidates|: two hash joins re-attach the
     * gram sets, no self-join, no quadratic block risk. */
   def ngramJaccardFor(df: DataFrame, textCol: String, idCol: String,
-      candidates: DataFrame, shingleK: Int = 1, minJaccard: Double = 0.8): DataFrame = {
+      candidates: DataFrame, shingleK: Int = 1, minJaccard: Double = 0.8,
+      minContainment: Option[Double] = None): DataFrame = {
     val grams = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("grams"))
     val pairs = candidates.select("id_a", "id_b")
       .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-    scorePairs(pairs, minJaccard)
+    scorePairs(pairs, minJaccard, minContainment)
   }
 
-  private def scorePairs(pairs: DataFrame, minJaccard: Double): DataFrame =
+  /** A pair passes on symmetric Jaccard ≥ minJaccard OR — when
+    * `minContainment` is set — on containment ≥ minContainment, where
+    * containment = inter / |smaller gram set|. The OR matters: an asymmetric
+    * near-dup (a long doc quoting ALL of a short one) has containment 1.0
+    * but Jaccard ≈ |short|/|long|, which the symmetric filter alone would
+    * drop. Both thresholds use the multiply-form the DuckDB oracle
+    * evaluates (IEEE-identical boundary). */
+  private def scorePairs(pairs: DataFrame, minJaccard: Double,
+      minContainment: Option[Double] = None): DataFrame = {
+    val smaller = least(size(col("g_a")), size(col("g_b")))
+    val jaccardPass =
+      col("inter").cast(DoubleType) >= lit(minJaccard) * col("uni").cast(DoubleType)
+    val pass = minContainment match {
+      case Some(t) => jaccardPass ||
+        col("inter").cast(DoubleType) >= lit(t) * smaller.cast(DoubleType)
+      case None => jaccardPass
+    }
     pairs
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
-      // inter >= t*uni (not inter/uni >= t): multiply-form is what the
-      // DuckDB oracle evaluates — keeps the boundary IEEE-identical
-      .filter(col("uni") > 0 &&
-        col("inter").cast(DoubleType) >= lit(minJaccard) * col("uni").cast(DoubleType))
+      .filter(col("uni") > 0 && pass)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"),
-        // containment = inter / smaller set: catches ASYMMETRIC near-dups
-        // (a doc quoting most of a shorter one) that symmetric Jaccard misses
-        when(least(size(col("g_a")), size(col("g_b"))) > 0,
-          col("inter").cast(DoubleType) /
-            least(size(col("g_a")), size(col("g_b"))).cast(DoubleType))
+        when(smaller > 0,
+          col("inter").cast(DoubleType) / smaller.cast(DoubleType))
           .otherwise(lit(0.0)).as("containment"))
+  }
 
   /** Embedding near-dup: cosine ≥ threshold via LSH candidate buckets (see
     * [[Similarity.cosineLshPairs]]); re-exported here for discoverability. */

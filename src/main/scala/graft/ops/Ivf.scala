@@ -64,56 +64,61 @@ object Ivf {
     val vecs0 =
       if (total <= maxTrainRows) vecsAll
       else {
-        val cut = math.max(1L, (maxTrainRows.toDouble / total * 1000000L).toLong)
-        vecsAll.filter(pmod(xxhash64(col("v")), lit(1000000L)) < cut)
+        // 1e-9 gate granularity: the fraction floor stays honest up to
+        // ~maxTrainRows·1e9 corpus rows (a 1e-6 denominator would 5x-overshoot
+        // the cap already at 10^12 rows)
+        val denom = 1000000000L
+        val cut = math.max(1L, math.round(maxTrainRows.toDouble / total * denom))
+        vecsAll.filter(pmod(xxhash64(col("v")), lit(denom)) < cut)
       }
     val vecs = vecs0.persist() // every Lloyd step re-reads the (small) sample
-    // deterministic init: hash-sample ~32·nlist rows to the driver (tiny),
-    // then farthest-point selection (k-means++ without RNG) — smallest-hash
-    // alone could seed every centroid inside one dense cluster
-    val sample: Array[Array[Double]] = vecs
-      .withColumn("__h", xxhash64(col("v")))
-      .orderBy(col("__h"), col("v").cast(StringType)) // total order even on hash ties
-      .limit(math.max(nlist * 32, 256))
-      .collect()
-      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
-    if (sample.isEmpty) return Model(Array(Array(0.0)))
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
-      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
-    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
-    while (seeds.length < math.min(nlist, sample.length)) {
-      // farthest point from the chosen set; ties resolve to the lowest index
-      val next = sample.iterator.zipWithIndex
-        .map { case (p, i) => (seeds.iterator.map(s => d2(p, s)).min, -i) }
-        .zipWithIndex.maxBy { case ((d, negI), _) => (d, negI) }._2
-      seeds += sample(next)
-    }
-    var centroids: Array[Array[Double]] = seeds.toArray
-    var it = 0
-    while (it < iters) {
-      val model = Model(centroids)
-      // (list, dim)-keyed fixed-point sums: two-phase agg, ≤ nlist×dim rows out
-      val cells = vecs
-        .select(listIdOf(col("v"), model).as("list_id"),
-          posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("list_id"), col("dim"))
-        .agg(sum(round(col("x").cast(DoubleType) * FpScale).cast(LongType)).as("s"),
-          count(lit(1)).as("n"))
+    try {
+      // deterministic init: hash-sample ~32·nlist rows to the driver (tiny),
+      // then farthest-point selection (k-means++ without RNG) — smallest-hash
+      // alone could seed every centroid inside one dense cluster
+      val sample: Array[Array[Double]] = vecs
+        .withColumn("__h", xxhash64(col("v")))
+        .orderBy(col("__h"), col("v").cast(StringType)) // total order even on hash ties
+        .limit(math.max(nlist * 32, 256))
         .collect()
-      val next = centroids.map(_.clone())
-      cells.foreach { r =>
-        val l = r.getInt(0); val d = r.getInt(1)
-        if (l < next.length && d < next(l).length)
-          next(l)(d) = r.getLong(2).toDouble / FpScale / r.getLong(3)
+        .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+      if (sample.isEmpty) return Model(Array(Array(0.0)))
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+        while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+        s
       }
-      centroids = next // lists with no members keep their previous center
-      it += 1
-    }
-    vecs.unpersist()
-    Model(centroids)
+      val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+      while (seeds.length < math.min(nlist, sample.length)) {
+        // farthest point from the chosen set; ties resolve to the lowest index
+        val next = sample.iterator.zipWithIndex
+          .map { case (p, i) => (seeds.iterator.map(s => d2(p, s)).min, -i) }
+          .zipWithIndex.maxBy { case ((d, negI), _) => (d, negI) }._2
+        seeds += sample(next)
+      }
+      var centroids: Array[Array[Double]] = seeds.toArray
+      var it = 0
+      while (it < iters) {
+        val model = Model(centroids)
+        // (list, dim)-keyed fixed-point sums: two-phase agg, ≤ nlist×dim rows out
+        val cells = vecs
+          .select(listIdOf(col("v"), model).as("list_id"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("list_id"), col("dim"))
+          .agg(sum(round(col("x").cast(DoubleType) * FpScale).cast(LongType)).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        cells.foreach { r =>
+          val l = r.getInt(0); val d = r.getInt(1)
+          if (l < next.length && d < next(l).length)
+            next(l)(d) = r.getLong(2).toDouble / FpScale / r.getLong(3)
+        }
+        centroids = next // lists with no members keep their previous center
+        it += 1
+      }
+      Model(centroids)
+    } finally vecs.unpersist() // also covers the empty-sample early return and throws
   }
 
   /** The corpus with its IVF list assignment attached — persist this

@@ -80,7 +80,6 @@ class EdgeSpec extends SparkSpec {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
     assert(Dedup.connectedComponents(emptyPairs).count() === 0)
-    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     assert(Sampling.capStrata(emptyDocs, "text", "doc_id", 10).count() === 0)
     val (tr, te) = Sampling.trainTestSplit(emptyDocs, "doc_id", 0.5)
     assert(tr.count() === 0 && te.count() === 0)

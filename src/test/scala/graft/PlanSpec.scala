@@ -84,16 +84,27 @@ class PlanSpec extends SparkSpec {
 
   test("decontamination: benchmark side broadcast, corpus side never shuffled") {
     import spark.implicits._
-    val corpus = spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("doc_id", "array(cast(doc_id as int), 1, 2) as tokens")
-    val bench = Seq(Tuple1(Seq(1, 2, 3))).toDF("tokens")
-    val plan = graft.ops.Decontaminate
-      .overlapReport(corpus, "tokens", "doc_id", bench, "tokens", n = 2)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(3000))
-    // the only Exchange below the semi-join is the benchmark broadcast +
-    // the final per-id agg — the corpus scan feeds the join directly
-    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    // static plan (AQE off) so the join subtree is directly inspectable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "array(cast(doc_id as int), 1, 2) as tokens")
+      val bench = Seq(Tuple1(Seq(1, 2, 3))).toDF("tokens")
+      val exec = graft.ops.Decontaminate
+        .overlapReport(corpus, "tokens", "doc_id", bench, "tokens", n = 2)
+        .queryExecution.executedPlan
+      val bhj = exec.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.isDefined, exec.toString.take(3000))
+      assert(bhj.get.joinType.toString == "LeftSemi")
+      // THE claim: no shuffle anywhere between the corpus scan and the join
+      val corpusSideShuffles = bhj.get.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(corpusSideShuffles.isEmpty, bhj.get.left.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("IVF assignment is one narrow projection — no join, no exchange") {

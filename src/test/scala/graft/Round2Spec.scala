@@ -186,6 +186,34 @@ class Round2Spec extends SparkSpec {
     assert(got === Set((100L, 101L))) // the 50-row block never produced pairs
   }
 
+  test("minContainment surfaces asymmetric near-dups that symmetric Jaccard drops") {
+    val short = (1 to 10).map(i => s"w$i")
+    val long = short ++ (11 to 100).map(i => s"w$i") // contains ALL of short
+    val df = Seq((1L, long.mkString(" "), "s"), (2L, short.mkString(" "), "s"))
+      .toDF("doc_id", "text", "src")
+    // jaccard = 10/100 = 0.1 < 0.8 -> symmetric filter alone finds nothing
+    val sym = Dedup.ngramJaccard(df, "text", "doc_id", Seq("src"), minJaccard = 0.8)
+    assert(sym.count() === 0)
+    // containment = 10/10 = 1.0 -> the OR filter surfaces the quotation pair
+    val got = Dedup.ngramJaccard(df, "text", "doc_id", Seq("src"),
+      minJaccard = 0.8, minContainment = Some(0.9)).collect()
+    assert(got.length === 1 && got.head.getAs[Double]("containment") === 1.0)
+  }
+
+  test("TokenNgramHashes: windows containing NULL tokens never match real windows") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Seq[Integer](5, null, 7)),
+      org.apache.spark.sql.Row(2L, Seq[Integer](5, 0, 7)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("tokens", ArrayType(IntegerType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val h = df.select(col("doc_id"), Decontaminate.spanHashes(col("tokens"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h(1L).isEmpty)      // null-bearing window skipped entirely
+    assert(h(2L).size === 1)   // the real (5,0,7) window hashes normally
+  }
+
   test("ngramJaccardFor: candidate verification matches the blocked self-join") {
     val df = Seq(
       (1L, "alpha beta gamma delta", "s"),
