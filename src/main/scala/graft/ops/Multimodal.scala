@@ -89,6 +89,19 @@ object Multimodal {
     ds.mapPartitions(_.map(m => m.copy(feature = m.feature.take(dims))))
   }
 
+  /** Frame-sample stage (stub): keep every `everyN`-th feature slot and
+    * scale n_frames accordingly — the video analog of resize, deterministic,
+    * chained per-partition like a real frame sampler would be. */
+  def sampleFrames(ds: Dataset[MediaFeatures], everyN: Int): Dataset[MediaFeatures] = {
+    require(everyN > 0, "everyN > 0")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      m.copy(
+        n_frames = math.max(1, (m.n_frames + everyN - 1) / everyN),
+        feature = m.feature.zipWithIndex.collect { case (v, i) if i % everyN == 0 => v })
+    })
+  }
+
   /** Pure-SQL metadata profile of a binary table — the oracle-checkable part
     * (byte length, format mix) needs no decode at all and pushes down. */
   def metaProfile(df: DataFrame): DataFrame =

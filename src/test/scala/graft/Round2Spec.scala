@@ -443,6 +443,19 @@ class Round2Spec extends SparkSpec {
     assert(ratios(1L) === 1L && ratios(4L) === 0L) // docs 1-3 contain the span once
   }
 
+  test("Multimodal.sampleFrames: deterministic frame downsample") {
+    val bin = Multimodal.asBinaryTable(
+      Seq((1L, "some media payload content here")).toDF("doc_id", "text"), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(spark, bin)
+    val sampled = Multimodal.sampleFrames(feats, everyN = 2).head()
+    val orig = feats.head()
+    assert(sampled.feature.length === (orig.feature.length + 1) / 2)
+    assert(sampled.n_frames === math.max(1, (orig.n_frames + 1) / 2))
+    assert(sampled.feature.toSeq === orig.feature.zipWithIndex.collect {
+      case (v, i) if i % 2 == 0 => v
+    }.toSeq)
+  }
+
   test("TextAnalysis.topTerms: document frequency with deterministic ties") {
     val df = Seq(
       (1L, "alpha beta alpha"), // alpha counted once per doc (DF, not TF)
