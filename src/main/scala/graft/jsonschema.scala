@@ -140,20 +140,25 @@ object JsonSchema {
         maxV.map(v => if (maxX) Math.nextDown(v) else v))
     }
 
-    def enumValues(e: JsonNode): (Seq[Any], Boolean) = {
-      val values = e.elements().asScala.map { v =>
+    /** (non-null values, use-epsilon-compare, had a JSON null entry).
+      * JSON `null` entries are tracked separately — mapping NullNode via
+      * toString would admit the literal STRING "null" on a string column. */
+    def enumValues(e: JsonNode): (Seq[Any], Boolean, Boolean) = {
+      val all = e.elements().asScala.toSeq
+      val hadNull = all.exists(_.isNull)
+      val values = all.filterNot(_.isNull).map { v =>
         if (v.isTextual) v.asText()
         else if (v.isIntegralNumber) v.asLong()
         else if (v.isNumber) v.asDouble()
         else if (v.isBoolean) v.asBoolean()
         else v.toString
-      }.toSeq
+      }
       val fractional = values.exists {
         case d: Double => d != Math.floor(d) || d.isInfinite
         case _ => false
       }
       val allNumeric = values.forall(_.isInstanceOf[Number])
-      (values, fractional && allNumeric)
+      (values, fractional && allNumeric, hadNull)
     }
 
     def jsonTypes(n: JsonNode): List[String] =
@@ -195,19 +200,24 @@ object JsonSchema {
 
       // ---- const / enum (fractional float enums ⇒ EPSILON compare).
       // Both present (legal draft-07): they apply independently, so compile
-      // the INTERSECTION — two EnumIn's would collide on the id.
+      // the INTERSECTION — two EnumIn's would collide on the id. Null
+      // entries: EnumIn already passes null rows, so a null-INCLUDING enum
+      // is EnumIn over the non-null values; a null-ONLY enum/const is IsNull.
+      def emitEnum(vs: Seq[Any], eps: Boolean, hadNull: Boolean): Unit =
+        if (vs.nonEmpty) out += EnumIn(col, vs, epsilon = if (eps) F64Epsilon else 0.0)
+        else if (hadNull) out += IsNull(col)
+        else out += Never(s"never($col:empty enum)")
       val enumVs = Option(node.get("enum")).filter(_.isArray).map(enumValues)
       val constVs = Option(node.get("const"))
         .map(c => enumValues(mapper.createArrayNode().add(c.deepCopy[JsonNode]())))
       (enumVs, constVs) match {
-        case (Some((evs, eEps)), Some((cvs, cEps))) =>
+        case (Some((evs, eEps, eNull)), Some((cvs, cEps, cNull))) =>
           val inter = evs.filter(cvs.contains)
-          if (inter.isEmpty) out += Never(s"never($col:enum/const disjoint)")
-          else out += EnumIn(col, inter, epsilon = if (eEps || cEps) F64Epsilon else 0.0)
-        case (Some((evs, eps)), None) =>
-          out += EnumIn(col, evs, epsilon = if (eps) F64Epsilon else 0.0)
-        case (None, Some((cvs, eps))) =>
-          out += EnumIn(col, cvs, epsilon = if (eps) F64Epsilon else 0.0)
+          val bothNull = eNull && cNull
+          if (inter.isEmpty && !bothNull) out += Never(s"never($col:enum/const disjoint)")
+          else emitEnum(inter, eEps || cEps, bothNull)
+        case (Some((evs, eps, hadNull)), None) => emitEnum(evs, eps, hadNull)
+        case (None, Some((cvs, eps, hadNull))) => emitEnum(cvs, eps, hadNull)
         case _ => ()
       }
 
@@ -261,7 +271,7 @@ object JsonSchema {
             out += ArrayElemRange(col,
               lo.getOrElse(Double.NegativeInfinity), hi.getOrElse(Double.PositiveInfinity))
           Option(itR.get("enum")).filter(_.isArray).foreach { e =>
-            out += ArrayElemIn(col, enumValues(e)._1)
+            out += ArrayElemIn(col, enumValues(e)._1) // null elems fail isin → violations, as intended
           }
           txt(itR, "pattern").foreach(p => out += ArrayElemPattern(col, p))
           val eMinL = intOpt(itR, "minLength"); val eMaxL = intOpt(itR, "maxLength")
@@ -410,6 +420,18 @@ object JsonSchema {
     }
 
     val rootR = resolve(root, 0)
+    // Root-level structural keywords the loader does not compile (allOf /
+    // anyOf / if-then-else / patternProperties / dependencies / enum / …)
+    // must be ERRORS — a silently-ignored root combinator under-validates.
+    // `type` is handled below (must be "object"); properties / required /
+    // additionalProperties / definitions are compiled.
+    flagUnsupported(rootR,
+      Set("type", "properties", "required", "additionalProperties", "definitions"),
+      "<root>")
+    val rootTypes = jsonTypes(rootR)
+    if (rootTypes.nonEmpty && rootTypes != List("object"))
+      errors += SuiteError.Unsupported("<root>",
+        s"root type must be 'object', got ${rootTypes.mkString("|")}")
     val props = Option(rootR.get("properties"))
       .map(p => p.properties().asScala.map(e => e.getKey -> e.getValue).toList)
       .getOrElse {

@@ -162,6 +162,15 @@ object Dedup {
         shingles(col(textCol), shingleK).as("grams")): _*)
     val oversized = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlock).select(blockCols.map(col): _*)
+    // no silent caps: when the guard is active, count the dropped blocks
+    // eagerly (one small agg job — the price of visibility) and say so
+    if (maxBlock != Int.MaxValue) {
+      val dropped = oversized.count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ngramJaccard: dropping $dropped block(s) larger than maxBlock=$maxBlock " +
+            "(their pairs are NOT scored; use minhashLsh + ngramJaccardFor for hot blocks)")
+    }
     val guarded = base.join(broadcast(oversized), blockCols, "left_anti")
     val l = guarded.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
     val r = guarded.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)
@@ -234,33 +243,49 @@ object Dedup {
     * passage detector (and the contamination-analysis primitive): word
     * `spanWords`-grams appearing in ≥ `minDocs` DISTINCT documents.
     * `word_shingles` is per-document distinct, so the count after explode IS
-    * document frequency — one narrow projection, one two-phase hash agg.
-    * Returns (span, n_docs). */
+    * document frequency. Returns (span, n_docs).
+    *
+    * Scale shape: the document-frequency aggregation is keyed by
+    * `xxhash64(span)` — 8 bytes on the wire instead of the raw 10-word
+    * string — so the big shuffle carries (hash, partial count) only. The
+    * human-readable exemplar span re-attaches afterwards via a broadcast
+    * join bounded by the (tiny) over-threshold set. The corpus is scanned
+    * twice (count pass + exemplar pass); at scale two narrow scans beat one
+    * string-keyed shuffle by ~the average span length. 64-bit hashing can in
+    * principle merge two distinct spans (birthday bound ~2^-24 at 10^6
+    * distinct spans) — acceptable for a frequency detector. */
   def duplicatedSpans(df: DataFrame, textCol: String,
-      spanWords: Int = 10, minDocs: Int = 2): DataFrame =
-    df.select(explode(shingles(col(textCol), spanWords)).as("span"))
-      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      spanWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = df.select(explode(shingles(col(textCol), spanWords)).as("span"))
+    val hot = spans.groupBy(xxhash64(col("span")).as("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    spans.join(broadcast(hot), xxhash64(col("span")) === col("h"))
+      .groupBy(col("h"), col("n_docs")).agg(min(col("span")).as("span"))
+      .select(col("span"), col("n_docs"))
+  }
 
   /** Per-document boilerplate ratio: the fraction of a doc's spans that are
     * corpus-duplicated (≥ `minDocs` docs). High ratio ⇒ templated/boiler-
     * plate content — a standard quality-filter signal. Two aggregations and
-    * one semi-join, all keyed by span/doc hashes; no all-pairs anything. */
+    * one semi-join, all keyed by 64-bit span hashes (strings never shuffle);
+    * no all-pairs anything. The (id, hash) projection is COMPUTED TWICE
+    * (duplicate-set agg + semi-join) rather than persisted — the exploded
+    * span set is usually LARGER than the corpus, so caching it would cost
+    * more memory than re-running one narrow codegen'd scan. */
   def boilerplateRatio(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 10, minDocs: Int = 2): DataFrame = {
-    // persisted: read by the duplicate-set agg and the semi-join
-    // (released by Spark's LRU; one-shot callers can clearCache)
-    val spans = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), spanWords)).as("span")).persist()
-    val dup = spans.groupBy("span").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minDocs).select("span")
+    def spansH = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), spanWords)).as("span"))
+      .select(col("id"), xxhash64(col("span")).as("h"))
+    val dup = spansH.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDocs).select("h")
     // per-doc span counts come from df directly (size of the shingle array,
     // no explode) so SHORT/NULL docs keep a row with n_spans=0 — the output
     // is one row per input document, as a per-document signal must be
     val perDoc = df.select(col(idCol).as("id"),
       greatest(coalesce(size(shingles(col(textCol), spanWords)), lit(0)), lit(0))
         .cast(LongType).as("n_spans"))
-    val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
+    val dupPerDoc = spansH.join(dup, Seq("h"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_boiler"))
     perDoc.join(dupPerDoc, Seq("id"), "left")
       .na.fill(0L, Seq("n_boiler"))

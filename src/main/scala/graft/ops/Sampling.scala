@@ -22,9 +22,21 @@ object Sampling {
     * it, capStrata over a trainTestSplit train side (gate ≥ cut₁) filtering
     * gate < cut₂ could silently empty a stratum. Within one op, the same
     * salt still nests (sample(0.1) ⊆ sample(0.3)) — that property is per-op
-    * by design. */
-  private def gate(key: Column, opTag: Long, salt: Long): Column =
-    pmod(xxhash64(key, lit(opTag), lit(salt)), lit(Denom))
+    * by design.
+    *
+    * NULL keys: xxhash64 skips null inputs, so every null-key row would
+    * share ONE gate value — all sampled or none, never `fraction` of them.
+    * Null keys fall back to the FULL ROW hash: still a pure function of row
+    * content (deterministic at any parallelism, stable across reruns), but
+    * each distinct null-key row gates independently. Identical null-key
+    * rows still move together — use a genuinely unique key for per-row
+    * independence. */
+  private def gate(df: DataFrame, keyCol: String, opTag: Long, salt: Long): Column = {
+    val key = col(keyCol)
+    val keyed = xxhash64(key, lit(opTag), lit(salt))
+    val rowHash = xxhash64(df.columns.map(col) :+ lit(opTag) :+ lit(salt): _*)
+    pmod(when(key.isNull, rowHash).otherwise(keyed), lit(Denom))
+  }
 
   private val TagSample = 1L
   private val TagSplit = 2L
@@ -36,7 +48,7 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: Long = 0L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(gate(col(keyCol), TagSample, salt) < (fraction * Denom).toLong)
+    df.filter(gate(df, keyCol, TagSample, salt) < (fraction * Denom).toLong)
   }
 
   /** Disjoint, exhaustive train/test split on the same hash gate — a row is
@@ -45,7 +57,7 @@ object Sampling {
       salt: Long = 0L): (DataFrame, DataFrame) = {
     require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
     val cut = (testFraction * Denom).toLong
-    val g = gate(col(keyCol), TagSplit, salt)
+    val g = gate(df, keyCol, TagSplit, salt)
     (df.filter(g >= cut), df.filter(g < cut))
   }
 
@@ -61,7 +73,7 @@ object Sampling {
     val cut = fractions.toSeq.sortBy(_._1).foldRight(lit((defaultFraction * Denom).toLong)) {
       case ((s, f), acc) => when(col(strataCol) === s, lit((f * Denom).toLong)).otherwise(acc)
     }
-    df.filter(gate(col(keyCol), TagStratified, salt) < cut)
+    df.filter(gate(df, keyCol, TagStratified, salt) < cut)
   }
 
   /** Cap each stratum at ~`maxRows`: counts strata (one small agg), derives
@@ -84,7 +96,7 @@ object Sampling {
         val cond = if (s == null) col(strataCol).isNull else col(strataCol) === lit(s)
         when(cond, lit((maxRows.toDouble / n * Denom).toLong)).otherwise(acc)
       }
-      df.filter(gate(col(keyCol), TagCap, salt) < cut)
+      df.filter(gate(df, keyCol, TagCap, salt) < cut)
     }
   }
 }
