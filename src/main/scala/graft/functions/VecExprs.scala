@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,6 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions do the whole array in one tight JVM loop per row, so the
   * interpretation overhead is per-row. Measured on the LSH pair-scoring
   * stage this is a ~10× win over the HOF formulation (see BENCH notes).
+  *
+  * EVERY expression here implements `doGenCode` — one CodegenFallback
+  * expression evicts its whole Project/Filter stage from whole-stage
+  * codegen, so a single interpreted kernel would make every OTHER column in
+  * the signature projection pay interpreted eval too. The simple scalar
+  * kernels (VecDot, ArrayAllInRange) inline a primitive loop; the
+  * buffer-building kernels (shingles, MinHash, token n-grams, …) embed a
+  * reference to the expression and call its `compute` method — the stage
+  * stays compiled, the kernel stays one JVM method, and the only per-row
+  * overhead is a virtual call.
   *
   * All are deterministic pure functions — safe anywhere in the plan.
   */
@@ -85,18 +95,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
-/** sqrt(dot(a, a)). */
-case class VecNorm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** sqrt(dot(a, a)). `doGenCode` keeps the host stage inside whole-stage
+  * codegen (one interpreted expression evicts the WHOLE stage); the kernel
+  * itself runs as one JVM method via an embedded reference — same loop, no
+  * per-row boxing beyond the ArrayData handle. */
+case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   @transient private lazy val get = VecGetter.forType(child.dataType)
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  def compute(x: ArrayData): Double = {
     var s = 0.0
     var i = 0
     val n = x.numElements()
     while (i < n) { val v = get(x, i); s += v * v; i += 1 }
     math.sqrt(s)
+  }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecNorm", this, classOf[VecNorm].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -124,12 +140,11 @@ object HashMix {
   * `numHashes` mixes per shingle — the classic one-hash + derived-permutation
   * scheme. */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(j => HashMix.mix(0x9e3779b97f4a7c15L * (j + 1)))
-  override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -145,16 +160,19 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** SimHash64 over string shingles: bit i of the result is the sign of the
   * shingle-count-weighted sum of hash bit i. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counters = new Array[Int](64)
     var i = 0
@@ -172,6 +190,11 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -180,7 +203,7 @@ case class SimHash64(child: Expression)
   * hyperplane dots. Hyperplane weights derive from mix(plane, dim) — no
   * driver-side randomness, reproducible at any parallelism. */
 case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val planes = bands * planesPerBand
   // weight(p, d) ∈ {-2,-1,0,1,2}; materialized lazily per executor for the
@@ -188,8 +211,7 @@ case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
   @inline private def weight(p: Int, d: Int): Double =
     (java.lang.Math.floorMod(HashMix.mix((p.toLong << 32) | (d & 0xffffffffL)), 5L) - 2L).toDouble
   @transient private lazy val get = VecGetter.forType(child.dataType)
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  def compute(x: ArrayData): ArrayData = {
     val dim = x.numElements()
     val out = new Array[Long](bands)
     var b = 0
@@ -208,6 +230,11 @@ case class SignLshBands(child: Expression, bands: Int, planesPerBand: Int)
       b += 1
     }
     new GenericArrayData(out)
+  }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signLsh", this, classOf[SignLshBands].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -275,11 +302,10 @@ case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
   * joined by single spaces. Replaces a 5-op HOF pipeline
   * (regexp_replace→split→filter→transform/slice/array_join→distinct), each
   * stage of which re-walks the text with interpreted lambdas. */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(a: Any): Any = {
-    val text = a.asInstanceOf[UTF8String].toString
+  def compute(s: UTF8String): ArrayData = {
+    val text = s.toString
     val words = new scala.collection.mutable.ArrayBuffer[String](64)
     val sb = new java.lang.StringBuilder(16)
     var i = 0
@@ -307,6 +333,11 @@ case class WordShingles(child: Expression, k: Int)
     while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
     new GenericArrayData(arr)
   }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -315,18 +346,32 @@ case class WordShingles(child: Expression, k: Int)
   * (signatures are fixed-width by construction; a mismatch means corrupt
   * input, not "compare the shorter prefix"). */
 case class LongArrayEqCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** Caller guarantees equal lengths (the null case is handled outside). */
+  def compute(x: ArrayData, y: ArrayData): Int = {
     val n = x.numElements()
-    if (n != y.numElements()) return null
     var c = 0
     var i = 0
     while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
     c
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else compute(x, y)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("eqCount", this, classOf[LongArrayEqCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.compute($a, $b);
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -340,7 +385,7 @@ case class LongArrayEqCount(left: Expression, right: Expression)
   * negligible at 10^12-sequence scale (birthday bound ≈ 2^-20 per 10^6
   * distinct spans). */
 case class TokenNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0, "n > 0")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val get: (ArrayData, Int) => Long =
@@ -352,8 +397,7 @@ case class TokenNgramHashes(child: Expression, n: Int)
     }
   @transient private lazy val mayContainNull =
     child.dataType.asInstanceOf[ArrayType].containsNull
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  def compute(x: ArrayData): ArrayData = {
     val len = x.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Long])
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -378,6 +422,11 @@ case class TokenNgramHashes(child: Expression, n: Int)
     while (it.hasNext) { arr(m) = it.next(); m += 1 }
     new GenericArrayData(arr)
   }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNgrams", this, classOf[TokenNgramHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -386,12 +435,11 @@ case class TokenNgramHashes(child: Expression, n: Int)
   * are the trained model, nlist×dim doubles — a few KB), so assignment is one
   * narrow codegen-stage-friendly pass with no join. */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty, "NearestCentroid requires >= 1 centroid")
   override def dataType: DataType = IntegerType
   @transient private lazy val get = VecGetter.forType(child.dataType)
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  def compute(x: ArrayData): Int = {
     val dim = x.numElements()
     var best = 0
     var bestD = Double.MaxValue
@@ -406,6 +454,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       c += 1
     }
     best
+  }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
