@@ -164,6 +164,10 @@ object SparkEntry {
       ld(s, dir, "embeddings")
         .filter(!exists(col("embedding"), x => x > lit(0.4)))
         .select(col("vec_id"))),
+    "a_contains_schema" -> ((s, dir) => { // C13 general form: contains-SCHEMA
+      val c = ArrayContainsSchema("embedding", Seq(ElemRange(0.3, 0.4)))
+      ld(s, dir, "embeddings").filter(!c.pred).select(col("vec_id"))
+    }),
     // ---- dedup ----
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")
@@ -474,6 +478,9 @@ object SparkEntry {
     "a_contains" ->
       """SELECT vec_id FROM embeddings
          WHERE len(list_filter(embedding, x -> x > 0.4)) = 0""",
+    "a_contains_schema" ->
+      """SELECT vec_id FROM embeddings
+         WHERE len(list_filter(embedding, x -> x >= 0.3 AND x <= 0.4)) = 0""",
     "d_dedup_exact" ->
       """SELECT md5(text) AS sig, count(*) AS n, min(doc_id) AS keep_id
          FROM documents GROUP BY md5(text) HAVING count(*) > 1""",

@@ -384,6 +384,84 @@ final case class ArrayContainsValue(col: String, value: Any) extends RowConstrai
   protected def actualCol = slice(c, 1, 8).cast(StringType)
 }
 
+/** Element-level predicate — the building block for the GENERAL `contains`
+  * schema (C13 completion). Each maps one contains-subschema keyword to a
+  * Column predicate over a single element. */
+sealed trait ElemPred {
+  def ok(x: Column): Column
+  def describe: String
+  /** Element-type requirement: "numeric", "string", or "any". */
+  def needs: String
+  def selfCheck(ctx: String): List[SuiteError] = Nil
+}
+/** minimum/maximum (inclusive-normalized by the loader). */
+final case class ElemRange(min: Double, max: Double) extends ElemPred {
+  def ok(x: Column) = x.cast(DoubleType) >= min && x.cast(DoubleType) <= max
+  def describe = s"in [$min,$max]"
+  def needs = "numeric"
+  override def selfCheck(ctx: String) =
+    if (min > max) List(SuiteError.InvalidBounds(ctx, min, max)) else Nil
+}
+/** enum membership. */
+final case class ElemEnum(values: Seq[Any]) extends ElemPred {
+  def ok(x: Column) = x.isin(values: _*)
+  def describe = s"in {${values.take(8).mkString(",")}${if (values.size > 8) ",…" else ""}}"
+  def needs = "any"
+  override def selfCheck(ctx: String) =
+    if (values.isEmpty) List(SuiteError.EmptyEnum(ctx)) else Nil
+}
+/** pattern (find-anywhere, like the reference's Regex::is_match). */
+final case class ElemPatternPred(pattern: String) extends ElemPred {
+  def ok(x: Column) = x.rlike(pattern)
+  def describe = s"matches $pattern"
+  def needs = "string"
+  override def selfCheck(ctx: String) =
+    scala.util.Try(java.util.regex.Pattern.compile(pattern)) match {
+      case scala.util.Failure(e) => List(SuiteError.InvalidPattern(pattern, e.getMessage))
+      case _ => Nil
+    }
+}
+/** minLength/maxLength in characters. */
+final case class ElemLengthPred(min: Option[Int], max: Option[Int]) extends ElemPred {
+  def ok(x: Column) = {
+    val n = length(x)
+    min.map(a => n >= a).getOrElse(lit(true)) && max.map(b => n <= b).getOrElse(lit(true))
+  }
+  def describe = s"length in [${min.getOrElse(0)},${max.map(_.toString).getOrElse("inf")}]"
+  def needs = "string"
+  override def selfCheck(ctx: String) = (min, max) match {
+    case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(ctx, a, b))
+    case _ => Nil
+  }
+}
+
+/** C13 GENERAL form — `contains` with a full subschema (the reference
+  * validates every element against the contains-SCHEMA and requires ≥1 to
+  * pass, `schema.rs:698-706`; MustContain error at the sequence's end,
+  * `schema.rs:773-784`): at least one element must satisfy ALL of `preds`.
+  * One `exists()` per row — short-circuits on the first match, no explode.
+  * Null elements never match (a corrupt slot can't witness containment);
+  * a null ARRAY passes, per the engine's null stance. */
+final case class ArrayContainsSchema(col: String, preds: Seq[ElemPred]) extends RowConstraint {
+  import Constraints._
+  val id = s"containsSchema($col)"
+  def selfCheck(s: StructType) = {
+    val base =
+      if (preds.isEmpty) List(SuiteError.EmptyEnum(id))
+      else if (preds.exists(_.needs == "numeric")) requireNumericArray(s, col, id)
+      else if (preds.exists(_.needs == "string")) requireStringArray(s, col, id)
+      else requireArray(s, col, id)
+    base ++ preds.toList.flatMap(_.selfCheck(id))
+  }
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def elemOk(x: Column) =
+    coalesce(preds.map(_.ok(x)).reduceOption(_ && _).getOrElse(lit(true)), lit(false))
+  def pred = c.isNull || coalesce(exists(c, elemOk _), lit(false))
+  protected def pathStr = col
+  protected def boundStr = s"must contain elem ${preds.map(_.describe).mkString(" and ")}"
+  protected def actualCol = slice(c, 1, 8).cast(StringType)
+}
+
 /** C15/C16 minItems/maxItems (schema.rs:787-805). */
 final case class ArraySizeBounds(col: String, min: Option[Int] = None, max: Option[Int] = None)
     extends RowConstraint {
@@ -568,6 +646,36 @@ final case class MapKeyPattern(col: String, pattern: String) extends RowConstrai
   }
   protected def pathStr = col
   protected def boundStr = s"key pattern $pattern"
+  protected def actualCol = c.cast(StringType)
+}
+
+/** C20 propertyNames — general-schema completion: every key's CHARACTER
+  * length within bounds (the reference routes names through a full schema,
+  * schema.rs:874-883; length is the other expressible name keyword next to
+  * pattern). Violations per offending key, path `col.<key>`. */
+final case class MapKeyLength(col: String, min: Option[Int] = None, max: Option[Int] = None)
+    extends RowConstraint {
+  import Constraints._
+  val id = s"mapKeyLength($col)"
+  def selfCheck(s: StructType) = Constraints.requireMap(s, col, id) ++
+    ((min, max) match {
+      case (Some(a), Some(b)) if a > b => List(SuiteError.InvalidBounds(id, a, b))
+      case _ => Nil
+    })
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def keyOk(k: Column) = {
+    val n = length(k)
+    min.map(a => n >= a).getOrElse(lit(true)) && max.map(b => n <= b).getOrElse(lit(true))
+  }
+  def pred = c.isNull || forall(map_keys(c), keyOk _)
+  override def vios: Column = {
+    val bad = org.apache.spark.sql.functions.filter(map_keys(c), (k: Column) => !keyOk(k))
+    val entries = transform(bad, (k: Column) =>
+      entry(id, concat(lit(col + "."), k), boundStr, length(k)))
+    when(coalesce(pred, lit(false)), noVios).otherwise(entries).cast(vioArrayType)
+  }
+  protected def pathStr = col
+  protected def boundStr = s"key length in [${min.getOrElse(0)},${max.map(_.toString).getOrElse("inf")}]"
   protected def actualCol = c.cast(StringType)
 }
 

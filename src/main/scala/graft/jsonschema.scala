@@ -25,15 +25,18 @@ import scala.jdk.CollectionConverters._
   * | items (object form)    | ArrayElemRange / ArrayElemIn / ArrayElemPattern / ArrayElemLength / JsonTypeIs(element) (C11) |
   * | items (tuple form)     | ArrayElemAtRange per position (C12, schema.rs:718-726) |
   * | additionalItems        | ArrayTailRange; `false` ⇒ maxItems=prefix (schema.rs:727-735) |
+  * | items[i]: false        | maxItems = i (merged into one ArraySizeBounds) |
   * | contains.const         | ArrayContainsValue (C13) |
+  * | contains (schema form) | ArrayContainsSchema over ElemPreds: range/enum/pattern/length; type ⇒ element type + minItems 1 (C13 general, schema.rs:698-706) |
   * | minItems/maxItems      | ArraySizeBounds (C15/C16) |
   * | uniqueItems            | ArrayUniqueItems (C14) |
   * | properties (nested)    | struct column ⇒ dotted-path recursion; map column ⇒ MapValueRange (C17) |
   * | patternProperties      | MapValueRange(keyPattern) (C18) |
   * | additionalProperties:false | struct/root ⇒ StructKeysIn (static); map ⇒ MapKeysIn (C19) |
-  * | propertyNames.pattern  | MapKeyPattern (C20) |
+  * | propertyNames          | pattern ⇒ MapKeyPattern; min/maxLength ⇒ MapKeyLength; enum ⇒ MapKeysIn; type:"string" static (C20 general, schema.rs:874-883) |
   * | required (nested)      | struct ⇒ NonNull(dotted); map ⇒ MapRequiredKeys (C21) |
   * | min/maxProperties      | MapSizeBounds (C22) |
+  * | dependencies           | IfThenElse(present(K) ⇒ required/schema) at root, struct, and map levels (draft-07; reference omits it) |
   * | allOf/anyOf/oneOf/not  | All/AnyOf/OneOf/NotC (K1-K3, K5) |
   * | if/then/else           | IfThenElse (K4) |
   * | $ref #/definitions/X   | inline expansion (K6; missing ⇒ MissingDefinition) |
@@ -222,6 +225,13 @@ object JsonSchema {
       }
 
       // ---- arrays
+      // size caps accumulated from items:false / positional-false /
+      // additionalItems:false merge into ONE ArraySizeBounds with
+      // minItems/maxItems below (several same-id constraints would collide)
+      var capMax: Option[Int] = None
+      def cap(m: Int): Unit = capMax = Some(capMax.fold(m)(math.min(m, _)))
+      var floorMin: Option[Int] = None // contains:true / type-only contains ⇒ ≥1 element
+      def floor(m: Int): Unit = floorMin = Some(floorMin.fold(m)(math.max(m, _)))
       Option(node.get("items")).foreach { it =>
         if (it.isArray) {
           // tuple form (C12): per-position bounds; one Catalyst element type
@@ -230,8 +240,10 @@ object JsonSchema {
           subs.zipWithIndex.foreach { case (s0, i) =>
             val s = if (s0.isBoolean) s0 else resolve(s0, depth)
             if (s.isBoolean) {
-              if (!s.asBoolean())
-                errors += SuiteError.Unsupported(s"$col.items[$i]", "false positional schema")
+              // a FALSE positional schema means "index i must not exist" —
+              // expressible as maxItems = i (reference: not_bool_schema!,
+              // macros.rs:6-24)
+              if (!s.asBoolean()) cap(i)
             } else {
               val (lo, hi) = inclusiveBounds(s)
               if (lo.isDefined || hi.isDefined)
@@ -247,7 +259,7 @@ object JsonSchema {
           }
           Option(node.get("additionalItems")).foreach { ai =>
             if (ai.isBoolean) {
-              if (!ai.asBoolean()) out += ArraySizeBounds(col, None, Some(subs.length))
+              if (!ai.asBoolean()) cap(subs.length)
             } else {
               val aiR = resolve(ai, depth)
               val (lo, hi) = inclusiveBounds(aiR)
@@ -261,7 +273,7 @@ object JsonSchema {
             }
           }
         } else if (it.isBoolean) {
-          if (!it.asBoolean()) out += ArraySizeBounds(col, None, Some(0)) // items:false ⇒ only []
+          if (!it.asBoolean()) cap(0) // items:false ⇒ only []
         } else {
           val itR = resolve(it, depth)
           val itTypes = jsonTypes(itR)
@@ -284,8 +296,14 @@ object JsonSchema {
         // draft-07: additionalItems is meaningful only with tuple-form items;
         // elsewhere it is an annotation — ignore, don't error
       }
-      Option(node.get("contains")).foreach { c =>
-        Option(c.get("const")) match {
+      Option(node.get("contains")).foreach { c0 =>
+        val c = if (c0.isBoolean) c0 else resolve(c0, depth)
+        if (c.isBoolean) {
+          // contains:true ⇒ any element witnesses ⇒ minItems 1;
+          // contains:false ⇒ no element can witness ⇒ no array passes
+          if (c.asBoolean()) floor(1)
+          else out += Never(s"never($col:contains false)")
+        } else Option(c.get("const")) match {
           case Some(cst) =>
             val v: Any =
               if (cst.isTextual) cst.asText()
@@ -293,13 +311,42 @@ object JsonSchema {
               else cst.asDouble()
             out += ArrayContainsValue(col, v)
           case None =>
-            // an unexpressible `contains` would silently under-validate
-            errors += SuiteError.Unsupported(s"$col.contains",
-              "only contains.const is supported")
+            // general contains-SCHEMA (C13 completion, schema.rs:698-706):
+            // ≥1 element must satisfy ALL the subschema's keywords
+            val preds = scala.collection.mutable.ListBuffer.empty[ElemPred]
+            val (lo, hi) = inclusiveBounds(c)
+            if (lo.isDefined || hi.isDefined)
+              preds += ElemRange(lo.getOrElse(Double.NegativeInfinity),
+                hi.getOrElse(Double.PositiveInfinity))
+            Option(c.get("enum")).filter(_.isArray).foreach(e => preds += ElemEnum(enumValues(e)._1))
+            txt(c, "pattern").foreach(p => preds += ElemPatternPred(p))
+            val cMinL = intOpt(c, "minLength"); val cMaxL = intOpt(c, "maxLength")
+            if (cMinL.isDefined || cMaxL.isDefined) preds += ElemLengthPred(cMinL, cMaxL)
+            // contains.type: Catalyst element types are uniform, so a
+            // conforming type makes EVERY element a candidate — the static
+            // element-type check plus "≥1 element exists" expresses it
+            val cTypes = jsonTypes(c)
+            if (cTypes.nonEmpty) out += JsonTypeIs(col, cTypes, element = true)
+            if (preds.nonEmpty) out += ArrayContainsSchema(col, preds.toList)
+            else if (cTypes.nonEmpty) floor(1)
+            else errors += SuiteError.Unsupported(s"$col.contains",
+              "contains schema has no expressible keywords")
+            flagUnsupported(c, Set("minimum", "maximum", "exclusiveMinimum",
+              "exclusiveMaximum", "enum", "pattern", "minLength", "maxLength",
+              "type"), s"$col.contains")
         }
       }
       val minI = intOpt(node, "minItems"); val maxI = intOpt(node, "maxItems")
-      if (minI.isDefined || maxI.isDefined) out += ArraySizeBounds(col, minI, maxI)
+      val mergedMax = (maxI, capMax) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      val mergedMin = (minI, floorMin) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      if (mergedMin.isDefined || mergedMax.isDefined)
+        out += ArraySizeBounds(col, mergedMin, mergedMax)
       if (Option(node.get("uniqueItems")).exists(_.asBoolean(false)))
         out += ArrayUniqueItems(col)
 
@@ -373,16 +420,72 @@ object JsonSchema {
               }
             }
           }
-          Option(node.get("propertyNames")).foreach { pn =>
-            txt(pn, "pattern") match {
-              case Some(p) => out += MapKeyPattern(col, p)
-              case None => errors += SuiteError.Unsupported(s"$col.propertyNames",
-                "only propertyNames.pattern is supported")
+          // propertyNames general schema (C20 completion, schema.rs:874-883):
+          // keys are strings, so pattern / length / enum / type:"string" are
+          // the expressible name keywords
+          Option(node.get("propertyNames")).foreach { pn0 =>
+            val pn = if (pn0.isBoolean) pn0 else resolve(pn0, depth)
+            if (pn.isBoolean) {
+              if (!pn.asBoolean()) out += MapSizeBounds(col, None, Some(0)) // no key is valid
+            } else {
+              var any = false
+              txt(pn, "pattern").foreach { p => any = true; out += MapKeyPattern(col, p) }
+              val kMinL = intOpt(pn, "minLength"); val kMaxL = intOpt(pn, "maxLength")
+              if (kMinL.isDefined || kMaxL.isDefined) {
+                any = true; out += MapKeyLength(col, kMinL, kMaxL)
+              }
+              Option(pn.get("enum")).filter(_.isArray).foreach { e =>
+                any = true
+                // NOTE shares MapKeysIn's id with additionalProperties:false;
+                // declaring both on one column fails compile honestly
+                out += MapKeysIn(col, enumValues(e)._1.map(_.toString))
+              }
+              val pnTypes = jsonTypes(pn)
+              if (pnTypes.nonEmpty) {
+                any = true
+                if (pnTypes != List("string"))
+                  errors += SuiteError.Unsupported(s"$col.propertyNames",
+                    s"property names are strings; type must be 'string', got ${pnTypes.mkString("|")}")
+                // type:"string" is statically true for map keys — no check
+              }
+              if (!any) errors += SuiteError.Unsupported(s"$col.propertyNames",
+                "propertyNames schema has no expressible keywords")
+              flagUnsupported(pn, Set("pattern", "minLength", "maxLength", "enum", "type"),
+                s"$col.propertyNames")
             }
-            flagUnsupported(pn, Set("pattern", "type"), s"$col.propertyNames")
           }
           val minP = intOpt(node, "minProperties"); val maxP = intOpt(node, "maxProperties")
           if (minP.isDefined || maxP.isDefined) out += MapSizeBounds(col, minP, maxP)
+      }
+
+      // ---- dependencies (draft-07; the reference omits it — parity-plus):
+      // "if key K is present, then …" compiles to IfThenElse. Property-
+      // dependency form (array) ⇒ the listed keys are required; schema-
+      // dependency form (object) ⇒ the subschema applies to this column.
+      // Presence = map_contains_key on maps, field non-null on structs.
+      Option(node.get("dependencies")).foreach { dep =>
+        dep.properties().asScala.toList.sortBy(_.getKey).foreach { e =>
+          val k = e.getKey
+          val v = e.getValue
+          val isStruct = colKind(col) == "struct"
+          val ifC: RowConstraint =
+            if (isStruct) NonNull(s"$col.$k") else MapRequiredKeys(col, Seq(k))
+          val thenC: Option[RowConstraint] =
+            if (v.isArray) {
+              val deps = v.elements().asScala.map(_.asText()).toList
+              if (deps.isEmpty) None
+              else if (isStruct) Some(All(s"$col.dep.$k", deps.map(d => NonNull(s"$col.$d"))))
+              else Some(MapRequiredKeys(col, deps))
+            } else if (v.isObject || v.isBoolean) {
+              val cs = compileProp(col, v, depth + 1)
+              if (cs.isEmpty) None else Some(All(s"$col.dep.$k", cs))
+            } else {
+              errors += SuiteError.Unsupported(s"$col.dependencies.$k",
+                "dependency must be an array of keys or a schema")
+              None
+            }
+          thenC.foreach(t => out += IfThenElse(s"$col.dep.$k", ifC, t, None))
+        }
       }
 
       // ---- combinators (per property, same column)
@@ -405,15 +508,14 @@ object JsonSchema {
           All(col + ".then", compileProp(col, t, depth + 1)),
           e.map(x => All(col + ".else", compileProp(col, x, depth + 1))))
       }
-      // structural keywords nobody above handled (e.g. dependencies) are
-      // ERRORS, not silent no-ops
+      // structural keywords nobody above handled are ERRORS, not silent no-ops
       flagUnsupported(node, Set("type", "minimum", "maximum", "exclusiveMinimum",
         "exclusiveMaximum", "multipleOf", "pattern", "minLength", "maxLength",
         "enum", "const", "items", "additionalItems", "contains", "minItems",
         "maxItems", "uniqueItems", "properties", "patternProperties",
         "additionalProperties", "propertyNames", "minProperties", "maxProperties",
-        "required", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-        "$ref", "definitions"), col)
+        "required", "dependencies", "allOf", "anyOf", "oneOf", "not", "if", "then",
+        "else", "$ref", "definitions"), col)
       // identical constraints from different keywords (e.g. two tuple
       // positions both declaring {"type":"integer"}) collapse to one
       out.toList.distinct
@@ -421,12 +523,13 @@ object JsonSchema {
 
     val rootR = resolve(root, 0)
     // Root-level structural keywords the loader does not compile (allOf /
-    // anyOf / if-then-else / patternProperties / dependencies / enum / …)
-    // must be ERRORS — a silently-ignored root combinator under-validates.
-    // `type` is handled below (must be "object"); properties / required /
-    // additionalProperties / definitions are compiled.
+    // anyOf / if-then-else / patternProperties / enum / …) must be ERRORS —
+    // a silently-ignored root combinator under-validates. `type` is handled
+    // below (must be "object"); properties / required / additionalProperties
+    // / dependencies / definitions are compiled.
     flagUnsupported(rootR,
-      Set("type", "properties", "required", "additionalProperties", "definitions"),
+      Set("type", "properties", "required", "additionalProperties", "definitions",
+        "dependencies"),
       "<root>")
     val rootTypes = jsonTypes(rootR)
     if (rootTypes.nonEmpty && rootTypes != List("object"))
@@ -453,9 +556,42 @@ object JsonSchema {
         case _ => Nil
       }
 
+    // root dependencies (draft-07): "column K non-null ⇒ …". Array form ⇒
+    // the listed columns must be non-null; schema form ⇒ a root-shaped
+    // subschema (properties + required) applies.
+    val rootDeps: List[RowConstraint] =
+      Option(rootR.get("dependencies")).toList.flatMap { dep =>
+        dep.properties().asScala.toList.sortBy(_.getKey).flatMap { e =>
+          val k = e.getKey
+          val v = e.getValue
+          val thenC: Option[RowConstraint] =
+            if (v.isArray) {
+              val deps = v.elements().asScala.map(_.asText()).toList
+              if (deps.isEmpty) None else Some(All(s"dep.$k", deps.map(NonNull(_))))
+            } else if (v.isObject) {
+              val vr = resolve(v, 1)
+              flagUnsupported(vr, Set("properties", "required"), s"<root>.dependencies.$k")
+              val subProps = Option(vr.get("properties"))
+                .map(p => p.properties().asScala.map(x => x.getKey -> x.getValue).toList)
+                .getOrElse(Nil)
+              val subReq = Option(vr.get("required")).filter(_.isArray)
+                .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil)
+              val cs = subReq.map(NonNull(_)) ++
+                subProps.flatMap { case (c, s) => compileProp(c, s, 1) }
+              if (cs.isEmpty) None else Some(All(s"dep.$k", cs))
+            } else {
+              errors += SuiteError.Unsupported(s"<root>.dependencies.$k",
+                "dependency must be an array of columns or a schema")
+              None
+            }
+          thenC.map(t => IfThenElse(s"dep.$k", NonNull(k), t, None))
+        }
+      }
+
     val checks: List[RowConstraint] =
       required.toList.sorted.map(NonNull(_)) ++
         rootKeys ++
+        rootDeps ++
         props.flatMap { case (col, sub) => compileProp(col, sub, 0) }
 
     if (errors.nonEmpty) Left(errors.toList)

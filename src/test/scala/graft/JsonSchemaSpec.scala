@@ -167,15 +167,20 @@ class JsonSchemaSpec extends SparkSpec {
   }
 
   test("unsupported structural keywords error instead of silently under-validating") {
-    // contains without const (reference evaluates full subschemas; we cannot)
-    val c = """{"type":"object","properties":{"tokens":{"contains":{"minimum":3}}}}"""
+    // round 3: contains-SCHEMA and dependencies are now supported — assert
+    // the still-unexpressible forms keep erroring
+    // unhandled keyword inside a contains schema
+    val c = """{"type":"object","properties":{"tokens":{"contains":{"multipleOf":3}}}}"""
     assert(JsonSchema.parse(c, "doc_id").isLeft)
     // unhandled keyword inside items
     val i = """{"type":"object","properties":{"tokens":{"items":{"multipleOf":2}}}}"""
     assert(JsonSchema.parse(i, "doc_id").isLeft)
-    // dependencies at the property level
-    val d = """{"type":"object","properties":{"n_tok":{"dependencies":{"a":["b"]}}}}"""
+    // malformed dependencies value (neither key array nor schema)
+    val d = """{"type":"object","properties":{"n_tok":{"dependencies":{"a":5}}}}"""
     assert(JsonSchema.parse(d, "doc_id").isLeft)
+    // unhandled keyword inside propertyNames
+    val p = """{"type":"object","properties":{"m":{"propertyNames":{"multipleOf":2}}}}"""
+    assert(JsonSchema.parse(p, "doc_id").isLeft)
     // annotations stay ignored
     val a = """{"type":"object","properties":{"n_tok":{"title":"x","description":"y","format":"int32"}}}"""
     assert(JsonSchema.parse(a, "doc_id").isRight)

@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 semantics: general `contains` subschema (C13 completion),
+  * general `propertyNames` (C20 completion), draft-07 `dependencies`,
+  * positional-false items, null enum entries, and null-key sampling. */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def parseOk(json: String, key: String = "doc_id"): ConstraintSuite =
+    JsonSchema.parse(json, key).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+
+  private def parseErr(json: String): List[SuiteError] =
+    JsonSchema.parse(json, "doc_id").fold(identity, _ => fail("expected compile errors"))
+
+  // ---------------------------------------------------------------------
+  // C13 general contains
+  // ---------------------------------------------------------------------
+
+  test("ArrayContainsSchema: at least one element in range") {
+    val df = Seq(
+      ("a", Seq(1, 5, 9)), // 5 in [4,6] -> pass
+      ("b", Seq(1, 2, 3)), // none -> fail
+      ("c", Seq.empty[Int]), // empty -> fail (nothing can witness)
+      ("d", null: Seq[Int])) // null array passes (null stance)
+      .toDF("doc_id", "xs")
+    val c = ArrayContainsSchema("xs", Seq(ElemRange(4, 6)))
+    assert(c.selfCheck(df.schema).isEmpty)
+    val failed = df.filter(!c.pred).select("doc_id").as[String].collect().toSet
+    assert(failed === Set("b", "c"))
+  }
+
+  test("ArrayContainsSchema: combined pattern + length over string arrays") {
+    val df = Seq(
+      ("a", Seq("x", "token99", "y")), // token99 matches ^token & length>=6
+      ("b", Seq("token", "zz"))) // "token" matches but too short
+      .toDF("doc_id", "xs")
+    val c = ArrayContainsSchema("xs",
+      Seq(ElemPatternPred("^token"), ElemLengthPred(Some(6), None)))
+    assert(c.selfCheck(df.schema).isEmpty)
+    val failed = df.filter(!c.pred).select("doc_id").as[String].collect().toSet
+    assert(failed === Set("b"))
+  }
+
+  test("ArrayContainsSchema selfCheck: type routing + bad bounds") {
+    val df = Seq(("a", Seq(1))).toDF("doc_id", "xs")
+    // string pred on an int array -> type mismatch
+    assert(ArrayContainsSchema("xs", Seq(ElemPatternPred("a"))).selfCheck(df.schema).nonEmpty)
+    // inverted range -> InvalidBounds
+    assert(ArrayContainsSchema("xs", Seq(ElemRange(5, 1))).selfCheck(df.schema).nonEmpty)
+    // empty preds -> error
+    assert(ArrayContainsSchema("xs", Nil).selfCheck(df.schema).nonEmpty)
+  }
+
+  test("loader: contains schema-form compiles to ArrayContainsSchema with a span") {
+    val df = Seq(
+      ("a", Seq(10, 50, 90)),
+      ("b", Seq(10, 20))).toDF("doc_id", "xs")
+    val suite = parseOk(
+      """{"properties":{"doc_id":{"type":"string"},
+          "xs":{"contains":{"minimum":40,"maximum":60}}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val v = compiled.run(df).violations.collect()
+    assert(v.length === 1)
+    val row = v.head
+    assert(row.getAs[String]("constraint_id") === "containsSchema(xs)")
+    assert(row.getAs[String]("doc_id") === "b")
+    assert(row.getAs[String]("path") === "xs")
+    assert(row.getAs[String]("bound").contains("in [40.0,60.0]"))
+  }
+
+  test("loader: contains true/false/type-only forms") {
+    val df = Seq(("a", Seq(1)), ("b", Seq.empty[Int])).toDF("doc_id", "xs")
+    // contains: true == "has at least one element"
+    val sTrue = parseOk("""{"properties":{"xs":{"contains":true}}}""")
+    val cTrue = sTrue.compile(df.schema).toOption.get
+    assert(df.filter(!cTrue.rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSet === Set("b"))
+    // contains: false == no array passes
+    val sFalse = parseOk("""{"properties":{"xs":{"contains":false}}}""")
+    val cFalse = sFalse.compile(df.schema).toOption.get
+    assert(df.filter(!cFalse.rowChecks.map(_.pred).reduce(_ && _)).count() === 2)
+    // contains: {"type":"integer"} == element type conforms + >=1 element
+    val sType = parseOk("""{"properties":{"xs":{"contains":{"type":"integer"}}}}""")
+    val cType = sType.compile(df.schema).toOption.get
+    assert(df.filter(!cType.rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSet === Set("b"))
+    // ... and a non-conforming element type is a compile error
+    val dfStr = Seq(("a", Seq("x"))).toDF("doc_id", "xs")
+    assert(sType.compile(dfStr.schema).isLeft)
+  }
+
+  test("loader: contains with minItems merges, no duplicate-id collision") {
+    val df = Seq(("a", Seq(1, 5)), ("b", Seq(1))).toDF("doc_id", "xs")
+    val suite = parseOk(
+      """{"properties":{"xs":{"contains":true,"minItems":2}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(df.filter(!compiled.rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSet === Set("b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // C12: positional false items
+  // ---------------------------------------------------------------------
+
+  test("loader: items:[schema, false] compiles to maxItems=1 (merged cap)") {
+    val df = Seq(("a", Seq(3)), ("b", Seq(3, 4))).toDF("doc_id", "xs")
+    val suite = parseOk(
+      """{"properties":{"xs":{"items":[{"minimum":0}, false]}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val failed = df.filter(!compiled.rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSet
+    assert(failed === Set("b"))
+    // merged with an explicit LOOSER maxItems: the false-position cap wins
+    val suite2 = parseOk(
+      """{"properties":{"xs":{"items":[{"minimum":0}, false],"maxItems":5}}}""")
+    assert(suite2.compile(df.schema).isRight)
+    val failed2 = df.filter(!suite2.compile(df.schema).toOption.get
+      .rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSet
+    assert(failed2 === Set("b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // C20 general propertyNames
+  // ---------------------------------------------------------------------
+
+  test("MapKeyLength: key character-length bounds with per-key spans") {
+    val df = Seq(
+      ("a", Map("ok" -> 1, "toolongkey" -> 2)),
+      ("b", Map("fine" -> 1))).toDF("doc_id", "m")
+    val c = MapKeyLength("m", None, Some(6))
+    assert(c.selfCheck(df.schema).isEmpty)
+    assert(df.filter(!c.pred).select("doc_id").as[String].collect().toSet === Set("a"))
+    val vios = df.select(explode(c.vios).as("v")).select("v.path").as[String].collect().toSet
+    assert(vios === Set("m.toolongkey"))
+  }
+
+  test("loader: propertyNames with maxLength + enum + type string") {
+    val df = Seq(("a", Map("k1" -> 1, "other" -> 2))).toDF("doc_id", "m")
+    val suite = parseOk(
+      """{"properties":{"m":{"propertyNames":{"type":"string","maxLength":3,"enum":["k1","k2"]}}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val ids = compiled.rowChecks.map(_.id).toSet
+    assert(ids.contains("mapKeyLength(m)") && ids.contains("mapKeysIn(m)"))
+    // "other": too long AND not in enum
+    val v = compiled.run(df).violations
+      .select("constraint_id").as[String].collect().toSet
+    assert(v === Set("mapKeyLength(m)", "mapKeysIn(m)"))
+    // non-string propertyNames type is an error
+    val errs = parseErr("""{"properties":{"m":{"propertyNames":{"type":"integer"}}}}""")
+    assert(errs.exists(_.msg.contains("string")))
+  }
+
+  // ---------------------------------------------------------------------
+  // draft-07 dependencies
+  // ---------------------------------------------------------------------
+
+  test("root dependencies: array form — present column requires others") {
+    val df = Seq(
+      ("a", "cc-1", "addr-1"), // cc present, addr present -> ok
+      ("b", "cc-2", null: String), // cc present, addr missing -> violation
+      ("c", null: String, null: String)) // cc absent -> ok
+      .toDF("doc_id", "credit_card", "billing_address")
+    val suite = parseOk(
+      """{"properties":{"doc_id":{"type":"string"}},
+          "dependencies":{"credit_card":["billing_address"]}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val bad = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("b"))
+  }
+
+  test("root dependencies: schema form applies properties when key present") {
+    val df = Seq(
+      ("a", "x", 5), // trigger present, n in range
+      ("b", "x", 50), // trigger present, n out of range -> violation
+      ("c", null: String, 50)) // trigger absent -> ok
+      .toDF("doc_id", "trigger", "n")
+    val suite = parseOk(
+      """{"properties":{"doc_id":{"type":"string"}},
+          "dependencies":{"trigger":{"properties":{"n":{"maximum":10}}}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val bad = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("b"))
+  }
+
+  test("map-column dependencies: key presence requires other keys") {
+    val df = Seq(
+      ("a", Map("cc" -> 1L, "addr" -> 2L)),
+      ("b", Map("cc" -> 1L)),
+      ("c", Map("other" -> 3L))).toDF("doc_id", "m")
+    val suite = parseOk(
+      """{"properties":{"m":{"dependencies":{"cc":["addr"]}}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val bad = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // enum null entries + root keyword flagging
+  // ---------------------------------------------------------------------
+
+  test("enum with a null entry does NOT admit the string \"null\"") {
+    val df = Seq(("1", "a"), ("2", "null"), ("3", null: String)).toDF("doc_id", "s")
+    val suite = parseOk("""{"properties":{"s":{"enum":[null,"a"]}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    // row 2 carries the literal STRING "null" -> must violate; row 3 is
+    // genuinely null -> passes (EnumIn's null stance)
+    val bad = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("2"))
+  }
+
+  test("null-only enum compiles to IsNull") {
+    val df = Seq(("1", "a"), ("2", null: String)).toDF("doc_id", "s")
+    val suite = parseOk("""{"properties":{"s":{"enum":[null]}}}""")
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(compiled.rowChecks.exists(_.isInstanceOf[IsNull]))
+    val bad = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+    assert(bad === Set("1"))
+  }
+
+  test("unsupported ROOT structural keywords are compile errors") {
+    val errs = parseErr(
+      """{"allOf":[{"properties":{"a":{"minimum":0}}}],
+          "properties":{"a":{"type":"integer"}}}""")
+    assert(errs.exists(e => e.msg.contains("allOf")))
+    val errs2 = parseErr("""{"type":"array","properties":{"a":{}}}""")
+    assert(errs2.exists(_.msg.contains("root type")))
+  }
+
+  // ---------------------------------------------------------------------
+  // null-key sampling
+  // ---------------------------------------------------------------------
+
+  test("sampling: null-key rows split by fraction instead of clumping") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 2000)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN cast(id as string) END as key", "id as payload")
+    val sampled = Sampling.deterministicSample(df, "key", 0.5)
+    val nullKept = sampled.filter(col("key").isNull).count()
+    // 1000 null-key rows at fraction 0.5: all-or-nothing would give 0 or
+    // 1000; independent gating lands near 500 (binomial, p<<1e-9 outside)
+    assert(nullKept > 350 && nullKept < 650, s"nullKept=$nullKept")
+    // split stays disjoint + exhaustive for null-key rows
+    val (train, test) = Sampling.trainTestSplit(df, "key", 0.3)
+    assert(train.count() + test.count() === 2000)
+    assert(train.intersect(test).count() === 0)
+    // determinism: same call, same rows
+    val again = Sampling.deterministicSample(df, "key", 0.5).filter(col("key").isNull).count()
+    assert(again === nullKept)
+  }
+}
