@@ -226,6 +226,31 @@ object SparkEntry {
         "embedding", "vec_id", model, q, k = 10, nprobe = 3)
         .select("vec_id", "list_id")
     }),
+    "s_ann_ivf_batch" -> ((s, dir) => {
+      // batched IVF search, ORACLE-EXACT: nprobe = nlist makes the probe set
+      // exhaustive, so results equal brute-force top-k independent of the
+      // trained centroids; quantized integer dot scores are cross-engine
+      // bit-stable. The plumbing under test (probe explode -> static list
+      // filter -> broadcast query join -> per-query window top-k) is exactly
+      // the production path; only the probe COVERAGE is widened for the gate.
+      val e = ld(s, dir, "embeddings")
+      val model = Ivf.train(e, "embedding", nlist = 8, iters = 2)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ivf.searchTopKBatch(Ivf.index(e.filter(col("vec_id") >= 3), "embedding", model),
+        "embedding", "vec_id", model, queries, "embedding", "qid",
+        k = 5, nprobe = 8, score = (a, b) => Similarity.quantizedDot(a, b))
+        .select(col("query_id"), col("vec_id"), col("score").cast(LongType).as("dot"), col("rn"))
+    }),
+    "s_ann_ivf_batch_probe" -> ((s, dir) => { // rows-only: real probe path (nprobe < nlist)
+      val e = ld(s, dir, "embeddings")
+      val model = Ivf.train(e, "embedding", nlist = 8, iters = 2)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ivf.searchTopKBatch(Ivf.index(e.filter(col("vec_id") >= 3), "embedding", model),
+        "embedding", "vec_id", model, queries, "embedding", "qid", k = 5, nprobe = 3)
+        .select("query_id", "vec_id", "rn")
+    }),
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) =>
       ld(s, dir, "documents").select(
@@ -513,6 +538,24 @@ object SparkEntry {
                   p -> p[1]*p[2])) AS BIGINT) AS dot
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY dot DESC, vec_id LIMIT 10""",
+    "s_ann_ivf_batch" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id < 3),
+         c AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS cv
+           FROM embeddings WHERE vec_id >= 3),
+         s AS (
+           SELECT q.query_id, c.vec_id,
+                  CAST(list_sum(list_transform(list_zip(c.cv, q.qv), p -> p[1]*p[2])) AS BIGINT) AS dot
+           FROM c CROSS JOIN q),
+         r AS (
+           SELECT query_id, vec_id, dot,
+                  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+           FROM s)
+         SELECT query_id, vec_id, dot, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5""",
     "t_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '\S+')) AS n_ws,

@@ -463,6 +463,44 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** The `nprobe` nearest centroid indices (squared L2, ascending by
+  * (distance, index) — identical tie semantics to the driver-side
+  * `Ivf.Model.probesFor`). The per-QUERY-row probe computation for batched
+  * IVF search: queries explode to (query, list_id) pairs with no driver
+  * round-trip per query. Centroids ride inside the expression (nlist×dim
+  * doubles — KBs). */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "NearestCentroids requires >= 1 centroid")
+  require(nprobe >= 1, "nprobe >= 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val get = VecGetter.forType(child.dataType)
+  def compute(x: ArrayData): ArrayData = {
+    val dim = x.numElements()
+    val n = centroids.length
+    val d = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = centroids(c)
+      val m = math.min(dim, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) { val t = get(x, i) - cent(i); s += t * t; i += 1 }
+      d(c) = s
+      c += 1
+    }
+    val p = math.min(nprobe, n)
+    val idx = Array.range(0, n).sortBy(i => (d(i), i)).take(p)
+    new GenericArrayData(idx)
+  }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers. */
 object VecFunctions {
   import org.apache.spark.sql.GraftShim
@@ -483,6 +521,8 @@ object VecFunctions {
   def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(vec), centroids))
+  def nearest_centroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    c(NearestCentroids(e(vec), centroids, nprobe))
   def token_ngram_hashes(tokens: Column, n: Int): Column =
     c(TokenNgramHashes(e(tokens), n))
 }

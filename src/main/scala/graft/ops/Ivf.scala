@@ -127,7 +127,8 @@ object Ivf {
     df.withColumn("list_id", listIdOf(col(vecCol), model))
 
   /** Top-k cosine neighbors of `query` scanning only `nprobe` lists of an
-    * indexed corpus (output of [[index]]). */
+    * indexed corpus (output of [[index]]). One driver-side query — for the
+    * production multi-query form see [[searchTopKBatch]]. */
   def searchTopK(indexed: DataFrame, vecCol: String, idCol: String,
       model: Model, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val probes = model.probesFor(query, nprobe)
@@ -138,5 +139,57 @@ object Ivf {
       .orderBy(desc("cos"), col(idCol))
       .select(col(idCol), col("cos"), col("list_id"))
       .limit(k)
+  }
+
+  /** BATCHED top-k search: every query in `queries` gets its `k` nearest
+    * corpus rows, probing only its `nprobe` closest lists — the production
+    * ANN form (a per-query [[searchTopK]] loop would launch one job per
+    * query and rescan the corpus each time).
+    *
+    * Scale shape:
+    *  - per-query probes come from ONE narrow expression over the (small)
+    *    query frame ([[graft.functions.NearestCentroids]]) — no driver
+    *    round-trip per query, no join against a centroid table;
+    *  - the UNION of probed lists (bounded by `nlist`, not by query count)
+    *    is collected once and applied to the corpus as a STATIC `isin`
+    *    filter — partition-PRUNABLE when the indexed corpus is stored
+    *    `partitionBy("list_id")`, so unprobed lists are never read at all;
+    *  - the (query_id, list_id, qv) explode is broadcast to the filtered
+    *    corpus — the corpus never shuffles; each corpus row meets exactly
+    *    the queries probing its list;
+    *  - per-query top-k is one window over rows already cut down by the
+    *    probe filter (partial top-k per partition would only matter when
+    *    k × queries approaches the probed-row count).
+    *
+    * `queries` should be small relative to the corpus (it is broadcast and
+    * evaluated twice); `score` defaults to cosine — pass
+    * `Similarity.quantizedDot` for cross-engine-exact integer scores.
+    * Returns (query_id, idCol, score, list_id, rn) with rn = 1..k by
+    * (score desc, idCol). */
+  def searchTopKBatch(indexed: DataFrame, vecCol: String, idCol: String,
+      model: Model, queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, nprobe: Int,
+      score: (Column, Column) => Column = Similarity.cosine): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k >= 1, nprobe >= 1")
+    val qprobes = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"),
+      explode(graft.functions.VecFunctions.nearest_centroids(
+        col(queryVecCol), model.centroids, nprobe)).as("list_id"))
+    // union of probed lists ≤ nlist ints — a driver collect bounded by the
+    // MODEL size (not the data), buying a static pushdown filter
+    val probed = qprobes.select("list_id").distinct().collect().map(_.getInt(0)).sorted
+    if (probed.isEmpty) // no queries: empty result, stable schema
+      return qprobes.join(indexed.select(col(idCol), col("list_id")), Seq("list_id"))
+        .select(col("query_id"), col(idCol), lit(0.0).as("score"),
+          col("list_id"), lit(0).as("rn")).limit(0)
+    val corpus = indexed.filter(col("list_id").isin(probed.map(Int.box): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col(idCol))
+    corpus.join(broadcast(qprobes), Seq("list_id"))
+      .withColumn("score", score(col(vecCol), col("__qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("list_id"), col("rn"))
   }
 }

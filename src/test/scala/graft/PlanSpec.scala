@@ -123,6 +123,30 @@ class PlanSpec extends SparkSpec {
     assert(exch >= 0 && plan.lastIndexOf("HashAggregate") > exch, plan.take(3000))
   }
 
+  test("batched IVF probe filter prunes list_id partitions at the source") {
+    // THE batched-search scale claim: with the indexed corpus stored
+    // partitionBy("list_id"), the probe filter must reach the scan as a
+    // PARTITION filter — unprobed lists are never read. A full-corpus scan
+    // here would defeat the whole IVF design at 10^12 rows.
+    import graft.ops.Ivf
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Ivf.Model(Array(Array(0.4, 0.0), Array(-0.4, 0.0), Array(0.0, 0.4), Array(0.0, -0.4)))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    Ivf.index(embs, "embedding", model).write.mode("overwrite")
+      .partitionBy("list_id").parquet(tmp)
+    val indexed = spark.read.parquet(tmp)
+    val queries = embs.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("embedding"))
+    val searched = Ivf.searchTopKBatch(indexed, "embedding", "vec_id", model,
+      queries, "embedding", "qid", k = 3, nprobe = 2)
+    val p = searched.queryExecution.executedPlan.toString
+    // static probe filter reaches the scan as a PARTITION filter (an IN over
+    // the probed lists), so unprobed list directories are never opened
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("list_id") && pf.contains(" IN ("), s"partition filters: $pf\n${p.take(2000)}")
+    // Spark 4 also inserts a partial per-partition top-k before the shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("custom expressions survive FORCED codegen (no silent interpreter fallback)") {
     // CODEGEN_ONLY makes invalid generated Java a hard failure instead of a
     // silent fallback; compare against known-good values

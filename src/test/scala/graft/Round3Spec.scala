@@ -239,6 +239,57 @@ class Round3Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // batched IVF search
+  // ---------------------------------------------------------------------
+
+  test("batched IVF search: exhaustive probes equal brute-force top-k per query") {
+    import graft.ops.{Ivf, Similarity}
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ivf.train(embs, "embedding", nlist = 4, iters = 1)
+    val queries = embs.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = Ivf.index(embs.filter(col("vec_id") >= 2), "embedding", model)
+    val got = Ivf.searchTopKBatch(corpus, "embedding", "vec_id", model,
+      queries, "embedding", "qid", k = 3, nprobe = 4,
+      score = (a, b) => Similarity.quantizedDot(a, b))
+      .select("query_id", "vec_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force reference: per query, top-3 by quantized dot
+    val brute = queries.collect().flatMap { q =>
+      val qid = q.getLong(0)
+      embs.filter(col("vec_id") >= 2)
+        .select(col("vec_id"),
+          Similarity.quantizedDot(col("embedding"), typedlit(q.getSeq[Float](1))).as("dot"))
+        .orderBy(desc("dot"), col("vec_id")).limit(3)
+        .collect().zipWithIndex.map { case (r, i) => (qid, r.getLong(0), i + 1) }
+    }.toSet
+    assert(got === brute)
+    assert(got.size === 6) // 2 queries x k=3
+  }
+
+  test("batched IVF search with nprobe < nlist only returns probed lists") {
+    import graft.ops.Ivf
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ivf.train(embs, "embedding", nlist = 4, iters = 1)
+    val queries = embs.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = Ivf.index(embs.filter(col("vec_id") >= 3), "embedding", model)
+    val rows = Ivf.searchTopKBatch(corpus, "embedding", "vec_id", model,
+      queries, "embedding", "qid", k = 4, nprobe = 2).collect()
+    assert(rows.nonEmpty)
+    // every hit's list must be among ITS query's probe set
+    val qvecs = queries.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val probes = model.probesFor(qvecs(r.getLong(0)), 2).toSet
+      assert(probes.contains(r.getInt(3)), s"row $r not in probes $probes")
+    }
+    // per-query result counts are <= k and ranks are 1..n
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 4)
+      assert(rs.map(_.getInt(4)).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // null-key sampling
   // ---------------------------------------------------------------------
 
