@@ -299,65 +299,95 @@ object Dedup {
     * PAIRS are not dedup GROUPS: a~b and b~c must collapse to one {a,b,c}
     * cluster with one survivor, so the pipeline needs the transitive closure.
     *
-    * Algorithm: min-label propagation — each iteration every vertex takes the
-    * min of its own label and its neighbors' labels (one shuffle join + one
-    * groupBy per iteration); stop when an iteration changes nothing or at
-    * `maxIter`. Converges in O(component diameter) iterations; near-dup
-    * clusters are dense (diameter 2-3). Per-iteration frames are eagerly
-    * localCheckpoint'ed (flat plan — lineage and analysis cost do NOT grow
-    * with iterations) and the previous iteration's block storage is freed as
-    * soon as the next is materialized — the standard iterative-algorithm
-    * discipline at scale. For web-scale graphs with long chains, swap in the
-    * alternating large-star/small-star variant; the API stays the same.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the published
+    * MapReduce-native CC):
+    *  - large-star: every node links its LARGER neighbors to the minimum of
+    *    its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller neighbors and itself to
+    *    that minimum.
+    * Each round is two (groupBy-min + join-back) passes; the edge set
+    * converges to one star per component centered at the component's MINIMUM
+    * id in O(log n) rounds — unlike min-label propagation's O(diameter),
+    * which needs 1000 rounds for a 1000-chain (iterative crawls and
+    * boilerplate chains produce exactly such paths). Convergence is detected
+    * by an order-independent edge-set checksum (count + bit_xor of pair
+    * hashes — edges are distinct, so xor cancellation cannot false-positive).
+    *
+    * LINEAGE DISCIPLINE: every round ends in localCheckpoint(eager) — a flat
+    * LogicalRDD. persist() alone is NOT enough for iterative algorithms (the
+    * cached plan still nests every previous round, so analysis cost
+    * compounds; measured 1.6s → 8s by iteration 6 on a 300k-edge graph).
+    * The previous round's block storage is freed as soon as the next is
+    * materialized. On a cluster, swap localCheckpoint for reliable
+    * checkpoint(dir) if executor loss mid-loop must be survivable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       failOnNonConvergence: Boolean = false): DataFrame = {
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    // LINEAGE DISCIPLINE: every iteration ends in localCheckpoint(eager),
-    // which materializes the frame AND truncates its logical plan to a flat
-    // LogicalRDD. persist() alone is not enough for iterative algorithms —
-    // the cached plan still NESTS every previous iteration, so analysis/
-    // canonicalization cost compounds per iteration (measured: 1.6s → 8s by
-    // iteration 6 on a 300k-edge graph with persist; flat ~0.3s with
-    // checkpointing). On a cluster, swap localCheckpoint for reliable
-    // checkpoint(dir) if executor loss during the loop must be survivable.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    // every vertex mentioned in pairs gets a label, even if the star
+    // transforms drop it (self-loops, singletons)
+    val vertices = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("__m"))
+      sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val orient = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val mins = orient.groupBy("src").agg(min("dst").as("__m"))
+      val fromNbrs = orient.join(mins, Seq("src"))
+        .filter(col("dst") =!= col("__m"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+      val fromSelf = mins.select(col("src"), col("__m").as("dst"))
+      fromNbrs.union(fromSelf).distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var sum = checksum(edges)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // neighbor-min pass: for each dst, min over neighbors' current labels
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min("component").as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
-        .localCheckpoint(true)
-      val changed = next.agg(coalesce(sum(col("__changed").cast("long")), lit(0L)))
-        .head().getLong(0)
-      // `next` is materialized (eager checkpoint + the agg above), so the
-      // previous iteration's block storage can be released NOW instead of
-      // waiting for driver GC to reach the ContextCleaner — otherwise up to
-      // maxIter full label sets pile up in executor memory during the loop
-      freeLocalCheckpoint(labels)
-      labels = next.drop("__changed")
-      converged = changed == 0
+    while (iter < maxIter && !converged && sum._1 > 0) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSum = checksum(next)
+      freeLocalCheckpoint(edges)
+      edges = next
+      converged = nextSum == sum
+      sum = nextSum
       iter += 1
     }
-    freeLocalCheckpoint(edges)
-    if (!converged) {
-      // truncated propagation = components may still be SPLIT (under-dedup
+    if (!converged && sum._1 > 0) {
+      // a truncated run = components may still be SPLIT (under-dedup
       // downstream) — never let that pass silently
-      val msg = s"connectedComponents did not converge after $maxIter iterations; " +
-        "labels may split long chains (raise maxIter or set failOnNonConvergence)"
+      val msg = s"connectedComponents did not converge after $maxIter rounds; " +
+        "components may be split (raise maxIter or set failOnNonConvergence)"
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
+    // fixed point = one star per component rooted at its min id: edges map
+    // every non-root to its root; roots (and dropped singletons) label
+    // themselves via the vertex left-join. The min-agg is a no-op on a true
+    // star but keeps exactly ONE label per id if maxIter truncated the run.
+    val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
+    val labels = vertices.join(rootOf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+      .localCheckpoint(true)
+    freeLocalCheckpoint(edges)
+    freeLocalCheckpoint(vertices)
     labels
   }
 

@@ -239,6 +239,42 @@ class Round3Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // large-star/small-star connected components
+  // ---------------------------------------------------------------------
+
+  test("connected components: a 1000-node chain converges within O(log n) rounds") {
+    import graft.ops.Dedup
+    // min-label propagation needs ~1000 rounds here; the alternating
+    // large-star/small-star algorithm must finish within maxIter=12
+    val chain = spark.range(0, 999)
+      .selectExpr("id as id_a", "id + 1 as id_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 12,
+      failOnNonConvergence = true)
+    val comps = labels.select("component").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq === Seq(0L)) // one component rooted at the min id
+    assert(labels.count() === 1000)
+    assert(labels.filter(col("id") === 999 && col("component") === 0).count() === 1)
+  }
+
+  test("connected components: self-loops and singleton pairs keep their labels") {
+    import graft.ops.Dedup
+    val pairs = Seq((1L, 1L), (5L, 7L), (7L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, failOnNonConvergence = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("connected components: two mixed clusters with shared-boundary ids") {
+    import graft.ops.Dedup
+    val pairs = Seq((10L, 2L), (2L, 8L), (20L, 15L), (15L, 30L), (30L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, failOnNonConvergence = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(2L -> 2L, 8L -> 2L, 10L -> 2L,
+      15L -> 15L, 20L -> 15L, 21L -> 15L, 30L -> 15L))
+  }
+
+  // ---------------------------------------------------------------------
   // batched IVF search
   // ---------------------------------------------------------------------
 
