@@ -627,5 +627,89 @@ object SparkEntry {
                 CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
                 min(octet_length(encode(text))) AS min_bytes,
                 max(octet_length(encode(text))) AS max_bytes
-         FROM documents""")
+         FROM documents""",
+    // seq_* oracles read the fixture Verify materializes from the SAME
+    // deterministic generator the queries run (DataGen.Seq20kFixturePath) —
+    // every standard-suite check re-expressed over the materialized rows
+    "seq_validate" ->
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),
+         binned AS (
+           SELECT source AS grp, CAST(floor(n_tok / 2.0) AS BIGINT) AS bin
+           FROM seq WHERE n_tok IS NOT NULL AND source IS NOT NULL),
+         obs AS (SELECT grp, bin, count(*) AS obs FROM binned GROUP BY grp, bin),
+         gt AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS grp_total FROM obs GROUP BY grp),
+         bt AS (SELECT bin, CAST(sum(obs) AS BIGINT) AS bin_total FROM obs GROUP BY bin),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM obs),
+         chi AS (
+           SELECT gt.grp, sum(CASE
+                    WHEN CAST(gt.grp_total AS DOUBLE) * bt.bin_total / tot.n_total > 0
+                    THEN (COALESCE(obs.obs,0) - CAST(gt.grp_total AS DOUBLE) * bt.bin_total / tot.n_total)
+                       * (COALESCE(obs.obs,0) - CAST(gt.grp_total AS DOUBLE) * bt.bin_total / tot.n_total)
+                       / (CAST(gt.grp_total AS DOUBLE) * bt.bin_total / tot.n_total)
+                    ELSE 0 END) AS chi2
+           FROM gt CROSS JOIN bt
+           LEFT JOIN obs ON obs.grp = gt.grp AND obs.bin = bt.bin
+           CROSS JOIN tot GROUP BY gt.grp),
+         v AS (
+           SELECT 'nonnull(doc_id)' AS constraint_id, count(*) AS n FROM seq WHERE doc_id IS NULL
+           UNION ALL SELECT 'regex(doc_id)', count(*) FROM seq
+             WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{12}$')
+           UNION ALL SELECT 'nonnull(source)', count(*) FROM seq WHERE source IS NULL
+           UNION ALL SELECT 'range(n_tok)', count(*) FROM seq
+             WHERE n_tok IS NOT NULL AND NOT (n_tok >= 1 AND n_tok <= 8192)
+           UNION ALL SELECT 'lengthConsistent(tokens,n_tok)', count(*) FROM seq
+             WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND len(tokens) <> n_tok
+           UNION ALL SELECT 'elemRange(tokens)',
+             COALESCE(CAST(sum(len(list_filter(tokens, x -> x IS NULL OR x < 0 OR x > 50256))) AS BIGINT), 0)
+             FROM seq WHERE tokens IS NOT NULL
+           UNION ALL SELECT 'contains(tokens)', count(*) FROM seq
+             WHERE tokens IS NOT NULL AND NOT list_contains(tokens, 1)
+           UNION ALL SELECT 'sizeBounds(tokens)', count(*) FROM seq
+             WHERE tokens IS NOT NULL AND NOT (len(tokens) >= 1 AND len(tokens) <= 8192)
+           UNION ALL SELECT 'unique(doc_id)', (SELECT count(*) FROM (
+             SELECT doc_id FROM seq WHERE doc_id IS NOT NULL
+             GROUP BY doc_id HAVING count(*) > 1))
+           UNION ALL SELECT 'ref(source->source)', (SELECT count(DISTINCT source) FROM seq
+             WHERE source IS NOT NULL
+               AND source NOT IN ('web','books','code','wiki','forums'))
+           UNION ALL SELECT 'drift(n_tok by source)', (SELECT count(*) FROM chi WHERE chi2 > 100.0))
+         SELECT constraint_id, CAST(n AS BIGINT) AS n FROM v WHERE n > 0""",
+    "seq_decontaminate" ->
+      """WITH corpus AS (
+           SELECT row_number() OVER () AS rid, doc_id, tokens
+           FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')
+           WHERE n_tok >= 13),
+         bench_w AS (
+           SELECT DISTINCT b.tokens[i.g:i.g+12] AS w
+           FROM read_parquet('/root/repo/target/fixtures/seq20k_bench.parquet/*.parquet') b,
+                LATERAL (SELECT unnest(generate_series(1, greatest(len(b.tokens)-12, 0))) AS g) i),
+         corpus_w AS (
+           SELECT DISTINCT c.rid, c.doc_id, c.tokens[i.g:i.g+12] AS w
+           FROM corpus c,
+                LATERAL (SELECT unnest(generate_series(1, greatest(len(c.tokens)-12, 0))) AS g) i),
+         hits AS (
+           SELECT cw.doc_id, count(*) AS n_overlap
+           FROM corpus_w cw JOIN bench_w bw ON cw.w = bw.w
+           GROUP BY cw.doc_id)
+         SELECT count(*) AS n_contaminated,
+                CAST(sum(n_overlap) AS BIGINT) AS total_overlap
+         FROM hits""",
+    "seq_report" ->
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),
+         p AS (
+           SELECT (doc_id IS NOT NULL)
+              AND (doc_id IS NULL OR regexp_matches(doc_id, '^doc-[0-9]{12}$'))
+              AND (source IS NOT NULL)
+              AND (n_tok IS NULL OR (n_tok >= 1 AND n_tok <= 8192))
+              AND (tokens IS NULL OR n_tok IS NULL OR len(tokens) = n_tok)
+              AND (tokens IS NULL OR len(list_filter(tokens, x -> x IS NULL OR x < 0 OR x > 50256)) = 0)
+              AND (tokens IS NULL OR list_contains(tokens, 1))
+              AND (tokens IS NULL OR (len(tokens) >= 1 AND len(tokens) <= 8192)) AS ok
+           FROM seq)
+         SELECT count(*) AS rows,
+                CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS pass,
+                CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS fail
+         FROM p""")
 }

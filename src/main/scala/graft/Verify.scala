@@ -13,6 +13,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // materialize the synthetic-corpus fixture the seq_* oracle SQL reads
+    // (the queries themselves regenerate it in-memory; see DataGen)
+    DataGen.writeSeq20kFixture(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

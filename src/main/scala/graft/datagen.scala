@@ -95,6 +95,25 @@ object DataGen {
     SOURCES.map(s => (s, s"corpus source $s")).toDF("source", "description")
   }
 
+  /** Fixture materialization: the flagship queries generate the synthetic
+    * corpus IN-QUERY (pure function of row id — no data dependency), but the
+    * driver's DuckDB oracle can only read parquet. Verify writes the exact
+    * generator output here so the oracle evaluates the SAME rows; the path
+    * is a compile-time constant because it is embedded in the oracle SQL. */
+  val Seq20kFixturePath = "/root/repo/target/fixtures/seq20k.parquet"
+  /** The seq_decontaminate benchmark slice (hash-gated in Spark — DuckDB has
+    * no xxhash64, so the SLICE is materialized and the overlap itself is
+    * re-computed by the oracle over raw token arrays). */
+  val Seq20kBenchFixturePath = "/root/repo/target/fixtures/seq20k_bench.parquet"
+
+  def writeSeq20kFixture(spark: SparkSession): Unit = {
+    val corpus = sequences(spark, 20000, maxLen = 32)
+    corpus.write.mode("overwrite").parquet(Seq20kFixturePath)
+    corpus.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+      .select(col("tokens"))
+      .write.mode("overwrite").parquet(Seq20kBenchFixturePath)
+  }
+
   /** The standard suite for this corpus — every north-rule check. */
   def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
     ConstraintSuite(
