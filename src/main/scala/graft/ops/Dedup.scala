@@ -68,14 +68,24 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+    minhashLshCached(df, textCol, idCol, numHashes, bands, shingleK,
+      threshold, maxBucket)._1
+
+  /** [[minhashLsh]] plus a RELEASE handle for its internal signature cache —
+    * the composed-pipeline form. The signature frame must be persisted (the
+    * band explode and both pair re-joins read it), but a bare `persist()`
+    * with no owner accretes cache across multi-pass sessions. Call the
+    * handle once the returned pairs are fully materialized (afterwards the
+    * pairs frame can still recompute from source if partitions are lost —
+    * release only drops the cached blocks). */
+  def minhashLshCached(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // persisted: referenced by band explode AND the two signature re-joins —
-    // without it every branch recomputes shingling+hashing from the text.
-    // NOTE: released by Spark's LRU, not unpersisted here (the returned frame
-    // still references it lazily); callers running MANY dedup passes in one
-    // session should spark.catalog.clearCache() between passes
+    // without it every branch recomputes shingling+hashing from the text
     val sig = df.select(
       col(idCol).as("id"),
       minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
@@ -106,7 +116,7 @@ object Dedup {
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
 
     // estimated Jaccard = fraction of agreeing minhash slots (native expr)
-    candidates
+    val pairs = candidates
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
@@ -114,6 +124,7 @@ object Dedup {
           .cast(DoubleType) / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+    (pairs, () => { sig.unpersist(); () })
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum of
@@ -231,12 +242,13 @@ object Dedup {
   def dropEmbeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 4,
       maxBucket: Int = 4096): DataFrame = {
-    val pairs = Similarity.cosineLshPairs(df, vecCol, idCol, threshold, bands,
-      planesPerBand, maxBucket).select("id_a", "id_b").persist()
-    val cc = connectedComponents(pairs)
+    val (lshPairs, releaseLsh) = Similarity.cosineLshPairsCached(
+      df, vecCol, idCol, threshold, bands, planesPerBand, maxBucket)
+    val pairs = lshPairs.select("id_a", "id_b").persist()
+    val cc = connectedComponents(pairs) // materializes pairs on the way
     pairs.unpersist()
-    val losers = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    releaseLsh()
+    finishDropById(df, idCol, cc)
   }
 
   /** Duplicated text SPANS across documents — the boilerplate / repeated-
@@ -408,17 +420,29 @@ object Dedup {
   def dropNearDups(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    val candidates = minhashLsh(df, textCol, idCol, numHashes, bands, shingleK,
-      threshold, maxBucket)
+    val (candidates, releaseLsh) = minhashLshCached(df, textCol, idCol, numHashes,
+      bands, shingleK, threshold, maxBucket)
     // persisted: the CC edge set reads the verified pairs twice (forward +
     // reversed) and iterates — without this the whole LSH+verify pipeline
     // would re-run per branch
     val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
       .select("id_a", "id_b").persist()
-    val cc = connectedComponents(verified) // labels come back fully cached
+    val cc = connectedComponents(verified) // materializes verified on the way
     verified.unpersist()
-    // survivors: cluster representatives (id == component) + rows in no cluster
-    val losers = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    releaseLsh()
+    finishDropById(df, idCol, cc)
+  }
+
+  /** Shared tail of the drop pipelines: materialize the (small) loser-id set
+    * eagerly, release the CC label cache, and anti-join. CACHE DISCIPLINE:
+    * after this returns, the ONLY cached blocks the pipeline leaves behind
+    * are the loser ids (one row per dropped duplicate) backing the returned
+    * frame — the signature cache, verified pairs, and full label set are all
+    * released (OpsSpec asserts it). */
+  private def finishDropById(df: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
+    val losers = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)).localCheckpoint(true)
+    freeLocalCheckpoint(cc)
     df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -96,7 +96,16 @@ object Similarity {
     * reducer go quadratic. */
   def cosineLshPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    cosineLshPairsCached(df, vecCol, idCol, threshold, bands, planesPerBand, maxBucket)._1
+
+  /** [[cosineLshPairs]] plus a RELEASE handle for the internal
+    * (id, vec, norm) cache — call it once the returned pairs are fully
+    * materialized so multi-pass sessions don't accrete cache (the pairs
+    * frame can still recompute from source afterwards). */
+  def cosineLshPairsCached(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
+      maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
@@ -114,12 +123,13 @@ object Similarity {
     val candidates = l.join(r, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     // vectors re-attached to the (much smaller) deduped candidate set
-    candidates
+    val pairs = candidates
       .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    (pairs, () => { base.unpersist(); () })
   }
 
   /** Integer-quantized dot product (floor(x*scale) per element) — exact across

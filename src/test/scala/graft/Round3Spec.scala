@@ -326,6 +326,33 @@ class Round3Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // cache discipline
+  // ---------------------------------------------------------------------
+
+  test("dropNearDups releases every internal cache except the loser-id set") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = Dedup.dropNearDups(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleK = 1, threshold = 0.7, maxBucket = 500)
+    assert(result.count() > 0)
+    // signature cache, verified pairs, CC vertices/edges/labels: all released;
+    // only the eagerly-materialized loser-id checkpoint backs the result
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked cached RDDs: $added")
+  }
+
+  test("dropEmbeddingNearDups releases its LSH cache too") {
+    import graft.ops.Dedup
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = Dedup.dropEmbeddingNearDups(embs, "embedding", "vec_id", threshold = 0.95)
+    assert(result.count() > 0)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked cached RDDs: $added")
+  }
+
+  // ---------------------------------------------------------------------
   // null-key sampling
   // ---------------------------------------------------------------------
 
