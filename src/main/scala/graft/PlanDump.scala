@@ -43,6 +43,19 @@ object PlanDump {
     dump("IVF assignment (joinless narrow projection)",
       ops.Ivf.index(docs.selectExpr("doc_id", "array(cast(doc_id as double), 1.0) as v"),
         "v", ops.Ivf.Model(Array(Array(0.0, 0.0), Array(100.0, 1.0)))))
+    // batched IVF search over a list_id-partitioned store: the probe filter
+    // must appear as PartitionFilters on the scan (unprobed lists unread)
+    val ivfModel = ops.Ivf.Model(
+      Array(Array(0.4, 0.0), Array(-0.4, 0.0), Array(0.0, 0.4), Array(0.0, -0.4)))
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivfDir = java.nio.file.Files.createTempDirectory("plandump_ivf").toString
+    ops.Ivf.index(embs, "embedding", ivfModel).write.mode("overwrite")
+      .partitionBy("list_id").parquet(ivfDir)
+    val queries = embs.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .selectExpr("vec_id as qid", "embedding")
+    dump("batched IVF search (partition-pruned probe scan, broadcast queries, WindowGroupLimit top-k)",
+      ops.Ivf.searchTopKBatch(spark.read.parquet(ivfDir), "embedding", "vec_id",
+        ivfModel, queries, "embedding", "qid", k = 3, nprobe = 2))
     spark.stop()
   }
 }

@@ -85,6 +85,16 @@ object Smoke {
     check("ivf", hits.length == 5 && hits.forall(_.getAs[Double]("cos") > 0.99),
       s"top-5 cos=${hits.map(h => f"${h.getAs[Double]("cos")}%.3f").mkString(",")}")
 
+    // 6b. BATCHED search: 10 queries in one job, each gets k ranked hits
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Ivf.searchTopKBatch(Ivf.index(embs, "embedding", ivfModel),
+      "embedding", "vec_id", ivfModel, queries, "embedding", "qid",
+      k = 5, nprobe = 2).collect()
+    val perQuery = batch.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    check("ivf-batch", perQuery.size == 10 && perQuery.values.forall(_ == 5),
+      s"${batch.length} hits over ${perQuery.size} queries")
+
     // 7. end-to-end near-dup pipeline (pairs -> components -> one survivor per group)
     val kept = Dedup.dropNearDups(docs, "text", "doc_id", numHashes = 32, bands = 8,
       shingleK = 1, threshold = 0.9)

@@ -181,7 +181,12 @@ final case class IsNull(col: String) extends RowConstraint {
 }
 
 /** C4-C7: numeric bounds. All reference comparisons happen in f64
-  * (macros.rs:251-315) so Double bounds are lossless parity. Null passes. */
+  * (macros.rs:251-315) so Double bounds are lossless parity. Null passes.
+  * NOTE on 128-bit integers: the reference's i128/u128 checks also go
+  * through f64 (same macros), losing precision past 2^53 — this engine
+  * shares that domain deliberately (parity-neutral). For exact >2^53 bounds
+  * on a DecimalType column, compare in SQL decimal space instead of using
+  * Range. */
 final case class Range(
     col: String, min: Double = Double.NegativeInfinity, max: Double = Double.PositiveInfinity,
     exclusiveMin: Boolean = false, exclusiveMax: Boolean = false) extends RowConstraint {

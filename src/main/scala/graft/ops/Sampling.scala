@@ -77,26 +77,24 @@ object Sampling {
   }
 
   /** Cap each stratum at ~`maxRows`: counts strata (one small agg), derives
-    * per-stratum keep fractions, then hash-filters. Two narrow passes, NO
+    * per-stratum keep fractions, then hash-filters behind a BROADCAST join
+    * of the over-cap cuts — no driver collect, so strata cardinality is
+    * unbounded (a per-domain cap over millions of hosts works). Still NO
     * per-stratum window/sort — a row_number cap would serialize a hot
-    * stratum into one task. The cap is approximate (binomial around
-    * maxRows); exact-k selection belongs to a sort-based job the caller
-    * opts into knowingly. The NULL stratum is capped too (missing-metadata
-    * rows are often exactly the stratum that explodes), via an isNull
-    * branch — a string-keyed map could never match it. */
+    * stratum into one task — and the corpus side never shuffles. The cap is
+    * approximate (binomial around maxRows); exact-k selection belongs to a
+    * sort-based job the caller opts into knowingly. The NULL stratum is
+    * capped too (missing-metadata rows are often exactly the stratum that
+    * explodes), via a null-safe join key. */
   def capStrata(df: DataFrame, strataCol: String, keyCol: String, maxRows: Long,
       salt: Long = 0L): DataFrame = {
     require(maxRows > 0, "maxRows > 0")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.get(0) -> r.getLong(1)) // strata are low-cardinality
-    val over = counts.filter(_._2 > maxRows)
-    if (over.isEmpty) df
-    else {
-      val cut = over.foldRight(lit(Denom): Column) { case ((s, n), acc) =>
-        val cond = if (s == null) col(strataCol).isNull else col(strataCol) === lit(s)
-        when(cond, lit((maxRows.toDouble / n * Denom).toLong)).otherwise(acc)
-      }
-      df.filter(gate(df, keyCol, TagCap, salt) < cut)
-    }
+    val cuts = df.groupBy(col(strataCol).as("__s")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .select(col("__s"),
+        (lit(maxRows.toDouble) / col("__n") * Denom).cast("long").as("__cut"))
+    df.join(broadcast(cuts), df(strataCol) <=> col("__s"), "left")
+      .filter(col("__cut").isNull || gate(df, keyCol, TagCap, salt) < col("__cut"))
+      .drop("__s", "__cut")
   }
 }
