@@ -451,12 +451,37 @@ final case class ArrayContainsSchema(col: String, preds: Seq[ElemPred]) extends 
   import Constraints._
   val id = s"containsSchema($col)"
   def selfCheck(s: StructType) = {
+    val needsNum = preds.exists(_.needs == "numeric")
+    val needsStr = preds.exists(_.needs == "string")
     val base =
       if (preds.isEmpty) List(SuiteError.EmptyEnum(id))
-      else if (preds.exists(_.needs == "numeric")) requireNumericArray(s, col, id)
-      else if (preds.exists(_.needs == "string")) requireStringArray(s, col, id)
+      else if (needsNum && needsStr)
+        // no element type satisfies both — compiling it would run rlike over
+        // stringified numbers (or bounds over parsed strings): silent
+        // mis-validation, the exact failure mode this engine errors on
+        List(SuiteError.Unsupported(id,
+          "contains schema mixes numeric (minimum/maximum) and string (pattern/length) element keywords"))
+      else if (needsNum) requireNumericArray(s, col, id)
+      else if (needsStr) requireStringArray(s, col, id)
       else requireArray(s, col, id)
-    base ++ preds.toList.flatMap(_.selfCheck(id))
+    // enum values must be comparable to the element type — an int-array
+    // contains-enum of strings would silently never match
+    val enumErrs = Constraints.fieldType(s, col) match {
+      case Some(ArrayType(et, _)) =>
+        preds.toList.collect { case ElemEnum(vs) =>
+          val ok = et match {
+            case _: NumericType => vs.forall(_.isInstanceOf[Number])
+            case StringType => vs.forall(_.isInstanceOf[String])
+            case BooleanType => vs.forall(_.isInstanceOf[Boolean])
+            case _ => true
+          }
+          if (ok) Nil
+          else List(SuiteError.Unsupported(id,
+            s"contains enum values do not match element type ${et.simpleString}"))
+        }.flatten
+      case _ => Nil
+    }
+    base ++ enumErrs ++ preds.toList.flatMap(_.selfCheck(id))
   }
   private def c = org.apache.spark.sql.functions.col(col)
   private def elemOk(x: Column) =

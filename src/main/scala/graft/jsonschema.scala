@@ -205,11 +205,15 @@ object JsonSchema {
       // Both present (legal draft-07): they apply independently, so compile
       // the INTERSECTION — two EnumIn's would collide on the id. Null
       // entries: EnumIn already passes null rows, so a null-INCLUDING enum
-      // is EnumIn over the non-null values; a null-ONLY enum/const is IsNull.
-      def emitEnum(vs: Seq[Any], eps: Boolean, hadNull: Boolean): Unit =
+      // is EnumIn over the non-null values; a null-ONLY enum/const — and a
+      // disjoint enum/const pair — compile to IsNull (null passes every
+      // value constraint in this engine, so "no value is acceptable" means
+      // "only null passes", never a row-killing Never). A literally empty
+      // enum is INVALID draft-07 — loud compile error, not a silent Never.
+      def emitEnum(vs: Seq[Any], eps: Boolean, nullAcceptable: Boolean): Unit =
         if (vs.nonEmpty) out += EnumIn(col, vs, epsilon = if (eps) F64Epsilon else 0.0)
-        else if (hadNull) out += IsNull(col)
-        else out += Never(s"never($col:empty enum)")
+        else if (nullAcceptable) out += IsNull(col)
+        else errors += SuiteError.Unsupported(s"$col.enum", "empty enum (invalid draft-07)")
       val enumVs = Option(node.get("enum")).filter(_.isArray).map(enumValues)
       val constVs = Option(node.get("const"))
         .map(c => enumValues(mapper.createArrayNode().add(c.deepCopy[JsonNode]())))
@@ -217,7 +221,7 @@ object JsonSchema {
         case (Some((evs, eEps, eNull)), Some((cvs, cEps, cNull))) =>
           val inter = evs.filter(cvs.contains)
           val bothNull = eNull && cNull
-          if (inter.isEmpty && !bothNull) out += Never(s"never($col:enum/const disjoint)")
+          if (inter.isEmpty && !bothNull) out += IsNull(col) // disjoint: only null passes
           else emitEnum(inter, eEps || cEps, bothNull)
         case (Some((evs, eps, hadNull)), None) => emitEnum(evs, eps, hadNull)
         case (None, Some((cvs, eps, hadNull))) => emitEnum(cvs, eps, hadNull)
@@ -300,40 +304,46 @@ object JsonSchema {
         val c = if (c0.isBoolean) c0 else resolve(c0, depth)
         if (c.isBoolean) {
           // contains:true ⇒ any element witnesses ⇒ minItems 1;
-          // contains:false ⇒ no element can witness ⇒ no array passes
+          // contains:false ⇒ no element can witness ⇒ no ARRAY passes —
+          // null stays passing (value constraints never fail null here)
           if (c.asBoolean()) floor(1)
-          else out += Never(s"never($col:contains false)")
-        } else Option(c.get("const")) match {
-          case Some(cst) =>
-            val v: Any =
-              if (cst.isTextual) cst.asText()
-              else if (cst.isIntegralNumber) cst.asLong()
-              else cst.asDouble()
-            out += ArrayContainsValue(col, v)
-          case None =>
-            // general contains-SCHEMA (C13 completion, schema.rs:698-706):
-            // ≥1 element must satisfy ALL the subschema's keywords
-            val preds = scala.collection.mutable.ListBuffer.empty[ElemPred]
-            val (lo, hi) = inclusiveBounds(c)
-            if (lo.isDefined || hi.isDefined)
-              preds += ElemRange(lo.getOrElse(Double.NegativeInfinity),
-                hi.getOrElse(Double.PositiveInfinity))
-            Option(c.get("enum")).filter(_.isArray).foreach(e => preds += ElemEnum(enumValues(e)._1))
-            txt(c, "pattern").foreach(p => preds += ElemPatternPred(p))
-            val cMinL = intOpt(c, "minLength"); val cMaxL = intOpt(c, "maxLength")
-            if (cMinL.isDefined || cMaxL.isDefined) preds += ElemLengthPred(cMinL, cMaxL)
-            // contains.type: Catalyst element types are uniform, so a
-            // conforming type makes EVERY element a candidate — the static
-            // element-type check plus "≥1 element exists" expresses it
-            val cTypes = jsonTypes(c)
-            if (cTypes.nonEmpty) out += JsonTypeIs(col, cTypes, element = true)
-            if (preds.nonEmpty) out += ArrayContainsSchema(col, preds.toList)
-            else if (cTypes.nonEmpty) floor(1)
-            else errors += SuiteError.Unsupported(s"$col.contains",
-              "contains schema has no expressible keywords")
-            flagUnsupported(c, Set("minimum", "maximum", "exclusiveMinimum",
-              "exclusiveMaximum", "enum", "pattern", "minLength", "maxLength",
-              "type"), s"$col.contains")
+          else out += IsNull(col)
+        } else {
+          // general contains-SCHEMA (C13 completion, schema.rs:698-706):
+          // ≥1 element must satisfy ALL the subschema's keywords. A lone
+          // const stays the dedicated ArrayContainsValue; const WITH
+          // siblings joins the predicate set (they apply conjointly).
+          val preds = scala.collection.mutable.ListBuffer.empty[ElemPred]
+          val constV: Option[Any] = Option(c.get("const")).map { cst =>
+            if (cst.isTextual) cst.asText()
+            else if (cst.isIntegralNumber) cst.asLong()
+            else cst.asDouble()
+          }
+          val (lo, hi) = inclusiveBounds(c)
+          if (lo.isDefined || hi.isDefined)
+            preds += ElemRange(lo.getOrElse(Double.NegativeInfinity),
+              hi.getOrElse(Double.PositiveInfinity))
+          Option(c.get("enum")).filter(_.isArray).foreach(e => preds += ElemEnum(enumValues(e)._1))
+          txt(c, "pattern").foreach(p => preds += ElemPatternPred(p))
+          val cMinL = intOpt(c, "minLength"); val cMaxL = intOpt(c, "maxLength")
+          if (cMinL.isDefined || cMaxL.isDefined) preds += ElemLengthPred(cMinL, cMaxL)
+          // contains.type: Catalyst element types are uniform, so a
+          // conforming type makes EVERY element a candidate — the static
+          // element-type check plus "≥1 element exists" expresses it
+          val cTypes = jsonTypes(c)
+          if (cTypes.nonEmpty) out += JsonTypeIs(col, cTypes, element = true)
+          (constV, preds.isEmpty) match {
+            case (Some(v), true) => out += ArrayContainsValue(col, v)
+            case (Some(v), false) => out += ArrayContainsSchema(col, ElemEnum(Seq(v)) +: preds.toList)
+            case (None, false) => out += ArrayContainsSchema(col, preds.toList)
+            case (None, true) =>
+              if (cTypes.nonEmpty) floor(1)
+              else errors += SuiteError.Unsupported(s"$col.contains",
+                "contains schema has no expressible keywords")
+          }
+          flagUnsupported(c, Set("const", "minimum", "maximum", "exclusiveMinimum",
+            "exclusiveMaximum", "enum", "pattern", "minLength", "maxLength",
+            "type"), s"$col.contains")
         }
       }
       val minI = intOpt(node, "minItems"); val maxI = intOpt(node, "maxItems")
@@ -568,6 +578,9 @@ object JsonSchema {
             if (v.isArray) {
               val deps = v.elements().asScala.map(_.asText()).toList
               if (deps.isEmpty) None else Some(All(s"dep.$k", deps.map(NonNull(_))))
+            } else if (v.isBoolean) {
+              // draft-07 boolean dependency: false = "k must not be present"
+              if (v.asBoolean()) None else Some(Never(s"never(dep.$k)"))
             } else if (v.isObject) {
               val vr = resolve(v, 1)
               flagUnsupported(vr, Set("properties", "required"), s"<root>.dependencies.$k")

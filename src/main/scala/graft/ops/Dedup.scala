@@ -171,17 +171,23 @@ object Dedup {
     val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), shingleK).as("grams")): _*)
-    val oversized = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val oversized0 = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlock).select(blockCols.map(col): _*)
-    // no silent caps: when the guard is active, count the dropped blocks
-    // eagerly (one small agg job — the price of visibility) and say so
-    if (maxBlock != Int.MaxValue) {
-      val dropped = oversized.count()
-      if (dropped > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"ngramJaccard: dropping $dropped block(s) larger than maxBlock=$maxBlock " +
-            "(their pairs are NOT scored; use minhashLsh + ngramJaccardFor for hot blocks)")
-    }
+    // no silent caps: when the guard is active, materialize the (tiny)
+    // over-cap key set ONCE (one eager job — the price of visibility), count
+    // it for the warn, and reuse the same frame in the anti-join so the
+    // block-count aggregation never runs twice
+    val oversized =
+      if (maxBlock == Int.MaxValue) oversized0
+      else {
+        val keys = oversized0.localCheckpoint(true)
+        val dropped = keys.count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ngramJaccard: dropping $dropped block(s) larger than maxBlock=$maxBlock " +
+              "(their pairs are NOT scored; use minhashLsh + ngramJaccardFor for hot blocks)")
+        keys
+      }
     val guarded = base.join(broadcast(oversized), blockCols, "left_anti")
     val l = guarded.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
     val r = guarded.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)

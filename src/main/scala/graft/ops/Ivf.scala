@@ -171,25 +171,32 @@ object Ivf {
       k: Int, nprobe: Int,
       score: (Column, Column) => Column = Similarity.cosine): DataFrame = {
     require(k >= 1 && nprobe >= 1, "k >= 1, nprobe >= 1")
+    // output/internal names must not collide with the corpus id/vec columns
+    val reserved = Set("query_id", "__qv", "score", "rn")
+    require(!reserved.contains(idCol) && !reserved.contains(vecCol),
+      s"idCol/vecCol must not be one of ${reserved.mkString(",")}")
     val qprobes = queries.select(
       col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qv"),
       explode(graft.functions.VecFunctions.nearest_centroids(
         col(queryVecCol), model.centroids, nprobe)).as("list_id"))
+    // corpus narrowed to exactly the join inputs: extra corpus columns can't
+    // collide with the query/score names, and the scan prunes to 3 columns
+    val narrow = indexed.select(col("list_id"), col(idCol), col(vecCol))
+    def searched(corpus: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col(idCol))
+      corpus.join(broadcast(qprobes), Seq("list_id"))
+        .withColumn("score", score(col(vecCol), col("__qv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col(idCol), col("score"), col("list_id"), col("rn"))
+    }
     // union of probed lists ≤ nlist ints — a driver collect bounded by the
     // MODEL size (not the data), buying a static pushdown filter
     val probed = qprobes.select("list_id").distinct().collect().map(_.getInt(0)).sorted
-    if (probed.isEmpty) // no queries: empty result, stable schema
-      return qprobes.join(indexed.select(col(idCol), col("list_id")), Seq("list_id"))
-        .select(col("query_id"), col(idCol), lit(0.0).as("score"),
-          col("list_id"), lit(0).as("rn")).limit(0)
-    val corpus = indexed.filter(col("list_id").isin(probed.map(Int.box): _*))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), col(idCol))
-    corpus.join(broadcast(qprobes), Seq("list_id"))
-      .withColumn("score", score(col(vecCol), col("__qv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col(idCol), col("score"), col("list_id"), col("rn"))
+    if (probed.isEmpty) // no queries: empty result, SAME schema (incl. the
+      searched(narrow.limit(0)) // score fn's real type) as a non-empty batch
+    else searched(narrow.filter(col("list_id").isin(probed.map(Int.box): _*)))
   }
 }

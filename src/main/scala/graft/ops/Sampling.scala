@@ -26,15 +26,27 @@ object Sampling {
     *
     * NULL keys: xxhash64 skips null inputs, so every null-key row would
     * share ONE gate value — all sampled or none, never `fraction` of them.
-    * Null keys fall back to the FULL ROW hash: still a pure function of row
-    * content (deterministic at any parallelism, stable across reruns), but
-    * each distinct null-key row gates independently. Identical null-key
+    * Null keys fall back to a ROW hash over the frame's hashable columns
+    * (maps are excluded — Spark forbids hashing MapType — and each column's
+    * null flag hashes alongside its value, so rows differing only in WHICH
+    * columns are null still gate apart): a pure function of row content,
+    * deterministic at any parallelism and across reruns. Identical null-key
     * rows still move together — use a genuinely unique key for per-row
     * independence. */
   private def gate(df: DataFrame, keyCol: String, opTag: Long, salt: Long): Column = {
     val key = col(keyCol)
     val keyed = xxhash64(key, lit(opTag), lit(salt))
-    val rowHash = xxhash64(df.columns.map(col) :+ lit(opTag) :+ lit(salt): _*)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val rowHash =
+      if (hashCols.isEmpty) keyed // degenerate all-map frame: null keys clump (documented)
+      else xxhash64(hashCols.toSeq ++ hashCols.toSeq.map(_.isNull.cast("int")) ++
+        Seq(lit(opTag), lit(salt)): _*)
     pmod(when(key.isNull, rowHash).otherwise(keyed), lit(Denom))
   }
 

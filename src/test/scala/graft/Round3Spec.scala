@@ -326,6 +326,111 @@ class Round3Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // review-pass fixes
+  // ---------------------------------------------------------------------
+
+  test("sampling works on frames containing MapType columns") {
+    // regression: the null-key row-hash must skip map columns (Spark forbids
+    // hashing MapType) — sampling a frame with metadata maps used to throw
+    val df = Seq(
+      ("a", Map("k" -> 1)), ("b", Map("k" -> 2)), (null: String, Map("k" -> 3)))
+      .toDF("key", "meta")
+    val sampled = graft.ops.Sampling.deterministicSample(df, "key", 0.5)
+    assert(sampled.count() <= 3) // analysis + execution succeed
+    val (tr, te) = graft.ops.Sampling.trainTestSplit(df, "key", 0.5)
+    assert(tr.count() + te.count() === 3)
+  }
+
+  test("null-key rows differing only in null PATTERN gate apart") {
+    val df = Seq(
+      (null: String, Option(1), Option.empty[Int]),
+      (null: String, Option.empty[Int], Option(1)))
+      .toDF("key", "a", "b")
+    // xxhash64 skips nulls, so without null-flag inputs these two rows would
+    // hash identically; with them they may land on different split sides.
+    // Assert determinism and that the two rows are NOT forced together:
+    val g1 = graft.ops.Sampling.deterministicSample(df, "key", 0.5).count()
+    val g2 = graft.ops.Sampling.deterministicSample(df, "key", 0.5).count()
+    assert(g1 === g2) // deterministic
+    // rows hash differently: across salts they cannot ALWAYS move as a pair
+    val together = (0L to 20L).forall { s =>
+      val n = graft.ops.Sampling.deterministicSample(df, "key", 0.5, salt = s).count()
+      n == 0 || n == 2
+    }
+    assert(!together, "null-pattern rows always moved together across 21 salts")
+  }
+
+  test("contains:false and disjoint enum/const keep the null-passes stance") {
+    val df = Seq(("a", Seq(1)), ("b", null: Seq[Int])).toDF("doc_id", "xs")
+    val s = parseOk("""{"properties":{"xs":{"contains":false}}}""")
+    val c = s.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    // non-null array fails, NULL array passes (value constraints pass null)
+    assert(df.filter(!c.rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSeq === Seq("a"))
+    val df2 = Seq(("1", "x"), ("2", null: String)).toDF("doc_id", "s")
+    val s2 = parseOk("""{"properties":{"s":{"enum":["a"],"const":"b"}}}""")
+    val c2 = s2.compile(df2.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(c2.run(df2).violations.select("doc_id").as[String].collect().toSeq === Seq("1"))
+    // literally empty enum = invalid draft-07 = compile error
+    assert(JsonSchema.parse("""{"properties":{"s":{"enum":[]}}}""", "doc_id").isLeft)
+  }
+
+  test("contains const with sibling keywords applies conjointly") {
+    val df = Seq(("a", Seq(5, 20)), ("b", Seq(5))).toDF("doc_id", "xs")
+    // element must equal 5 AND be >= 10: unsatisfiable -> both rows fail
+    val s = parseOk("""{"properties":{"xs":{"contains":{"const":5,"minimum":10}}}}""")
+    val c = s.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(df.filter(!c.rowChecks.map(_.pred).reduce(_ && _)).count() === 2)
+    // element must equal 20 AND be >= 10: row a passes
+    val s2 = parseOk("""{"properties":{"xs":{"contains":{"const":20,"minimum":10}}}}""")
+    val c2 = s2.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(df.filter(!c2.rowChecks.map(_.pred).reduce(_ && _))
+      .select("doc_id").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("contains schema type mismatches are compile errors, not silent misses") {
+    val dfInt = Seq(("a", Seq(1))).toDF("doc_id", "xs")
+    // numeric + string keywords mixed: no element type satisfies both
+    val mixed = parseOk("""{"properties":{"xs":{"contains":{"minimum":3,"pattern":"3"}}}}""")
+    assert(mixed.compile(dfInt.schema).isLeft)
+    // string enum against an int array would never match
+    val strEnum = parseOk("""{"properties":{"xs":{"contains":{"enum":["a"]}}}}""")
+    assert(strEnum.compile(dfInt.schema).isLeft)
+    // matching enum type compiles
+    val intEnum = parseOk("""{"properties":{"xs":{"contains":{"enum":[1,2]}}}}""")
+    assert(intEnum.compile(dfInt.schema).isRight)
+  }
+
+  test("batched IVF search keeps the score type on an empty query batch") {
+    import graft.ops.{Ivf, Similarity}
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ivf.Model(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val corpus = Ivf.index(embs, "embedding", model)
+    val noQueries = embs.filter(col("vec_id") < 0).select(col("vec_id").as("qid"), col("embedding"))
+    val out = Ivf.searchTopKBatch(corpus, "embedding", "vec_id", model,
+      noQueries, "embedding", "qid", k = 3, nprobe = 1,
+      score = (a, b) => Similarity.quantizedDot(a, b))
+    assert(out.count() === 0)
+    // quantizedDot scores are LongType — the empty batch must agree so
+    // per-batch unions don't diverge
+    assert(out.schema("score").dataType === org.apache.spark.sql.types.LongType)
+  }
+
+  test("root dependencies: boolean forms") {
+    val df = Seq(("a", "x"), ("b", null: String)).toDF("doc_id", "flag")
+    // flag:false dependency = "flag must not be present (non-null)"
+    val s = parseOk(
+      """{"properties":{"doc_id":{"type":"string"}},"dependencies":{"flag":false}}""")
+    val c = s.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(c.run(df).violations.select("doc_id").as[String].collect().toSeq === Seq("a"))
+    // flag:true dependency = no constraint
+    val sT = parseOk(
+      """{"properties":{"doc_id":{"type":"string"}},"dependencies":{"flag":true}}""")
+    val cT = sT.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(cT.run(df).violations.count() === 0)
+  }
+
+  // ---------------------------------------------------------------------
   // cache discipline
   // ---------------------------------------------------------------------
 
