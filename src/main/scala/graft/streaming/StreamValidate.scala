@@ -51,6 +51,19 @@ object StreamValidate {
       .agg(count(lit(1)).as("violations"))
   }
 
+  /** Streaming referential integrity — the streaming face of
+    * [[graft.RefIntegrity]]: orphan fact rows (key ∉ dim) as an APPEND-mode
+    * stream. A stream-static BROADCAST anti-join is stateless and
+    * append-safe: each arriving row is decided immediately against the
+    * dimension snapshot (re-resolved per micro-batch when `dim` is backed by
+    * a mutable table), no watermark or state store involved. Null keys are
+    * skipped, mirroring the batch check. */
+  def orphanStream(stream: DataFrame, keyCol: String,
+      dim: DataFrame, dimCol: String): DataFrame =
+    stream.filter(col(keyCol).isNotNull)
+      .join(broadcast(dim.select(col(dimCol).as("__dim_key")).distinct()),
+        col(keyCol) === col("__dim_key"), "left_anti")
+
   /** CROSS-BATCH uniqueness — the streaming-native form of the north rule's
     * `Unique` check, via `flatMapGroupsWithState` (custom per-key state):
     * state = how many times this key has EVER been seen; every arrival that

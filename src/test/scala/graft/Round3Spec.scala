@@ -431,6 +431,30 @@ class Round3Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // streaming referential integrity
+  // ---------------------------------------------------------------------
+
+  test("orphanStream flags fact rows missing from the dimension, append-mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq("web", "books").toDF("source")
+    val input = MemoryStream[String]
+    val stream = input.toDF().withColumnRenamed("value", "source")
+    val q = graft.streaming.StreamValidate.orphanStream(stream, "source", dim, "source")
+      .writeStream.format("memory").queryName("orphans_out").outputMode("append").start()
+    try {
+      input.addData("web", "scraped-mystery", "books")
+      q.processAllAvailable()
+      assert(spark.sql("select source from orphans_out").as[String].collect().toSeq
+        === Seq("scraped-mystery"))
+      input.addData("books", "unknown2")
+      q.processAllAvailable()
+      assert(spark.sql("select source from orphans_out").as[String].collect().toSet
+        === Set("scraped-mystery", "unknown2"))
+    } finally q.stop()
+  }
+
+  // ---------------------------------------------------------------------
   // cache discipline
   // ---------------------------------------------------------------------
 
