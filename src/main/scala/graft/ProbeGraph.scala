@@ -24,8 +24,9 @@ object ProbeGraph {
       r
     }
 
-    // --- CC: 4 M vertices in 2k chains of length 1000 + 2M vertices in
-    // 100k cliques of 20 (near-dup clusters), 2k + 1.9M + 2M edges ---
+    // --- CC: 2 M vertices in 2k chains of length 1000 (1.998 M edges) +
+    // 2 M vertices in 100k STARS of 20 (hub + 19 spokes, 1.9 M edges) —
+    // chains stress round count, stars stress per-round fan-in ---
     val chains = spark.range(0, 2000L * 1000)
       .filter(pmod(col("id"), lit(1000)) =!= 999)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
@@ -36,7 +37,7 @@ object ProbeGraph {
         (lit(base) + col("id") - pmod(col("id"), lit(20))).as("id_b"))
     val pairs = chains.union(cliques).localCheckpoint(true)
     val nEdges = pairs.count()
-    val labels = timed(s"connectedComponents: $nEdges edges (2k x 1000-chains + 100k x 20-cliques)") {
+    val labels = timed(s"connectedComponents: $nEdges edges (2k x 1000-chains + 100k x 20-stars)") {
       val l = graft.ops.Dedup.connectedComponents(pairs, maxIter = 20,
         failOnNonConvergence = true)
       val nComponents = l.select("component").distinct().count()

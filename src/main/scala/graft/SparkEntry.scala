@@ -23,10 +23,14 @@ object SparkEntry {
   // once per fixture dir, as production would (index build is an offline
   // one-time step; per-query re-training would charge every search ~1.5 s
   // of train cost and is not what the operator costs at scale).
-  private val ivfModels = scala.collection.concurrent.TrieMap.empty[String, Ivf.Model]
-  private def ivfModel(s: SparkSession, dir: String): Ivf.Model =
-    ivfModels.getOrElseUpdate(dir,
+  private val ivfModels = scala.collection.concurrent.TrieMap.empty[(String, Long), Ivf.Model]
+  private def ivfModel(s: SparkSession, dir: String): Ivf.Model = {
+    // cache key includes the fixture's mtime so a rewritten embeddings table
+    // at the same path never serves a stale quantizer within one JVM
+    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    ivfModels.getOrElseUpdate((dir, mtime),
       Ivf.train(ld(s, dir, "embeddings"), "embedding", nlist = 8, iters = 2))
+  }
 
   /** Flagship: full validation suite over the deterministic synthetic corpus
     * — violations frame (planted defects ⇒ rows > 0). */

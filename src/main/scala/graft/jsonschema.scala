@@ -40,7 +40,7 @@ import scala.jdk.CollectionConverters._
   * | allOf/anyOf/oneOf/not  | All/AnyOf/OneOf/NotC (K1-K3, K5) |
   * | if/then/else           | IfThenElse (K4) |
   * | $ref #/definitions/X   | inline expansion (K6; missing ⇒ MissingDefinition) |
-  * | false / true schema    | Never / Always (C24) |
+  * | false / true schema    | property position ⇒ IsNull / no-op (null stance); combinator position ⇒ Never / Always (C24) |
   *
   * Whether nested object keywords target a STRUCT column (static fields,
   * dotted-path constraints) or a MAP column (dynamic keys, Map* constraints)
@@ -177,10 +177,20 @@ object JsonSchema {
         case _ => "map" // dynamic-map default; Map* selfChecks surface mismatches
       }
 
-    /** Compile one property subschema against its (possibly dotted) column. */
-    def compileProp(col: String, node0: JsonNode, depth: Int): List[RowConstraint] = {
+    /** Compile one property subschema against its (possibly dotted) column.
+      *
+      * `topLevel` marks a PROPERTY position (root or struct field): there a
+      * `false` schema means "this property must not be present", which under
+      * the engine's null stance is IsNull (null/absent passes, any value
+      * fails). Inside combinators the same `false` must stay the
+      * unsatisfiable Never — e.g. `not: false` is always-valid and
+      * `oneOf:[false, S]` must not double-count null rows. */
+    def compileProp(col: String, node0: JsonNode, depth: Int,
+        topLevel: Boolean = false): List[RowConstraint] = {
       if (node0.isBoolean)
-        return if (node0.asBoolean()) Nil else List(Never(s"never($col)"))
+        return if (node0.asBoolean()) Nil
+        else if (topLevel) List(IsNull(col))
+        else List(Never(s"never($col)"))
       val node = resolve(node0, depth)
       val out = scala.collection.mutable.ListBuffer.empty[RowConstraint]
 
@@ -314,10 +324,16 @@ object JsonSchema {
           // const stays the dedicated ArrayContainsValue; const WITH
           // siblings joins the predicate set (they apply conjointly).
           val preds = scala.collection.mutable.ListBuffer.empty[ElemPred]
-          val constV: Option[Any] = Option(c.get("const")).map { cst =>
-            if (cst.isTextual) cst.asText()
-            else if (cst.isIntegralNumber) cst.asLong()
-            else cst.asDouble()
+          val constV: Option[Any] = Option(c.get("const")).flatMap { cst =>
+            if (cst.isTextual) Some(cst.asText())
+            else if (cst.isIntegralNumber) Some(cst.asLong())
+            else if (cst.isNumber) Some(cst.asDouble())
+            else if (cst.isBoolean) Some(cst.asBoolean())
+            else { // null / array / object consts have no element-equality form here
+              errors += SuiteError.Unsupported(s"$col.contains",
+                s"contains.const of unsupported JSON kind '${cst.getNodeType}'")
+              None
+            }
           }
           val (lo, hi) = inclusiveBounds(c)
           if (lo.isDefined || hi.isDefined)
@@ -374,7 +390,9 @@ object JsonSchema {
       if (hasObjKeywords) colKind(col) match {
         case "struct" =>
           // static fields: recurse with dotted paths (fieldType walks structs)
-          objProps.foreach { case (k, sub) => out ++= compileProp(s"$col.$k", sub, depth + 1) }
+          objProps.foreach { case (k, sub) =>
+            out ++= compileProp(s"$col.$k", sub, depth + 1, topLevel = true)
+          }
           nestedRequired.foreach(k => out += NonNull(s"$col.$k"))
           Option(node.get("additionalProperties")).foreach { ap =>
             if (ap.isBoolean && !ap.asBoolean())
@@ -605,7 +623,7 @@ object JsonSchema {
       required.toList.sorted.map(NonNull(_)) ++
         rootKeys ++
         rootDeps ++
-        props.flatMap { case (col, sub) => compileProp(col, sub, 0) }
+        props.flatMap { case (col, sub) => compileProp(col, sub, 0, topLevel = true) }
 
     if (errors.nonEmpty) Left(errors.toList)
     else Right(ConstraintSuite(keyCol, checks, nBuckets = nBuckets))

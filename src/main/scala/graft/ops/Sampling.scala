@@ -26,26 +26,38 @@ object Sampling {
     *
     * NULL keys: xxhash64 skips null inputs, so every null-key row would
     * share ONE gate value — all sampled or none, never `fraction` of them.
-    * Null keys fall back to a ROW hash over the frame's hashable columns
-    * (maps are excluded — Spark forbids hashing MapType — and each column's
-    * null flag hashes alongside its value, so rows differing only in WHICH
-    * columns are null still gate apart): a pure function of row content,
-    * deterministic at any parallelism and across reruns. Identical null-key
-    * rows still move together — use a genuinely unique key for per-row
-    * independence. */
+    * Null keys fall back to a ROW hash over every column (deterministic at
+    * any parallelism and across reruns): each column's null flag hashes
+    * alongside its value so rows differing only in WHICH columns are null
+    * gate apart, and TOP-LEVEL map columns hash via their key-sorted entry
+    * arrays (Spark forbids hashing MapType directly). Columns with maps
+    * nested deeper (inside structs/arrays, or map-valued maps) are excluded
+    * from the fallback hash — rows differing ONLY there move together
+    * (documented residual). Identical null-key rows always move together —
+    * use a genuinely unique key for per-row independence. */
   private def gate(df: DataFrame, keyCol: String, opTag: Long, salt: Long): Column = {
+    import org.apache.spark.sql.types._
     val key = col(keyCol)
     val keyed = xxhash64(key, lit(opTag), lit(salt))
-    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case a: ArrayType => hashable(a.elementType)
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
       case _ => true
     }
-    val hashCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val hashCols = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case m: MapType if hashable(m.keyType) && hashable(m.valueType) =>
+          // deterministic map image: entries sorted by key (struct ordering
+          // compares fields in order, key first)
+          Some(array_sort(map_entries(col(f.name))))
+        case dt if hashable(dt) => Some(col(f.name))
+        case _ => None
+      }
+    }
     val rowHash =
-      if (hashCols.isEmpty) keyed // degenerate all-map frame: null keys clump (documented)
-      else xxhash64(hashCols.toSeq ++ hashCols.toSeq.map(_.isNull.cast("int")) ++
+      if (hashCols.isEmpty) keyed // degenerate frame: null keys clump (documented)
+      else xxhash64(hashCols ++ hashCols.map(_.isNull.cast("int")) ++
         Seq(lit(opTag), lit(salt)): _*)
     pmod(when(key.isNull, rowHash).otherwise(keyed), lit(Denom))
   }

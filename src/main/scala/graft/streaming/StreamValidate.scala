@@ -59,10 +59,13 @@ object StreamValidate {
     * a mutable table), no watermark or state store involved. Null keys are
     * skipped, mirroring the batch check. */
   def orphanStream(stream: DataFrame, keyCol: String,
-      dim: DataFrame, dimCol: String): DataFrame =
-    stream.filter(col(keyCol).isNotNull)
-      .join(broadcast(dim.select(col(dimCol).as("__dim_key")).distinct()),
-        col(keyCol) === col("__dim_key"), "left_anti")
+      dim: DataFrame, dimCol: String): DataFrame = {
+    val facts = stream.filter(col(keyCol).isNotNull)
+    val d = dim.select(col(dimCol)).distinct()
+    // frame-qualified references: no temp column injected into either side,
+    // so a stream column coincidentally named like the dim key cannot collide
+    facts.join(broadcast(d), facts(keyCol) === d(dimCol), "left_anti")
+  }
 
   /** CROSS-BATCH uniqueness — the streaming-native form of the north rule's
     * `Unique` check, via `flatMapGroupsWithState` (custom per-key state):

@@ -416,6 +416,46 @@ class Round3Spec extends SparkSpec {
     assert(out.schema("score").dataType === org.apache.spark.sql.types.LongType)
   }
 
+  test("false property schema: IsNull at property position, Never under combinators") {
+    val df = Seq(("1", "x"), ("2", null: String)).toDF("doc_id", "s")
+    // property position: "s must not be present" — null passes
+    val sTop = parseOk("""{"properties":{"s":false}}""")
+    val cTop = sTop.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(cTop.run(df).violations.select("doc_id").as[String].collect().toSeq === Seq("1"))
+    // not:false = always valid — every row passes, including null
+    val sNot = parseOk("""{"properties":{"s":{"not":false}}}""")
+    val cNot = sNot.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(cNot.run(df).violations.count() === 0)
+    // oneOf:[false, S] = S — the null row must NOT double-count
+    val sOne = parseOk("""{"properties":{"s":{"oneOf":[false, {"pattern":"^x$"}]}}}""")
+    val cOne = sOne.compile(df.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(cOne.run(df).violations.count() === 0)
+  }
+
+  test("contains.const of boolean works; null/array consts are compile errors") {
+    val dfB = Seq(("a", Seq(true, false)), ("b", Seq(false))).toDF("doc_id", "xs")
+    val sB = parseOk("""{"properties":{"xs":{"contains":{"const":true}}}}""")
+    val cB = sB.compile(dfB.schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(cB.run(dfB).violations.select("doc_id").as[String].collect().toSeq === Seq("b"))
+    assert(JsonSchema.parse("""{"properties":{"xs":{"contains":{"const":null}}}}""", "doc_id").isLeft)
+    assert(JsonSchema.parse("""{"properties":{"xs":{"contains":{"const":[1]}}}}""", "doc_id").isLeft)
+  }
+
+  test("null-key rows differing only in MAP columns gate independently") {
+    val df = Seq(
+      (null: String, Map("a" -> 1)),
+      (null: String, Map("b" -> 2)),
+      (null: String, Map("a" -> 1, "b" -> 2)))
+      .toDF("key", "meta")
+    // map columns hash via key-sorted entries: the three rows must not be
+    // forced onto the same side of every split
+    val together = (0L to 20L).forall { s =>
+      val n = graft.ops.Sampling.deterministicSample(df, "key", 0.5, salt = s).count()
+      n == 0 || n == 3
+    }
+    assert(!together, "map-differing null-key rows always moved together across 21 salts")
+  }
+
   test("root dependencies: boolean forms") {
     val df = Seq(("a", "x"), ("b", null: String)).toDF("doc_id", "flag")
     // flag:false dependency = "flag must not be present (non-null)"
