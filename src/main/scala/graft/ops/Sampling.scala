@@ -66,6 +66,8 @@ object Sampling {
   private val TagSplit = 2L
   private val TagStratified = 3L
   private val TagCap = 4L
+  private val TagWeighted = 5L
+  private val TagShuffle = 6L
 
   /** Deterministic Bernoulli sample: keeps `fraction` of rows, selected by
     * key hash. Exact membership, approximate size (binomial). */
@@ -99,6 +101,29 @@ object Sampling {
     }
     df.filter(gate(df, keyCol, TagStratified, salt) < cut)
   }
+
+  /** PER-ROW weighted sampling: keep each row with probability
+    * `clamp(weightCol, 0, 1)` — the data-mixing primitive (quality-score
+    * resampling, per-domain up/down-weighting computed upstream). Same hash
+    * gate: reproducible at any parallelism, composable with the other ops
+    * (own tag). Still one narrow filter; a NULL weight drops the row (an
+    * unknown weight must not silently mean "keep"). For weights > 1
+    * (upsampling) pair with an explicit explode — repetition changes row
+    * counts and belongs to the caller. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: Long = 0L): DataFrame =
+    df.filter(gate(df, keyCol, TagWeighted, salt) <
+      (least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) * Denom).cast("long"))
+
+  /** EPOCH-STABLE deterministic shuffle: a global reordering of the corpus
+    * that is a pure function of (key, epoch) — every epoch gets a different
+    * but reproducible order, identical at any parallelism and across reruns
+    * (`orderBy(rand())` gives neither). This is the write-side op for
+    * producing shuffled training shards: one range-partitioned sort, the
+    * same cost class as any global sort; write the result with
+    * `.write.parquet(...)` and shard boundaries are the sorted ranges. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Long): DataFrame =
+    df.orderBy(xxhash64(col(keyCol), lit(TagShuffle), lit(epoch)), col(keyCol))
 
   /** Cap each stratum at ~`maxRows`: counts strata (one small agg), derives
     * per-stratum keep fractions, then hash-filters behind a BROADCAST join

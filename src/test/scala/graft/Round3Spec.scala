@@ -456,6 +456,37 @@ class Round3Spec extends SparkSpec {
     assert(!together, "map-differing null-key rows always moved together across 21 salts")
   }
 
+  test("weighted sampling keeps ~weight fraction per row, deterministically") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 4000).selectExpr("cast(id as string) as key",
+      "CASE WHEN id % 2 = 0 THEN 0.9 ELSE 0.1 END as w")
+    val kept = Sampling.weightedSample(df, "key", "w")
+    val hi = kept.filter(col("w") > 0.5).count() // 2000 rows at p=0.9
+    val lo = kept.filter(col("w") < 0.5).count() // 2000 rows at p=0.1
+    assert(hi > 1650 && hi < 1950, s"hi=$hi")
+    assert(lo > 120 && lo < 300, s"lo=$lo")
+    // reproducible + null weights drop
+    assert(Sampling.weightedSample(df, "key", "w").count() === kept.count())
+    val withNull = df.withColumn("w", when(col("key") === "0", lit(null)).otherwise(col("w")))
+    assert(!Sampling.weightedSample(withNull, "key", "w")
+      .select("key").as[String].collect().contains("0"))
+  }
+
+  test("deterministic shuffle: epoch-stable, parallelism-independent order") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 1000).selectExpr("cast(id as string) as key", "id as payload")
+    val e1 = Sampling.deterministicShuffle(df, "key", epoch = 1)
+      .select("key").as[String].collect().toSeq
+    val e1again = Sampling.deterministicShuffle(df.repartition(7), "key", epoch = 1)
+      .select("key").as[String].collect().toSeq
+    val e2 = Sampling.deterministicShuffle(df, "key", epoch = 2)
+      .select("key").as[String].collect().toSeq
+    assert(e1 === e1again) // identical at any input partitioning
+    assert(e1 !== e2) // epochs reorder
+    assert(e1.sorted === e2.sorted) // same rows, different order
+    assert(e1 !== e1.sorted) // actually shuffled, not key order
+  }
+
   test("root dependencies: boolean forms") {
     val df = Seq(("a", "x"), ("b", null: String)).toDF("doc_id", "flag")
     // flag:false dependency = "flag must not be present (non-null)"
