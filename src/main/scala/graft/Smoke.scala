@@ -101,6 +101,21 @@ object Smoke {
     check("neardup-pipeline", kept.count() == 500,
       s"${kept.count()} survivors of 2000 docs in 500 content groups")
 
+    // 7b. chunk + pack: training-context shaping over the synthetic corpus
+    val seqs = DataGen.sequences(spark, 5000, maxLen = 32)
+      .filter(col("doc_id").isNotNull)
+    val chunked = Packing.chunkLongSequences(seqs, "tokens", "doc_id", context = 64)
+      .withColumn("cid", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    val packs = Packing.packSequences(chunked, "tokens", "cid", context = 64,
+      buckets = 8, sep = Some(0))
+    val packStats = packs.agg(
+      count(lit(1)), max(col("n_tok")), sum(col("n_docs")),
+      sum(col("truncated").cast("long"))).head()
+    val nChunks = chunked.count()
+    check("packing",
+      packStats.getInt(1) <= 64 && packStats.getLong(2) == nChunks && packStats.getLong(3) == 0,
+      s"${packStats.getLong(0)} packs of <=64 tokens from $nChunks chunks, 0 truncated")
+
     // 8. deterministic sampling: disjoint split, stable across partitioning
     val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 0.25)
     val (train2, _) = Sampling.trainTestSplit(docs.repartition(5), "doc_id", 0.25)

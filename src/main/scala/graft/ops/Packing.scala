@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One packed training context. `truncated` marks packs built from a single
+  * over-length input (visible, never silent). */
+final case class PackedSeq(
+    pack_id: Long,
+    doc_ids: Seq[String],
+    tokens: Seq[Int],
+    n_tok: Int,
+    n_docs: Int,
+    truncated: Boolean)
+
+/** Sequence CHUNKING + PACKING — the standard shaping step between a
+  * validated corpus and training shards: long documents split into
+  * ≤`context`-token chunks, then chunks greedily packed into fixed-size
+  * contexts so padding waste is bounded.
+  *
+  * Scale shape:
+  *  - [[chunkLongSequences]] is a pure narrow projection + explode (no
+  *    state, no shuffle) — expressible entirely in Catalyst.
+  *  - [[packSequences]] is ONE hash repartition + a partition-local greedy
+  *    fold (`mapPartitions` — justified: running bin fill is inherently
+  *    sequential state, not expressible as a window function). Rows stream
+  *    through the fold with O(one pack) memory; nothing per-partition is
+  *    buffered.
+  *
+  * Determinism: rows route to packing partitions by `xxhash64(id)` and are
+  * sorted within partitions by a second id hash — partition CONTENT and
+  * ORDER are pure functions of the data and `buckets`, so pack membership
+  * is identical at any cluster parallelism and across reruns (the north
+  * rule's N vs 4N reproducibility applies to the shaping step too). Pack
+  * ids are content-derived (hash of the first member's doc id), never
+  * `spark_partition_id`/`monotonically_increasing_id` (both
+  * partitioning-dependent).
+  */
+object Packing {
+
+  /** Split sequences longer than `context` into consecutive ≤`context`
+    * chunks: (idCol, chunk_idx, tokens, n_tok). Short sequences pass
+    * through as chunk 0. Null/empty token arrays are dropped (nothing to
+    * train on); count them upstream if that matters. */
+  def chunkLongSequences(df: DataFrame, tokensCol: String, idCol: String,
+      context: Int): DataFrame = {
+    require(context > 0, "context > 0")
+    val toks = col(tokensCol)
+    df.filter(toks.isNotNull && size(toks) > 0)
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(toks) - 1) / context).cast(IntegerType)),
+          i => slice(toks, i * context + 1, lit(context)))).as(Seq("chunk_idx", "tokens")))
+      .select(col(idCol), col("chunk_idx"),
+        col("tokens"), size(col("tokens")).as("n_tok"))
+  }
+
+  /** Greedily pack sequences (each ≤ `context` tokens after
+    * [[chunkLongSequences]]) into contexts of at most `context` tokens,
+    * optionally separated by `sep` (e.g. an EOS token) BETWEEN documents.
+    * Inputs longer than `context` are emitted as single-doc packs truncated
+    * to `context` with `truncated = true` — never silently dropped.
+    *
+    * `buckets` bounds packing locality: rows pack only with rows of their
+    * hash bucket, so raising parallelism never changes pack membership.
+    * Expected waste per pack is O(mean sequence length / 2); callers
+    * wanting tighter packing can sort upstream by length within buckets. */
+  def packSequences(df: DataFrame, tokensCol: String, idCol: String,
+      context: Int, buckets: Int = 1024, sep: Option[Int] = None): Dataset[PackedSeq] = {
+    require(context > 0 && buckets > 0, "context > 0, buckets > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sepCost = if (sep.isDefined) 1 else 0
+    val prepared = df
+      .select(col(idCol).cast(StringType).as("id"),
+        col(tokensCol).cast(ArrayType(IntegerType)).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0 && col("id").isNotNull)
+      .withColumn("__b", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .withColumn("__h", xxhash64(col("id"), lit(0x9ac4L)))
+      .repartition(buckets, col("__b"))
+      .sortWithinPartitions(col("__b"), col("__h"), col("id"))
+      .select(col("id"), col("toks"))
+      .as[(String, Seq[Int])]
+
+    def packIdOf(firstDocId: String): Long =
+      graft.functions.HashMix.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(firstDocId))
+
+    prepared.mapPartitions { rows =>
+      new Iterator[PackedSeq] {
+        private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        private val out = scala.collection.mutable.Queue.empty[PackedSeq] // ≤ 2 entries
+        private def closePack(): Unit =
+          if (ids.nonEmpty) {
+            out.enqueue(PackedSeq(packIdOf(ids.head), ids.toSeq, buf.toSeq,
+              buf.length, ids.length, truncated = false))
+            ids.clear(); buf.clear()
+          }
+        private def fill(): Unit = {
+          while (out.isEmpty && rows.hasNext) {
+            val (id, toks) = rows.next()
+            if (toks.length > context) {
+              closePack() // emit the open pack first, keep stream order
+              out.enqueue(PackedSeq(packIdOf(id), Seq(id), toks.take(context),
+                context, 1, truncated = true))
+            } else {
+              val cost = toks.length + (if (ids.isEmpty) 0 else sepCost)
+              if (buf.length + cost > context) closePack()
+              if (ids.nonEmpty) sep.foreach(buf += _)
+              ids += id
+              buf ++= toks
+            }
+          }
+          if (out.isEmpty && !rows.hasNext) closePack()
+        }
+        override def hasNext: Boolean = { fill(); out.nonEmpty }
+        override def next(): PackedSeq = { fill(); out.dequeue() }
+      }
+    }
+  }
+}

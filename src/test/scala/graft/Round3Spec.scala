@@ -502,6 +502,72 @@ class Round3Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // chunking + packing
+  // ---------------------------------------------------------------------
+
+  test("chunkLongSequences splits into <=context chunks preserving tokens") {
+    import graft.ops.Packing
+    val df = Seq(
+      ("a", (1 to 70).toSeq), // 70 tokens -> 32+32+6
+      ("b", (1 to 10).toSeq), // passthrough chunk 0
+      ("c", Seq.empty[Int]), // dropped
+      ("d", null: Seq[Int])) // dropped
+      .toDF("doc_id", "tokens")
+    val chunks = Packing.chunkLongSequences(df, "tokens", "doc_id", context = 32)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Int](2).toSeq))
+    assert(chunks.count(_._1 == "a") === 3)
+    assert(chunks.filter(_._1 == "a").sortBy(_._2).flatMap(_._3).toSeq === (1 to 70).toSeq)
+    assert(chunks.filter(_._1 == "a").forall(_._3.length <= 32))
+    assert(chunks.count(_._1 == "b") === 1)
+    assert(!chunks.exists(c => c._1 == "c" || c._1 == "d"))
+  }
+
+  test("packSequences: bounded packs, every doc once, parallelism-stable") {
+    import graft.ops.Packing
+    val corpus = DataGen.sequences(spark, 3000, maxLen = 32)
+      .filter(col("doc_id").isNotNull).select("doc_id", "tokens")
+    val context = 128
+    val packs = Packing.packSequences(corpus, "tokens", "doc_id", context,
+      buckets = 16, sep = Some(0)).collect()
+    // every pack within budget, token accounting exact
+    assert(packs.forall(_.n_tok <= context))
+    assert(packs.forall(p => p.tokens.length == p.n_tok))
+    val docsInPacks = packs.flatMap(_.doc_ids)
+    val inputDocs = corpus.select("doc_id").as[String].collect()
+    assert(docsInPacks.sorted.toSeq === inputDocs.sorted.toSeq) // exactly once each
+    // token totals: input tokens + one separator between docs within packs
+    val inputTok = corpus.select(sum(size(col("tokens")))).head().getLong(0)
+    val packTok = packs.map(_.n_tok.toLong).sum
+    val seps = packs.map(p => (p.n_docs - 1).toLong).sum
+    assert(packTok === inputTok + seps)
+    assert(packs.map(_.n_docs).max > 1) // actually packs multiple docs
+    // deterministic at any input partitioning
+    val again = Packing.packSequences(corpus.repartition(7), "tokens", "doc_id",
+      context, buckets = 16, sep = Some(0)).collect()
+    assert(again.map(p => (p.pack_id, p.doc_ids)).toSet ===
+      packs.map(p => (p.pack_id, p.doc_ids)).toSet)
+  }
+
+  test("packSequences truncates over-length inputs VISIBLY") {
+    import graft.ops.Packing
+    val df = Seq(("big", (1 to 500).toSeq), ("small", Seq(1, 2, 3)))
+      .toDF("doc_id", "tokens")
+    val packs = Packing.packSequences(df, "tokens", "doc_id", context = 100,
+      buckets = 2).collect()
+    val big = packs.find(_.doc_ids == Seq("big")).get
+    assert(big.truncated && big.n_tok === 100 && big.tokens === (1 to 100).toSeq)
+    val small = packs.find(_.doc_ids.contains("small")).get
+    assert(!small.truncated)
+    // chunk-then-pack leaves nothing truncated
+    val chunked = Packing.chunkLongSequences(df, "tokens", "doc_id", 100)
+      .withColumn("cid", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    val packs2 = Packing.packSequences(chunked, "tokens", "cid", context = 100,
+      buckets = 2).collect()
+    assert(packs2.forall(!_.truncated))
+    assert(packs2.flatMap(_.tokens).length === 503)
+  }
+
+  // ---------------------------------------------------------------------
   // streaming referential integrity
   // ---------------------------------------------------------------------
 
