@@ -1086,7 +1086,7 @@ final case class Unique(col: String, salted: Boolean = false, saltBuckets: Int =
       } else {
         // Phase 1: count per (key, salt) — salt derived from the full row hash
         // so copies of a duplicated key spread over reducers; Phase 2: sum per key.
-        val salt = pmod(xxhash64(df.columns.map(org.apache.spark.sql.functions.col): _*), lit(saltBuckets))
+        val salt = pmod(xxhash64(df.columns.toSeq.map(org.apache.spark.sql.functions.col): _*), lit(saltBuckets))
         df.filter(key.isNotNull)
           .groupBy(key.as("key"), salt.as("salt")).agg(count(lit(1)).as("c1"))
           .groupBy(org.apache.spark.sql.functions.col("key")).agg(sum("c1").as("cnt"))

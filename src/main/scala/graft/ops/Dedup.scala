@@ -39,7 +39,7 @@ object Dedup {
     * `idCol` must uniquely identify rows. */
   def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("__sig"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__r"))
+      .agg(min_by(struct(df.columns.toSeq.map(col): _*), col(idCol)).as("__r"))
       .select(col("__r.*"))
 
   /** Word-level shingles of size `k`, distinct, lowercased — native

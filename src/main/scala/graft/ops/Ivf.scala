@@ -197,6 +197,6 @@ object Ivf {
     val probed = qprobes.select("list_id").distinct().collect().map(_.getInt(0)).sorted
     if (probed.isEmpty) // no queries: empty result, SAME schema (incl. the
       searched(narrow.limit(0)) // score fn's real type) as a non-empty batch
-    else searched(narrow.filter(col("list_id").isin(probed.map(Int.box): _*)))
+    else searched(narrow.filter(col("list_id").isin(probed.toSeq.map(Int.box): _*)))
   }
 }
