@@ -106,7 +106,7 @@ class EngineSpec extends SparkSpec {
     // round-trip: ingest → annotate → project original columns must be
     // bit-identical to the source, token arrays included (multiset compare —
     // doc_id is NOT a safe join key: duplicates are planted defects)
-    val roundTrip = compiled.annotate(corpus).select(corpus.columns.map(col): _*)
+    val roundTrip = compiled.annotate(corpus).select(corpus.columns.toSeq.map(col): _*)
     assert(roundTrip.exceptAll(corpus).count() === 0)
     assert(corpus.exceptAll(roundTrip).count() === 0)
   }

@@ -604,7 +604,7 @@ class Round3Spec extends SparkSpec {
     assert(result.count() > 0)
     // signature cache, verified pairs, CC vertices/edges/labels: all released;
     // only the eagerly-materialized loser-id checkpoint backs the result
-    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(added.size <= 1, s"leaked cached RDDs: $added")
   }
 
@@ -614,7 +614,7 @@ class Round3Spec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Dedup.dropEmbeddingNearDups(embs, "embedding", "vec_id", threshold = 0.95)
     assert(result.count() > 0)
-    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(added.size <= 1, s"leaked cached RDDs: $added")
   }
 
