@@ -28,12 +28,13 @@ final case class PackedSeq(
   *    through the fold with O(one pack) memory; nothing per-partition is
   *    buffered.
   *
-  * Determinism: rows route to packing partitions by `xxhash64(id)` and are
-  * sorted within partitions by a second id hash — partition CONTENT and
-  * ORDER are pure functions of the data and `buckets`, so pack membership
-  * is identical at any cluster parallelism and across reruns (the north
-  * rule's N vs 4N reproducibility applies to the shaping step too). Pack
-  * ids are content-derived (hash of the first member's doc id), never
+  * Determinism: rows route to packing partitions by hash(id) and are sorted
+  * within partitions by a hash of (id, tokens) — partition CONTENT and ORDER
+  * are pure functions of the data and `buckets` (duplicate-id rows with
+  * different payloads included), so pack membership is identical at any
+  * cluster parallelism and across reruns (the north rule's N vs 4N
+  * reproducibility applies to the shaping step too). Pack ids are
+  * content-derived (running hash over the full member list), never
   * `spark_partition_id`/`monotonically_increasing_id` (both
   * partitioning-dependent).
   */
@@ -64,7 +65,8 @@ object Packing {
     * to `context` with `truncated = true` — never silently dropped.
     *
     * `buckets` bounds packing locality: rows pack only with rows of their
-    * hash bucket, so raising parallelism never changes pack membership.
+    * id-hash class (one class per packing partition), so pack membership
+    * never depends on cluster parallelism.
     * Expected waste per pack is O(mean sequence length / 2); callers
     * wanting tighter packing can sort upstream by length within buckets. */
   def packSequences(df: DataFrame, tokensCol: String, idCol: String,
@@ -73,20 +75,33 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     val sepCost = if (sep.isDefined) 1 else 0
+    // partition = one id-hash residue class (repartition(n, col) IS hash
+    // partitioning — no second hash layer that would skew partition loads);
+    // within-partition order ties break on the TOKEN content too, so
+    // duplicate ids with different payloads (which real corpora and the
+    // synthetic fixture both contain) still order deterministically.
+    // Identical full rows remain interchangeable — harmless.
     val prepared = df
       .select(col(idCol).cast(StringType).as("id"),
         col(tokensCol).cast(ArrayType(IntegerType)).as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) > 0 && col("id").isNotNull)
-      .withColumn("__b", pmod(xxhash64(col("id")), lit(buckets.toLong)))
-      .withColumn("__h", xxhash64(col("id"), lit(0x9ac4L)))
-      .repartition(buckets, col("__b"))
-      .sortWithinPartitions(col("__b"), col("__h"), col("id"))
+      .withColumn("__h", xxhash64(col("id"), col("toks"), lit(0x9ac4L)))
+      .repartition(buckets, col("id"))
+      .sortWithinPartitions(col("__h"), col("id"))
       .select(col("id"), col("toks"))
       .as[(String, Seq[Int])]
 
-    def packIdOf(firstDocId: String): Long =
-      graft.functions.HashMix.hashUtf8(
-        org.apache.spark.unsafe.types.UTF8String.fromString(firstDocId))
+    // pack id = running hash over ALL member ids + total length: unique even
+    // when duplicate doc ids head different packs (only packs with identical
+    // full membership share an id — and those ARE the same pack)
+    def packIdOf(memberIds: Seq[String], nTok: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      memberIds.foreach { id =>
+        h = graft.functions.HashMix.mix(h ^ graft.functions.HashMix.hashUtf8(
+          org.apache.spark.unsafe.types.UTF8String.fromString(id)))
+      }
+      graft.functions.HashMix.mix(h ^ nTok)
+    }
 
     prepared.mapPartitions { rows =>
       new Iterator[PackedSeq] {
@@ -95,8 +110,8 @@ object Packing {
         private val out = scala.collection.mutable.Queue.empty[PackedSeq] // ≤ 2 entries
         private def closePack(): Unit =
           if (ids.nonEmpty) {
-            out.enqueue(PackedSeq(packIdOf(ids.head), ids.toSeq, buf.toSeq,
-              buf.length, ids.length, truncated = false))
+            out.enqueue(PackedSeq(packIdOf(ids.toSeq, buf.length), ids.toSeq,
+              buf.toSeq, buf.length, ids.length, truncated = false))
             ids.clear(); buf.clear()
           }
         private def fill(): Unit = {
@@ -104,8 +119,8 @@ object Packing {
             val (id, toks) = rows.next()
             if (toks.length > context) {
               closePack() // emit the open pack first, keep stream order
-              out.enqueue(PackedSeq(packIdOf(id), Seq(id), toks.take(context),
-                context, 1, truncated = true))
+              out.enqueue(PackedSeq(packIdOf(Seq(id), context), Seq(id),
+                toks.take(context), context, 1, truncated = true))
             } else {
               val cost = toks.length + (if (ids.isEmpty) 0 else sepCost)
               if (buf.length + cost > context) closePack()

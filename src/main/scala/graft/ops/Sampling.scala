@@ -36,9 +36,21 @@ object Sampling {
     * (documented residual). Identical null-key rows always move together —
     * use a genuinely unique key for per-row independence. */
   private def gate(df: DataFrame, keyCol: String, opTag: Long, salt: Long): Column = {
-    import org.apache.spark.sql.types._
     val key = col(keyCol)
     val keyed = xxhash64(key, lit(opTag), lit(salt))
+    pmod(when(key.isNull, rowHash(df, opTag, salt)).otherwise(keyed), lit(Denom))
+  }
+
+  /** Deterministic FULL-ROW hash: every hashable column plus its null flag
+    * (xxhash64 skips nulls, so rows differing only in null PATTERN must
+    * hash apart explicitly); top-level map columns hash via key-sorted
+    * entry arrays (Spark forbids hashing MapType directly — struct ordering
+    * compares fields in order, key first). Columns with maps nested deeper
+    * are excluded — rows differing ONLY there hash together (documented
+    * residual). Degenerate frames with no hashable column fall back to a
+    * constant. */
+  private def rowHash(df: DataFrame, opTag: Long, salt: Long): Column = {
+    import org.apache.spark.sql.types._
     def hashable(dt: DataType): Boolean = dt match {
       case _: MapType => false
       case a: ArrayType => hashable(a.elementType)
@@ -48,18 +60,14 @@ object Sampling {
     val hashCols = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case m: MapType if hashable(m.keyType) && hashable(m.valueType) =>
-          // deterministic map image: entries sorted by key (struct ordering
-          // compares fields in order, key first)
           Some(array_sort(map_entries(col(f.name))))
         case dt if hashable(dt) => Some(col(f.name))
         case _ => None
       }
     }
-    val rowHash =
-      if (hashCols.isEmpty) keyed // degenerate frame: null keys clump (documented)
-      else xxhash64(hashCols ++ hashCols.map(_.isNull.cast("int")) ++
-        Seq(lit(opTag), lit(salt)): _*)
-    pmod(when(key.isNull, rowHash).otherwise(keyed), lit(Denom))
+    if (hashCols.isEmpty) lit(opTag) // degenerate frame (documented)
+    else xxhash64(hashCols ++ hashCols.map(_.isNull.cast("int")) ++
+      Seq(lit(opTag), lit(salt)): _*)
   }
 
   private val TagSample = 1L
@@ -106,24 +114,31 @@ object Sampling {
     * `clamp(weightCol, 0, 1)` — the data-mixing primitive (quality-score
     * resampling, per-domain up/down-weighting computed upstream). Same hash
     * gate: reproducible at any parallelism, composable with the other ops
-    * (own tag). Still one narrow filter; a NULL weight drops the row (an
-    * unknown weight must not silently mean "keep"). For weights > 1
+    * (own tag). Still one narrow filter; a NULL or NaN weight drops the row
+    * (an unknown weight must not silently mean "keep" — NaN would otherwise
+    * clamp to 1.0 under Spark's NaN-is-largest ordering). For weights > 1
     * (upsampling) pair with an explicit explode — repetition changes row
     * counts and belongs to the caller. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-      salt: Long = 0L): DataFrame =
-    df.filter(gate(df, keyCol, TagWeighted, salt) <
-      (least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) * Denom).cast("long"))
+      salt: Long = 0L): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val p = when(isnan(w), lit(0.0)).otherwise(least(greatest(w, lit(0.0)), lit(1.0)))
+    df.filter(gate(df, keyCol, TagWeighted, salt) < (p * Denom).cast("long"))
+  }
 
   /** EPOCH-STABLE deterministic shuffle: a global reordering of the corpus
-    * that is a pure function of (key, epoch) — every epoch gets a different
-    * but reproducible order, identical at any parallelism and across reruns
-    * (`orderBy(rand())` gives neither). This is the write-side op for
-    * producing shuffled training shards: one range-partitioned sort, the
-    * same cost class as any global sort; write the result with
-    * `.write.parquet(...)` and shard boundaries are the sorted ranges. */
-  def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Long): DataFrame =
-    df.orderBy(xxhash64(col(keyCol), lit(TagShuffle), lit(epoch)), col(keyCol))
+    * that is a pure function of (row content, epoch) — every epoch gets a
+    * different but reproducible order, identical at any parallelism and
+    * across reruns (`orderBy(rand())` gives neither). Duplicate keys break
+    * ties on the full-row hash (same hashable-column rules as the null-key
+    * gate), so shards stay byte-stable even over corpora with duplicate
+    * ids; only fully identical rows remain interchangeable. This is the
+    * write-side op for producing shuffled training shards: one
+    * range-partitioned sort, the same cost class as any global sort. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Long): DataFrame = {
+    val tie = rowHash(df, TagShuffle, epoch)
+    df.orderBy(xxhash64(col(keyCol), lit(TagShuffle), lit(epoch)), tie)
+  }
 
   /** Cap each stratum at ~`maxRows`: counts strata (one small agg), derives
     * per-stratum keep fractions, then hash-filters behind a BROADCAST join

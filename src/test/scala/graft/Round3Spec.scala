@@ -487,6 +487,36 @@ class Round3Spec extends SparkSpec {
     assert(e1 !== e1.sorted) // actually shuffled, not key order
   }
 
+  test("weightedSample drops NaN weights; shuffle/packing stable under duplicate keys") {
+    import graft.ops.{Packing, Sampling}
+    // NaN weight = unknown = drop (Spark's NaN-is-largest would clamp to 1.0)
+    val dfNan = spark.range(0, 100).selectExpr("cast(id as string) as key",
+      "CASE WHEN id < 50 THEN cast('NaN' as double) ELSE 1.0 END as w")
+    assert(Sampling.weightedSample(dfNan, "key", "w").count() === 50)
+    // duplicate keys with DIFFERENT payloads: order still reproducible
+    val dup = spark.range(0, 500)
+      .selectExpr("cast(id % 100 as string) as key", "id as payload") // 5 rows per key
+    val o1 = Sampling.deterministicShuffle(dup, "key", epoch = 3)
+      .select("payload").as[Long].collect().toSeq
+    val o2 = Sampling.deterministicShuffle(dup.repartition(9), "key", epoch = 3)
+      .select("payload").as[Long].collect().toSeq
+    assert(o1 === o2)
+    // duplicate ids with different token payloads: pack membership stable
+    val dupToks = spark.range(0, 400).selectExpr(
+      "cast(id % 50 as string) as doc_id",
+      "transform(sequence(0, cast(id % 7 + 1 as int)), x -> cast(x + id as int)) as tokens")
+    val p1 = Packing.packSequences(dupToks, "tokens", "doc_id", context = 64, buckets = 4)
+      .collect().map(p => (p.pack_id, p.tokens)).toSet
+    val p2 = Packing.packSequences(dupToks.repartition(11), "tokens", "doc_id",
+      context = 64, buckets = 4)
+      .collect().map(p => (p.pack_id, p.tokens)).toSet
+    assert(p1 === p2)
+    // pack ids unique even with heavy id duplication
+    val idList = Packing.packSequences(dupToks, "tokens", "doc_id", context = 64, buckets = 4)
+      .collect().map(_.pack_id)
+    assert(idList.distinct.length === idList.length)
+  }
+
   test("root dependencies: boolean forms") {
     val df = Seq(("a", "x"), ("b", null: String)).toDF("doc_id", "flag")
     // flag:false dependency = "flag must not be present (non-null)"
