@@ -287,6 +287,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "t_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(ld(s, dir, "documents"), "text", 50)),
+    "t_redact" -> ((s, dir) => { // pattern redaction (PII-scrub primitive)
+      val t = col("text")
+      ld(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.redact(t,
+          Seq("[0-9]+" -> "<NUM>", "[aeiou]{2,}" -> "<VOWELS>")).as("redacted"),
+        TextAnalysis.matchCount(t, "[0-9]+").as("n_num"))
+    }),
     "p_sample" -> ((s, dir) => { // rows-only: xxhash64 gate has no DuckDB analog
       val d = ld(s, dir, "documents")
       val (train, test) = Sampling.trainTestSplit(d, "doc_id", testFraction = 0.2)
@@ -603,6 +611,12 @@ object SparkEntry {
                      WHEN c_de > 0 THEN 'de'
                      ELSE 'unknown' END AS lang_pred
          FROM h""",
+    "t_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                               '[aeiou]{2,}', '<VOWELS>', 'g') AS redacted,
+                len(regexp_extract_all(text, '[0-9]+')) AS n_num
+         FROM documents""",
     "d_dup_spans" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -24,6 +24,28 @@ object TextAnalysis {
   def bpeIshTokens(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeIshPattern), lit(0)))
 
+  /** Pattern REDACTION — the PII-scrubbing primitive (emails, phone
+    * numbers, IPs, ID-like digit runs replaced before training). Rules
+    * apply IN ORDER (earlier replacements are visible to later patterns —
+    * order rules from most to least specific). Pure projection: scan-speed
+    * at any scale, no UDFs. */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (re, repl)) => regexp_replace(c, re, repl) }
+
+  /** Match count for one pattern (audit companion to [[redact]]: how many
+    * spans each rule would hit). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Conventional PII rule set: emails, then phone-like digit groups
+    * (requires a separator or leading `+` so bare digit runs fall through),
+    * then bare long digit runs (order matters — an email's digits must not
+    * be half-eaten by the number rules first). */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9]{1,4}[ ()-][0-9 ()-]{5,}[0-9]" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>")
+
   /** Integer quality features (exact, oracle-friendly). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))

@@ -669,4 +669,29 @@ class Round3Spec extends SparkSpec {
     val again = Sampling.deterministicSample(df, "key", 0.5).filter(col("key").isNull).count()
     assert(again === nullKept)
   }
+
+  // ---------------------------------------------------------------------
+  // pattern redaction
+  // ---------------------------------------------------------------------
+
+  test("redact: PII rules scrub email before phone/number, ordered") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      ("a", "mail me at jo.doe+x@ex-ample.co.uk or call +1 (555) 123-4567"),
+      ("b", "account 123456789 balance 42"), // long run redacted, short kept
+      ("c", "no pii here"),
+      ("d", null: String))
+      .toDF("doc_id", "text")
+    val out = df
+      .select(col("doc_id"), TextAnalysis.redact(col("text"), TextAnalysis.piiRules).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") === "mail me at <EMAIL> or call <PHONE>")
+    assert(out("b") === "account <NUM> balance 42")
+    assert(out("c") === "no pii here")
+    assert(out("d") === null) // null text stays null, not "<...>"
+    // matchCount audits the same pattern the redaction consumes
+    val n = df.select(TextAnalysis.matchCount(col("text"), "[0-9]{6,}").as("n"))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(n.toSeq === Seq(0, 1, 0, -1))
+  }
 }
