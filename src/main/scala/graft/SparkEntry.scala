@@ -287,6 +287,9 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "t_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(ld(s, dir, "documents"), "text", 50)),
+    "t_repetition" -> ((s, dir) => // Gopher repetition signals (exact ints)
+      TextAnalysis.repetitionProfile(
+        ld(s, dir, "documents").filter(col("text").isNotNull), "text")),
     "t_redact" -> ((s, dir) => { // pattern redaction (PII-scrub primitive)
       val t = col("text")
       ld(s, dir, "documents").select(
@@ -611,6 +614,92 @@ object SparkEntry {
                      WHEN c_de > 0 THEN 'de'
                      ELSE 'unknown' END AS lang_pred
          FROM h""",
+    "t_repetition" ->
+      // Mirrors RepetitionStats' shared definitions: non-empty '\n' lines;
+      // ASCII [a-z0-9]+ words of lower(text); n-grams joined by ' ' with
+      // char length incl. spaces; top tie-break (count desc, len desc, g
+      // asc); dup coverage = distinct covered word positions.
+      """WITH base AS (
+           SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+           FROM documents WHERE text IS NOT NULL
+         ),
+         lineg AS (
+           SELECT doc_id, l, count(*) AS c, len(l) AS ll
+           FROM base, unnest(string_split(text, chr(10))) AS t(l)
+           WHERE len(l) > 0
+           GROUP BY doc_id, l
+         ),
+         linestats AS (
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_lines,
+                  CAST(sum(c * ll) AS BIGINT) AS line_chars,
+                  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+                  CAST(sum(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS BIGINT) AS dup_line_chars
+           FROM lineg GROUP BY doc_id
+         ),
+         wordstats AS (
+           SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+                  CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS word_chars
+           FROM base
+         ),
+         occ AS (
+           SELECT doc_id, n, i, array_to_string(words[i:i+n-1], ' ') AS g
+           FROM base,
+                unnest([2,3,4,5,10]) AS nn(n),
+                unnest(range(1, greatest(len(words)-n+2, 1))) AS t(i)
+         ),
+         cnt AS (
+           SELECT doc_id, n, g, count(*) AS c FROM occ GROUP BY doc_id, n, g
+         ),
+         top AS (
+           SELECT doc_id, n, CAST(c * len(g) AS BIGINT) AS top_chars
+           FROM (SELECT doc_id, n, g, c,
+                        row_number() OVER (PARTITION BY doc_id, n
+                          ORDER BY c DESC, len(g) DESC, g ASC) AS rn
+                 FROM cnt WHERE n <= 4)
+           WHERE rn = 1
+         ),
+         duppos AS (
+           SELECT DISTINCT o.doc_id, o.n, u.p
+           FROM occ o
+           JOIN cnt cn ON o.doc_id = cn.doc_id AND o.n = cn.n AND o.g = cn.g
+                       AND cn.c >= 2 AND o.n >= 5,
+                unnest(range(o.i, o.i + o.n)) AS u(p)
+         ),
+         cov AS (
+           SELECT d.doc_id, d.n,
+                  CAST(sum(len(b.words[CAST(d.p AS INT)])) AS BIGINT) AS cov_chars
+           FROM duppos d JOIN base b ON d.doc_id = b.doc_id
+           GROUP BY d.doc_id, d.n
+         )
+         SELECT b.doc_id,
+                coalesce(ls.n_lines, 0) AS n_lines,
+                coalesce(ls.dup_lines, 0) AS dup_lines,
+                coalesce(ls.dup_line_chars, 0) AS dup_line_chars,
+                coalesce(ls.line_chars, 0) AS line_chars,
+                ws.n_words, ws.word_chars,
+                coalesce(t2.top_chars, 0) AS top2_chars,
+                coalesce(t3.top_chars, 0) AS top3_chars,
+                coalesce(t4.top_chars, 0) AS top4_chars,
+                coalesce(c5.cov_chars, 0) AS dup5_cov_chars,
+                coalesce(c10.cov_chars, 0) AS dup10_cov_chars,
+                (ws.n_words > 0
+                 AND coalesce(ls.dup_lines, 0) * 10 <= coalesce(ls.n_lines, 0) * 3
+                 AND coalesce(ls.dup_line_chars, 0) * 5 <= coalesce(ls.line_chars, 0)
+                 AND coalesce(t2.top_chars, 0) * 5 <= ws.word_chars
+                 AND coalesce(t3.top_chars, 0) * 100 <= ws.word_chars * 18
+                 AND coalesce(t4.top_chars, 0) * 100 <= ws.word_chars * 16
+                 AND coalesce(c5.cov_chars, 0) * 100 <= ws.word_chars * 15
+                 AND coalesce(c10.cov_chars, 0) * 10 <= ws.word_chars) AS gopher_pass
+         FROM base b
+         JOIN wordstats ws ON b.doc_id = ws.doc_id
+         LEFT JOIN linestats ls ON b.doc_id = ls.doc_id
+         LEFT JOIN top t2 ON b.doc_id = t2.doc_id AND t2.n = 2
+         LEFT JOIN top t3 ON b.doc_id = t3.doc_id AND t3.n = 3
+         LEFT JOIN top t4 ON b.doc_id = t4.doc_id AND t4.n = 4
+         LEFT JOIN cov c5 ON b.doc_id = c5.doc_id AND c5.n = 5
+         LEFT JOIN cov c10 ON b.doc_id = c10.doc_id AND c10.n = 10""",
     "t_redact" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),

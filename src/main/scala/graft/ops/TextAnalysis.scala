@@ -109,6 +109,37 @@ object TextAnalysis {
       transform(split(text, ""), ch => ascii(ch).cast(LongType)),
       lit(0L), (acc, c) => acc * 31L + c)
 
+  /** Gopher/MassiveText repetition signals as a struct of exact integer
+    * numerators/denominators — see [[graft.functions.RepetitionStats]] for
+    * the shared definitions. Single-pass kernel, zero shuffles. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextFunctions.repetition_stats(text)
+
+  /** Gopher repetition gate over the [[repetitionStats]] integer fields, in
+    * multiply-form so no float thresholds enter the plan. Thresholds are the
+    * published MassiveText ones: duplicate-line fraction <= 0.30, duplicate-
+    * line char fraction <= 0.20, top {2,3,4}-gram char fraction <=
+    * {0.20, 0.18, 0.16}, duplicated {5,10}-gram char coverage <=
+    * {0.15, 0.10}. Empty documents (no words) fail the gate. */
+  def gopherPass(stats: Column): Column = {
+    val s = stats
+    (s("n_words") > 0) &&
+      (s("dup_lines") * 10 <= s("n_lines") * 3) &&
+      (s("dup_line_chars") * 5 <= s("line_chars")) &&
+      (s("top2_chars") * 5 <= s("word_chars")) &&
+      (s("top3_chars") * 100 <= s("word_chars") * 18) &&
+      (s("top4_chars") * 100 <= s("word_chars") * 16) &&
+      (s("dup5_cov_chars") * 100 <= s("word_chars") * 15) &&
+      (s("dup10_cov_chars") * 10 <= s("word_chars"))
+  }
+
+  /** Flattened per-document repetition profile + the boolean gate. */
+  def repetitionProfile(df: DataFrame, textCol: String): DataFrame = {
+    val st = repetitionStats(col(textCol))
+    val flat = graft.functions.RepetitionStats.fieldNames.map(f => st(f).as(f))
+    df.select((col("doc_id") +: flat) :+ gopherPass(st).as("gopher_pass"): _*)
+  }
+
   /** Corpus-wide top-k terms by DOCUMENT frequency (docs containing the
     * term — `word_shingles(k=1)` is per-doc distinct, so explode+count is DF
     * not TF). Scale shape: narrow tokenize projection → explode → two-phase

@@ -694,4 +694,58 @@ class Round3Spec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
     assert(n.toSeq === Seq(0, 1, 0, -1))
   }
+
+  // ---------------------------------------------------------------------
+  // repetition stats (Gopher signals)
+  // ---------------------------------------------------------------------
+
+  test("repetitionStats: hand-computed line/ngram signals and the gate") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      ("a", "aa bb aa bb aa\ncc dd\ncc dd"), // dup lines + repeated bigrams
+      ("b", "hello world\nthis is fine"),    // clean but tiny
+      ("c", ""),                              // empty: all zero, gate fails
+      ("d", null: String))                    // null text -> null row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def longs(id: String): Seq[Long] = (1 to 11).map(out(id).getLong(_))
+    // n_lines, dup_lines, dup_line_chars, line_chars, n_words, word_chars,
+    // top2, top3, top4, dup5_cov, dup10_cov
+    assert(longs("a") === Seq(3, 2, 10, 24, 9, 18, 10, 16, 11, 0, 0))
+    assert(out("a").getBoolean(12) === false) // 2/3 dup lines > 0.30
+    assert(longs("b") === Seq(2, 0, 0, 23, 5, 20, 11, 16, 19, 0, 0))
+    assert(out("b").getBoolean(12) === false) // tiny doc: top-2 frac > 0.20
+    assert(longs("c") === Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(out("c").getBoolean(12) === false) // no words -> fail
+    assert(out("d").isNullAt(1) && out("d").isNullAt(12))
+    // a genuinely clean (long, repetition-free) document passes; note the
+    // gate is calibrated for real web-doc lengths — a 20-word paragraph
+    // "fails" top-3 because one 20-char trigram is >18% of its chars
+    val clean = Seq(("ok", (1 to 60).map(i => f"word$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.repetitionProfile(clean, "text").collect()(0)
+    assert(g.getBoolean(12) === true)
+  }
+
+  test("repetitionStats: compiled and interpreted paths agree") {
+    import graft.functions.TextFunctions.repetition_stats
+    val df = Seq(
+      ("x x x x x x\ny y\ny y\nz", 1),
+      ("one two three two three two three four five six seven", 2),
+      ("", 3)).toDF("text", "id")
+    def evalAll(mode: String): Seq[String] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(repetition_stats(col("text")).cast("string").as("s"))
+        .collect().map(_.getString(0)).toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    val compiled = evalAll("CODEGEN_ONLY")
+    assert(compiled === evalAll("NO_CODEGEN"))
+    assert(compiled.head.nonEmpty)
+  }
 }
