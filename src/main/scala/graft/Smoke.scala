@@ -68,6 +68,31 @@ object Smoke {
       shingleK = 1, threshold = 0.9)
     check("minhash", mh.count() >= 500, s"${mh.count()} near-dup pairs")
 
+    // 4b. quality filters: repetition gate, unigram likelihood, PII redaction
+    {
+      import spark.implicits._
+      val qdocs = Seq(
+        (1L, (1 to 80).map(i => s"tok$i").mkString(" ")), // clean, varied
+        (2L, Seq.fill(40)("buy now click here").mkString(" "))) // repetitive
+        .toDF("doc_id", "text")
+      val gates = TextAnalysis.repetitionProfile(qdocs, "text")
+        .select("doc_id", "gopher_pass").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val lm = UnigramLM.train(docs, "text", vocabSize = 100)
+      val lmScores = UnigramLM.score(Seq(
+          (1L, "alpha beta gamma delta epsilon"), (2L, "qqq zzz xxx www vvv"))
+          .toDF("doc_id", "text"), "text", lm)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val redacted = Seq((1L, "reach bob.a@mail.com or +1 (555) 123-4567"))
+        .toDF("doc_id", "text")
+        .select(TextAnalysis.redact(col("text"), TextAnalysis.piiRules))
+        .head().getString(0)
+      check("quality",
+        gates(1L) && !gates(2L) && lmScores(1L) > lmScores(2L) &&
+          redacted == "reach <EMAIL> or <PHONE>",
+        s"gopher=${gates(1L)}/${gates(2L)} lm=${lmScores(1L)}>${lmScores(2L)} '$redacted'")
+    }
+
     // 5. ANN over synthetic embeddings
     val embs = spark.range(1000).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(15)),

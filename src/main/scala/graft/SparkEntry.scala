@@ -290,6 +290,13 @@ object SparkEntry {
     "t_repetition" -> ((s, dir) => // Gopher repetition signals (exact ints)
       TextAnalysis.repetitionProfile(
         ld(s, dir, "documents").filter(col("text").isNotNull), "text")),
+    "t_unigram_lp" -> ((s, dir) => { // unigram LM likelihood (CCNet-style)
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      val model = UnigramLM.train(docs, "text", vocabSize = 500)
+      UnigramLM.score(docs, "text", model)
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
     "t_redact" -> ((s, dir) => { // pattern redaction (PII-scrub primitive)
       val t = col("text")
       ld(s, dir, "documents").select(
@@ -700,6 +707,26 @@ object SparkEntry {
          LEFT JOIN top t4 ON b.doc_id = t4.doc_id AND t4.n = 4
          LEFT JOIN cov c5 ON b.doc_id = c5.doc_id AND c5.n = 5
          LEFT JOIN cov c10 ON b.doc_id = c10.doc_id AND c10.n = 10""",
+    "t_unigram_lp" ->
+      // Same tokenization/vocab/fixed-point rules as UnigramLM: top-500
+      // terms by (count desc, term asc), OOV scores as count 1, per-term
+      // round(ln(c/N)*1e6) summed as BIGINT (ln agrees bitwise JVM vs
+      // DuckDB; the 1e-6 grid absorbs any sub-ulp drift).
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents WHERE text IS NOT NULL
+         ),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         vocab AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
+           GROUP BY term ORDER BY c DESC, term ASC LIMIT 500
+         )
+         SELECT t.doc_id,
+                CAST(sum(CAST(round(ln(CAST(coalesce(v.c, 1) AS DOUBLE)
+                    / (SELECT n FROM tot)) * 1e6) AS BIGINT)) AS BIGINT) AS logprob_fp,
+                CAST(count(*) AS BIGINT) AS n_tok
+         FROM toks t LEFT JOIN vocab v ON t.term = v.term
+         GROUP BY t.doc_id""",
     "t_redact" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),

@@ -155,8 +155,66 @@ object RepetitionStats {
     StructType(fieldNames.map(StructField(_, LongType, nullable = false)))
 }
 
+/** Fixed-point unigram log-likelihood over a token array — the scoring
+  * kernel of the KenLM-style quality filter (CCNet's perplexity gate,
+  * Wenzek et al. 2020, with a unigram model in place of the 5-gram KenLM).
+  * The vocabulary (term -> corpus count) is a BOUNDED driver-side map
+  * (top-V terms), embedded in the expression and shipped once per executor
+  * via the codegen reference object — scoring is a zero-shuffle projection.
+  *
+  * Per token: `round(ln(count / total) * 1e6)` summed as a long
+  * (out-of-vocabulary terms score with count 1). Fixed-point per-term
+  * rounding makes the sum order-independent and lets a SQL oracle derive
+  * the identical integer from the same corpus. Returns
+  * struct(logprob_fp, n_tok); empty arrays yield (0, 0).
+  */
+case class UnigramLogProbFp(
+    child: Expression, vocab: Map[String, Long], total: Long)
+    extends UnaryExpression {
+  require(total > 0, "total token count must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("logprob_fp", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false)))
+
+  @transient private lazy val fpByTerm: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, c) =>
+      m.put(UTF8String.fromString(t),
+        java.lang.Long.valueOf(math.round(math.log(c.toDouble / total) * 1e6)))
+    }
+    m
+  }
+  @transient private lazy val oovFp: Long =
+    math.round(math.log(1.0 / total) * 1e6)
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = a.numElements()
+    var sum = 0L
+    var scored = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val fp = fpByTerm.get(a.getUTF8String(i))
+        sum += (if (fp == null) oovFp else fp.longValue())
+        scored += 1
+      }
+      i += 1
+    }
+    InternalRow(sum, scored)
+  }
+  override def nullSafeEval(x: Any): Any =
+    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramLp", this, classOf[UnigramLogProbFp].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShim
   def repetition_stats(text: Column): Column =
     GraftShim.column(RepetitionStats(GraftShim.expression(text)))
+  def unigram_logprob_fp(tokens: Column, vocab: Map[String, Long], total: Long): Column =
+    GraftShim.column(UnigramLogProbFp(GraftShim.expression(tokens), vocab, total))
 }

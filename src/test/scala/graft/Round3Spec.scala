@@ -728,6 +728,29 @@ class Round3Spec extends SparkSpec {
     assert(g.getBoolean(12) === true)
   }
 
+  test("UnigramLM: hand-computed fixed-point likelihoods and the gate") {
+    import graft.ops.UnigramLM
+    // corpus: a:3 b:2 c:1, total 6; V=2 keeps {a:3, b:2}, c is OOV (count 1)
+    val df = Seq(("d1", "A a b"), ("d2", "a c!"), ("d3", "b"), ("d4", "   "))
+      .toDF("doc_id", "text")
+    val m = UnigramLM.train(df, "text", vocabSize = 2)
+    assert(m.totalTokens === 6 && m.vocab === Map("a" -> 3L, "b" -> 2L))
+    val fpA = math.round(math.log(3.0 / 6) * 1e6) // -693147
+    val fpB = math.round(math.log(2.0 / 6) * 1e6) // -1098612
+    val fpOov = math.round(math.log(1.0 / 6) * 1e6) // -1791759
+    val got = UnigramLM.score(df, "text", m).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("d1") === (2 * fpA + fpB, 3L))
+    assert(got("d2") === (fpA + fpOov, 2L))
+    assert(got("d3") === (fpB, 1L))
+    assert(got("d4") === (0L, 0L)) // tokenless: scores zero, gate drops it
+    // avg-likelihood gate: d3's avg (-1.0986) clears -1.5; d2's (-1.2424)
+    // clears it too; threshold -1.0 keeps only d1? d1 avg = -0.8283 -> yes
+    val kept = UnigramLM.likelihoodGate(df, "text", m, minAvgFp = -1000000L)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("d1"))
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
@@ -737,7 +760,11 @@ class Round3Spec extends SparkSpec {
     def evalAll(mode: String): Seq[String] = {
       val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
-      try df.select(repetition_stats(col("text")).cast("string").as("s"))
+      try df.select(concat_ws("|",
+          repetition_stats(col("text")).cast("string"),
+          graft.functions.TextFunctions.unigram_logprob_fp(
+            split(col("text"), " "), Map("x" -> 5L, "two" -> 2L), 10L)
+            .cast("string")).as("s"))
         .collect().map(_.getString(0)).toSeq
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
