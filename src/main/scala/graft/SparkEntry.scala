@@ -192,11 +192,11 @@ object SparkEntry {
     "d_fingerprint" -> ((s, dir) =>
       ld(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
-    "d_minhash_pairs" -> ((s, dir) => // rows-only: xxhash64-based
+    "d_minhash_pairs" -> ((s, dir) => // oracle via signature fixture
       Dedup.minhashLsh(ld(s, dir, "documents").filter(col("doc_id") < 2000),
         "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
         threshold = 0.5, maxBucket = 500)),
-    "d_simhash_pairs" -> ((s, dir) => // rows-only: xxhash64-based
+    "d_simhash_pairs" -> ((s, dir) => // oracle via signature fixture
       Dedup.simhashPairs(ld(s, dir, "documents").filter(col("doc_id") < 2000),
         "text", "doc_id", shingleK = 2, maxHamming = 8, maxBucket = 500)),
     "d_ngram_jaccard" -> ((s, dir) =>
@@ -210,7 +210,7 @@ object SparkEntry {
     "d_dup_spans" -> ((s, dir) => // duplicated 3-word spans across >= 5 docs
       Dedup.duplicatedSpans(ld(s, dir, "documents"), "text",
         spanWords = 3, minDocs = 5)),
-    "d_neardup_drop" -> ((s, dir) => // rows-only: LSH candidates are hash-dependent
+    "d_neardup_drop" -> ((s, dir) => // oracle via verified-edge fixture
       Dedup.dropNearDups(ld(s, dir, "documents").filter(col("doc_id") < 2000),
         "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
         threshold = 0.7, maxBucket = 500)
@@ -223,12 +223,12 @@ object SparkEntry {
         .select(col("vec_id"), Similarity.quantizedDot(col("embedding"), col("qv")).as("dot"))
         .orderBy(desc("dot"), col("vec_id")).limit(10)
     }),
-    "s_ann_cosine" -> ((s, dir) => { // rows-only: float cosine
+    "s_ann_cosine" -> ((s, dir) => { // oracle: DuckDB recomputes double cosine
       val e = ld(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
         e.filter(col("vec_id") === 0), "embedding", 10)
     }),
-    "s_ann_lsh" -> ((s, dir) => // rows-only: LSH-bucketed scale path
+    "s_ann_lsh" -> ((s, dir) => // oracle via band fixture (scale path)
       Similarity.cosineLshPairs(ld(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, bands = 8, planesPerBand = 4)),
     "s_ann_ivf" -> ((s, dir) => { // rows-only: float cosine (IVF probe path)
@@ -560,6 +560,93 @@ object SparkEntry {
          WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
            AND len(list_intersect(a.grams, b.grams)) >=
                0.8 * len(list_distinct(list_concat(a.grams, b.grams)))""",
+    "d_minhash_pairs" ->
+      // Signature-fixture oracle (see DataGen.writeLshFixtures): DuckDB
+      // re-derives banding (band key = the joined signature slice the Spark
+      // side hashes), the maxBucket guard, the candidate self-join, and the
+      // agreement fraction from Spark-computed minhash signatures.
+      """WITH sig AS (
+           SELECT id, sig FROM read_parquet('/root/repo/target/fixtures/minhash_sig.parquet/*.parquet')),
+         banded AS (
+           SELECT id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+           FROM sig, unnest(range(0, 16)) AS t(b)),
+         cnt AS (SELECT band, bkey, count(*) AS n FROM banded GROUP BY band, bkey),
+         ok AS (SELECT banded.* FROM banded JOIN cnt USING (band, bkey) WHERE cnt.n <= 500),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM ok a JOIN ok b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+         scored AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(len(list_filter(range(1, 65),
+                    i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 64
+                    AS est_jaccard
+           FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+         SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5""",
+    "d_simhash_pairs" ->
+      """WITH sig AS (
+           SELECT id, sim FROM read_parquet('/root/repo/target/fixtures/simhash_sig.parquet/*.parquet')),
+         chunked AS (
+           SELECT id, sim, c AS chunk, (sim >> (c*16)) & 65535 AS cv
+           FROM sig, unnest([0,1,2,3]) AS t(c)),
+         cnt AS (SELECT chunk, cv, count(*) AS n FROM chunked GROUP BY chunk, cv),
+         ok AS (SELECT chunked.* FROM chunked JOIN cnt USING (chunk, cv) WHERE cnt.n <= 500),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+           FROM ok a JOIN ok b ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""",
+    "d_neardup_drop" ->
+      // Edge-fixture oracle: the verified near-dup edge list is materialized
+      // by Verify; DuckDB recomputes connected components (recursive-CTE
+      // closure), keep-min-per-component, and the anti-join tail.
+      """WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM read_parquet('/root/repo/target/fixtures/neardup_edges.parquet/*.parquet')),
+         nodes AS (SELECT id_a AS id FROM e UNION SELECT id_b FROM e),
+         sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT id AS root, id AS node FROM nodes
+           UNION
+           SELECT r.root, s.v FROM reach r JOIN sym s ON r.node = s.u),
+         comp AS (SELECT root AS id, min(node) AS component FROM reach GROUP BY root)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id < 2000
+           AND d.doc_id NOT IN (SELECT id FROM comp WHERE component < id)""",
+    "s_ann_cosine" ->
+      // Direct oracle: double-accumulated cosine matches VecDot/VecNorm
+      // (both fold the array in index order; the 1e-9 canon grid absorbs
+      // sub-ulp summation drift, and the rank-10/11 gap is ~0.02).
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         s AS (
+           SELECT e.vec_id,
+                  list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q.qv[i]))
+                  / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                     * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+           FROM e, q WHERE e.vec_id <> 0)
+         SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""",
+    "s_ann_lsh" ->
+      """WITH b AS (
+           SELECT vec_id, band, band_val FROM read_parquet('/root/repo/target/fixtures/lsh_bands.parquet/*.parquet')),
+         cnt AS (SELECT band, band_val, count(*) AS n FROM b GROUP BY band, band_val),
+         ok AS (SELECT b.* FROM b JOIN cnt USING (band, band_val) WHERE cnt.n <= 4096),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+           FROM ok a JOIN ok bb ON a.band = bb.band AND a.band_val = bb.band_val
+                                AND a.vec_id < bb.vec_id),
+         e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+         p AS (
+           SELECT c.id_a, c.id_b,
+                  list_sum(list_transform(range(1, len(ea.v)+1), i -> ea.v[i] * eb.v[i]))
+                    / (na.nrm * nb.nrm) AS cos
+           FROM cand c
+           JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+           JOIN n na ON c.id_a = na.vec_id JOIN n nb ON c.id_b = nb.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""",
     "s_ann_quantized" ->
       """WITH q AS (
            SELECT list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS qv

@@ -16,6 +16,7 @@ object Verify {
     // materialize the synthetic-corpus fixture the seq_* oracle SQL reads
     // (the queries themselves regenerate it in-memory; see DataGen)
     DataGen.writeSeq20kFixture(spark)
+    DataGen.writeLshFixtures(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

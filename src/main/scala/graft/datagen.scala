@@ -114,6 +114,51 @@ object DataGen {
       .write.mode("overwrite").parquet(Seq20kBenchFixturePath)
   }
 
+  /** Signature/edge fixtures for the hash-dependent LSH queries. The
+    * xxhash64-based signature kernels have no DuckDB analog, so Verify
+    * materializes the Spark-computed signatures (and, for the composed drop
+    * pipeline, the verified edge list) and the oracle re-derives everything
+    * DOWNSTREAM of them in SQL: banding, bucket guards, candidate self-joins,
+    * signature agreement, connected components, keep-min. The kernels
+    * themselves are covered by unit tests + forced-codegen equality specs.
+    * Paths are compile-time constants because they are embedded in oracle
+    * SQL; parameters must mirror the corresponding SparkEntry queries. */
+  val MinhashSigFixturePath = "/root/repo/target/fixtures/minhash_sig.parquet"
+  val SimhashSigFixturePath = "/root/repo/target/fixtures/simhash_sig.parquet"
+  val NeardupEdgesFixturePath = "/root/repo/target/fixtures/neardup_edges.parquet"
+  val LshBandsFixturePath = "/root/repo/target/fixtures/lsh_bands.parquet"
+
+  def writeLshFixtures(spark: SparkSession, sfDir: String): Unit = {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 2000)
+    // d_minhash_pairs: numHashes=64, shingleK=1 (same sig filter as minhashLsh)
+    docs.select(col("doc_id").as("id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 1), 64).as("sig"))
+      .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+      .write.mode("overwrite").parquet(MinhashSigFixturePath)
+    // d_simhash_pairs: shingleK=2
+    docs.select(col("doc_id").as("id"),
+        Dedup.simhash(Dedup.shingles(col("text"), 2)).as("sim"))
+      .write.mode("overwrite").parquet(SimhashSigFixturePath)
+    // d_neardup_drop: the LSH->exact-Jaccard verified edge list (the CC +
+    // keep-min + anti-join tail is what the oracle recomputes)
+    val cand = Dedup.minhashLsh(docs, "text", "doc_id", numHashes = 64,
+      bands = 16, shingleK = 1, threshold = 0.7, maxBucket = 500)
+    Dedup.ngramJaccardFor(docs, "text", "doc_id", cand, shingleK = 1,
+        minJaccard = 0.7)
+      .select("id_a", "id_b")
+      .write.mode("overwrite").parquet(NeardupEdgesFixturePath)
+    // s_ann_lsh: sign-LSH band values (bands=8, planesPerBand=4), norm>0 rows
+    // only — mirrors cosineLshPairs' base filter
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(graft.functions.VecFunctions.vec_norm(col("embedding")) > 0)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VecFunctions.sign_lsh_bands(col("embedding"), 8, 4))
+          .as(Seq("band", "band_val")))
+      .write.mode("overwrite").parquet(LshBandsFixturePath)
+  }
+
   /** The standard suite for this corpus — every north-rule check. */
   def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
     ConstraintSuite(
