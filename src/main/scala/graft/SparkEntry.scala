@@ -231,7 +231,7 @@ object SparkEntry {
     "s_ann_lsh" -> ((s, dir) => // oracle via band fixture (scale path)
       Similarity.cosineLshPairs(ld(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, bands = 8, planesPerBand = 4)),
-    "s_ann_ivf" -> ((s, dir) => { // rows-only: float cosine (IVF probe path)
+    "s_ann_ivf" -> ((s, dir) => { // oracle via index/probe fixture
       val e = ld(s, dir, "embeddings")
       val model = ivfModel(s, dir)
       val q = e.filter(col("vec_id") === 0).select("embedding").head()
@@ -256,7 +256,7 @@ object SparkEntry {
         k = 5, nprobe = 8, score = (a, b) => Similarity.quantizedDot(a, b))
         .select(col("query_id"), col("vec_id"), col("score").cast(LongType).as("dot"), col("rn"))
     }),
-    "s_ann_ivf_batch_probe" -> ((s, dir) => { // rows-only: real probe path (nprobe < nlist)
+    "s_ann_ivf_batch_probe" -> ((s, dir) => { // oracle via index/probe fixture (nprobe < nlist)
       val e = ld(s, dir, "embeddings")
       val model = ivfModel(s, dir)
       val queries = e.filter(col("vec_id") < 3)
@@ -305,7 +305,7 @@ object SparkEntry {
           Seq("[0-9]+" -> "<NUM>", "[aeiou]{2,}" -> "<VOWELS>")).as("redacted"),
         TextAnalysis.matchCount(t, "[0-9]+").as("n_num"))
     }),
-    "p_sample" -> ((s, dir) => { // rows-only: xxhash64 gate has no DuckDB analog
+    "p_sample" -> ((s, dir) => { // oracle via auditGate fixture
       val d = ld(s, dir, "documents")
       val (train, test) = Sampling.trainTestSplit(d, "doc_id", testFraction = 0.2)
       val strat = Sampling.stratifiedSample(d, "lang", "doc_id",
@@ -647,6 +647,66 @@ object SparkEntry {
            JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
            JOIN n na ON c.id_a = na.vec_id JOIN n nb ON c.id_b = nb.vec_id)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""",
+    "s_ann_ivf" ->
+      // Index/probe-fixture oracle: the trained quantizer's list assignments
+      // and the query's probe set are materialized; DuckDB recomputes the
+      // probe filter and the cosine rank (consecutive-gap >= 9e-7 at this
+      // SF, so double summation drift cannot flip the top-10).
+      """WITH ix AS (
+           SELECT vec_id, list_id FROM read_parquet('/root/repo/target/fixtures/ivf_index.parquet/*.parquet')),
+         p AS (SELECT list_id FROM read_parquet('/root/repo/target/fixtures/ivf_probes_single.parquet/*.parquet')),
+         e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         cand AS (
+           SELECT ix.vec_id, ix.list_id FROM ix JOIN p USING (list_id)
+           WHERE ix.vec_id <> 0),
+         s AS (
+           SELECT c.vec_id, c.list_id,
+                  list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q.qv[i]))
+                  / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                     * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+           FROM cand c JOIN e ON c.vec_id = e.vec_id, q)
+         SELECT vec_id, list_id FROM s ORDER BY cos DESC, vec_id LIMIT 10""",
+    "s_ann_ivf_batch_probe" ->
+      """WITH ix AS (
+           SELECT vec_id, list_id FROM read_parquet('/root/repo/target/fixtures/ivf_index.parquet/*.parquet')),
+         qp AS (SELECT query_id, list_id FROM read_parquet('/root/repo/target/fixtures/ivf_probes_batch.parquet/*.parquet')),
+         e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+         cand AS (
+           SELECT qp.query_id, ix.vec_id FROM ix JOIN qp USING (list_id)
+           WHERE ix.vec_id >= 3),
+         s AS (
+           SELECT c.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(ev.v)+1), i -> ev.v[i] * qv.v[i]))
+                    / (nv.nrm * nq.nrm) AS cos
+           FROM cand c
+           JOIN e ev ON c.vec_id = ev.vec_id JOIN e qv ON c.query_id = qv.vec_id
+           JOIN n nv ON c.vec_id = nv.vec_id JOIN n nq ON c.query_id = nq.vec_id),
+         r AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           FROM s)
+         SELECT query_id, vec_id, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5""",
+    "p_sample" ->
+      // Gate-fixture oracle: the xxhash64 gates are materialized via
+      // Sampling.auditGate; DuckDB re-applies the cut comparisons
+      // (trainTestSplit 0.2, stratified en->0.5 default 1.0).
+      """WITH g AS (
+           SELECT doc_id, g_split, g_strat FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
+         d AS (
+           SELECT dd.doc_id, dd.lang, g.g_split, g.g_strat
+           FROM documents dd JOIN g USING (doc_id))
+         SELECT 'train' AS part, doc_id FROM d WHERE g_split >= 200000
+         UNION ALL
+         SELECT 'test' AS part, doc_id FROM d WHERE g_split < 200000
+         UNION ALL
+         SELECT 'strat' AS part, doc_id FROM d
+         WHERE CASE WHEN lang = 'en' THEN g_strat < 500000 ELSE TRUE END""",
     "s_ann_quantized" ->
       """WITH q AS (
            SELECT list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS qv

@@ -17,6 +17,7 @@ object Verify {
     // (the queries themselves regenerate it in-memory; see DataGen)
     DataGen.writeSeq20kFixture(spark)
     DataGen.writeLshFixtures(spark, sfDir)
+    DataGen.writeSamplingIvfFixtures(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

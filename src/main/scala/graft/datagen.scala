@@ -159,6 +159,41 @@ object DataGen {
       .write.mode("overwrite").parquet(LshBandsFixturePath)
   }
 
+  /** Gate/probe fixtures for p_sample and the IVF probe-path queries: the
+    * sampling hash gates and the trained quantizer's list assignments /
+    * probe sets are materialized so the oracle re-derives the DOWNSTREAM
+    * decisions (cut comparisons, probe filters, cosine rank) in SQL. */
+  val SampleGatesFixturePath = "/root/repo/target/fixtures/sample_gates.parquet"
+  val IvfIndexFixturePath = "/root/repo/target/fixtures/ivf_index.parquet"
+  val IvfProbesSingleFixturePath = "/root/repo/target/fixtures/ivf_probes_single.parquet"
+  val IvfProbesBatchFixturePath = "/root/repo/target/fixtures/ivf_probes_batch.parquet"
+
+  def writeSamplingIvfFixtures(spark: SparkSession, sfDir: String): Unit = {
+    import graft.ops.{Ivf, Sampling}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(col("doc_id"),
+        Sampling.auditGate(docs, "doc_id", "split").as("g_split"),
+        Sampling.auditGate(docs, "doc_id", "stratified").as("g_strat"))
+      .write.mode("overwrite").parquet(SampleGatesFixturePath)
+    // same training call as SparkEntry.ivfModel (deterministic)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Ivf.train(embs, "embedding", nlist = 8, iters = 2)
+    Ivf.index(embs, "embedding", model).select(col("vec_id"), col("list_id"))
+      .write.mode("overwrite").parquet(IvfIndexFixturePath)
+    // single-query probes exactly as s_ann_ivf derives them (driver-side)
+    val q0 = embs.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    import spark.implicits._
+    model.probesFor(q0, nprobe = 3).toSeq.toDF("list_id")
+      .write.mode("overwrite").parquet(IvfProbesSingleFixturePath)
+    // batch probes exactly as searchTopKBatch derives them (expression-side)
+    embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        explode(graft.functions.VecFunctions.nearest_centroids(
+          col("embedding"), model.centroids, 3)).as("list_id"))
+      .write.mode("overwrite").parquet(IvfProbesBatchFixturePath)
+  }
+
   /** The standard suite for this corpus — every north-rule check. */
   def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
     ConstraintSuite(

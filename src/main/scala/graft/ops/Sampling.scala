@@ -77,6 +77,26 @@ object Sampling {
   private val TagWeighted = 5L
   private val TagShuffle = 6L
 
+  /** AUDIT surface: the raw gate value (0 <= g < 1,000,000) a sampling op
+    * compares against its cut, keyed exactly as that op keys it. Lets
+    * external tooling (membership audits, SQL oracles, debuggers) re-derive
+    * every sampling decision from a materialized (key, gate) table without
+    * re-running the engine — e.g. trainTestSplit keeps train = g >= cut,
+    * test = g < cut. Ops: "sample", "split", "stratified", "cap",
+    * "weighted", "shuffle". */
+  def auditGate(df: DataFrame, keyCol: String, op: String, salt: Long = 0L): Column = {
+    val tag = op match {
+      case "sample" => TagSample
+      case "split" => TagSplit
+      case "stratified" => TagStratified
+      case "cap" => TagCap
+      case "weighted" => TagWeighted
+      case "shuffle" => TagShuffle
+      case other => throw new IllegalArgumentException(s"unknown sampling op: $other")
+    }
+    gate(df, keyCol, tag, salt)
+  }
+
   /** Deterministic Bernoulli sample: keeps `fraction` of rows, selected by
     * key hash. Exact membership, approximate size (binomial). */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
