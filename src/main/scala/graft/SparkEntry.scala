@@ -314,6 +314,11 @@ object SparkEntry {
         .union(test.select(lit("test").as("part"), col("doc_id")))
         .union(strat.select(lit("strat").as("part"), col("doc_id")))
     }),
+    "p_balance" -> ((s, dir) => { // domain-mixture rebalance (oracle via gate fixture)
+      Sampling.balanceToMix(ld(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+    }),
     // ---- events: windowed agg / sessionization / set ops ----
     "e_window" -> ((s, dir) =>
       ld(s, dir, "events")
@@ -707,6 +712,32 @@ object SparkEntry {
          UNION ALL
          SELECT 'strat' AS part, doc_id FROM d
          WHERE CASE WHEN lang = 'en' THEN g_strat < 500000 ELSE TRUE END""",
+    "p_balance" ->
+      // Mirrors balanceToMix arithmetic exactly (same IEEE double ops in the
+      // same order): shareSum over sorted keys, T = min(n/share'), frac =
+      // least(1, share'*T/n), cut = trunc(frac*1e6); gate from the fixture.
+      """WITH g AS (
+           SELECT doc_id, g_mix FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
+         tgt(lang, share) AS (VALUES ('de', 0.25), ('en', 0.5), ('fr', 0.25)),
+         ts AS (SELECT 0.25 + 0.5 + 0.25 AS tot),
+         cnt AS (
+           SELECT d.lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents d JOIN tgt t ON d.lang = t.lang GROUP BY d.lang),
+         j AS (
+           SELECT t.lang, t.share, coalesce(c.n, 0) AS n
+           FROM tgt t LEFT JOIN cnt c ON t.lang = c.lang),
+         tv AS (SELECT min(CAST(n AS DOUBLE) / (share / (SELECT tot FROM ts))) AS t FROM j),
+         cuts AS (
+           SELECT lang,
+                  CAST(trunc(CASE WHEN n = 0 THEN 0.0
+                    ELSE least(1.0, (share / (SELECT tot FROM ts)) * (SELECT t FROM tv) / n)
+                    END * 1000000) AS BIGINT) AS cut
+           FROM j)
+         SELECT d.doc_id, d.lang
+         FROM documents d
+         JOIN g ON d.doc_id = g.doc_id
+         JOIN cuts c ON d.lang = c.lang
+         WHERE g.g_mix < c.cut""",
     "s_ann_quantized" ->
       """WITH q AS (
            SELECT list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS qv

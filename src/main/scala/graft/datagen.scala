@@ -173,7 +173,8 @@ object DataGen {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.select(col("doc_id"),
         Sampling.auditGate(docs, "doc_id", "split").as("g_split"),
-        Sampling.auditGate(docs, "doc_id", "stratified").as("g_strat"))
+        Sampling.auditGate(docs, "doc_id", "stratified").as("g_strat"),
+        Sampling.auditGate(docs, "doc_id", "mix").as("g_mix"))
       .write.mode("overwrite").parquet(SampleGatesFixturePath)
     // same training call as SparkEntry.ivfModel (deterministic)
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -76,6 +76,7 @@ object Sampling {
   private val TagCap = 4L
   private val TagWeighted = 5L
   private val TagShuffle = 6L
+  private val TagMix = 7L
 
   /** AUDIT surface: the raw gate value (0 <= g < 1,000,000) a sampling op
     * compares against its cut, keyed exactly as that op keys it. Lets
@@ -83,7 +84,7 @@ object Sampling {
     * every sampling decision from a materialized (key, gate) table without
     * re-running the engine — e.g. trainTestSplit keeps train = g >= cut,
     * test = g < cut. Ops: "sample", "split", "stratified", "cap",
-    * "weighted", "shuffle". */
+    * "weighted", "shuffle", "mix". */
   def auditGate(df: DataFrame, keyCol: String, op: String, salt: Long = 0L): Column = {
     val tag = op match {
       case "sample" => TagSample
@@ -92,6 +93,7 @@ object Sampling {
       case "cap" => TagCap
       case "weighted" => TagWeighted
       case "shuffle" => TagShuffle
+      case "mix" => TagMix
       case other => throw new IllegalArgumentException(s"unknown sampling op: $other")
     }
     gate(df, keyCol, tag, salt)
@@ -181,4 +183,43 @@ object Sampling {
       .filter(col("__cut").isNull || gate(df, keyCol, TagCap, salt) < col("__cut"))
       .drop("__s", "__cut")
   }
+
+  /** DOMAIN-MIXTURE rebalancing: down-sample to target stratum PROPORTIONS
+    * (the data-mixing step of a training pipeline — "40% web, 30% code,
+    * 30% books"). Finds the largest total T the targets can support without
+    * replication (T = min over strata of count_s / share_s), then keeps
+    * each stratum at share_s * T rows in expectation via the deterministic
+    * hash gate. Strata ABSENT from `targets` are dropped (a mixture
+    * definition is exhaustive); a target stratum with zero rows makes the
+    * mixture infeasible → empty result (never a silently skewed one).
+    * Shares are normalized (sorted-key summation order, so the normalizer
+    * is reproducible) and need not sum to 1.
+    *
+    * Scale shape: one tiny count agg (|targets| rows — the mixture spec is
+    * driver-side by definition) plus the usual narrow gate filter; the
+    * corpus never shuffles. Like every op here, membership is a pure
+    * function of (key, salt) — stable across reruns and parallelism. */
+  def balanceToMix(df: DataFrame, strataCol: String, keyCol: String,
+      targets: Map[String, Double], salt: Long = 0L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val shareSum = targets.toSeq.sortBy(_._1).map(_._2).sum
+    val counts = df.filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = targets.map { case (s, sh) =>
+      counts.getOrElse(s, 0L).toDouble / (sh / shareSum) }.min
+    val cuts = targets.map { case (s, sh) =>
+      val n = counts.getOrElse(s, 0L)
+      val frac = if (n == 0L) 0.0 else math.min(1.0, (sh / shareSum) * t / n)
+      s -> (frac * Denom).toLong
+    }
+    // non-target strata get cut -1: gate (>= 0) never passes → dropped
+    val cut = cuts.toSeq.sortBy(_._1).foldRight(lit(-1L): Column) {
+      case ((s, c), acc) => when(col(strataCol) === s, lit(c)).otherwise(acc)
+    }
+    df.filter(gate(df, keyCol, TagMix, salt) < cut)
+  }
+
 }

@@ -67,6 +67,48 @@ object StreamValidate {
     facts.join(broadcast(d), facts(keyCol) === d(dimCol), "left_anti")
   }
 
+  /** STREAMING EXACT DEDUP — keep-first-arrival per content signature, the
+    * ingest-time face of [[graft.ops.Dedup.dropExactDups]]: the first row of
+    * each signature passes through, every later arrival (same batch or any
+    * later batch) is dropped. Within one micro-batch the winner is the row
+    * with the MINIMUM `idCol` (string order) — arrival order inside a batch
+    * is partition-race nondeterministic, and a deterministic engine must not
+    * let a race pick the survivor. Null signatures are dropped (an unhashable
+    * row must not collide into one "null" group silently).
+    *
+    * Scale notes: state is one long per distinct signature, hash-partitioned
+    * by the state store — at ingest scale use the RocksDB provider and `ttl`
+    * so retired signatures age out; unbounded-horizon dedup belongs to the
+    * batch layer. Pass a SIGNATURE column (e.g.
+    * [[graft.ops.TextAnalysis.fingerprint]]), not raw text: the signature
+    * rides the state store key. Requires OutputMode.Update downstream. */
+  def firstSeenStream(stream: DataFrame, sigCol: String, idCol: String,
+      ttl: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val rowEnc: Encoder[Row] = Encoders.row(stream.schema)
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val ke: Encoder[KeySeenState] = Encoders.product[KeySeenState]
+    val sigIdx = stream.schema.fieldIndex(sigCol)
+    val idIdx = stream.schema.fieldIndex(idCol)
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    stream.filter(col(sigCol).isNotNull)
+      .groupByKey((r: Row) => String.valueOf(r.get(sigIdx)))
+      .flatMapGroupsWithState[KeySeenState, Row](OutputMode.Update(), timeoutConf) {
+        (_: String, rows: Iterator[Row], state: GroupState[KeySeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val before = state.getOption.map(_.seen).getOrElse(0L)
+            state.update(KeySeenState(before + batch.length))
+            ttl.foreach(state.setTimeoutDuration)
+            if (before > 0 || batch.isEmpty) Iterator.empty
+            else Iterator(batch.minBy(r => String.valueOf(r.get(idIdx))))
+          }
+      }.toDF()
+  }
+
   /** CROSS-BATCH uniqueness — the streaming-native form of the north rule's
     * `Unique` check, via `flatMapGroupsWithState` (custom per-key state):
     * state = how many times this key has EVER been seen; every arrival that

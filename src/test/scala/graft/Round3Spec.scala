@@ -751,6 +751,50 @@ class Round3Spec extends SparkSpec {
     assert(kept === Set("d1"))
   }
 
+  test("balanceToMix: proportions hit targets, infeasible mix is empty") {
+    import graft.ops.Sampling
+    // 800 en / 100 fr / 100 de / 200 es; targets 50/25/25 → T limited by
+    // fr (100/0.25 = 400): expect ≈200 en, all 100 fr, all 100 de, 0 es
+    val df = spark.range(0, 1200).selectExpr("id AS doc_id",
+      """CASE WHEN id < 800 THEN 'en' WHEN id < 900 THEN 'fr'
+              WHEN id < 1000 THEN 'de' ELSE 'es' END AS lang""")
+    val out = Sampling.balanceToMix(df, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("es", 0L) === 0L) // not in mixture -> dropped
+    assert(byLang("fr") === 100L && byLang("de") === 100L) // binding strata keep all
+    assert(byLang("en") > 150 && byLang("en") < 250, s"en=${byLang("en")}") // ~200 binomial
+    // determinism across repartitioning
+    val again = Sampling.balanceToMix(df.repartition(7), "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a target stratum with zero rows -> infeasible -> empty, never skewed
+    val infeasible = Sampling.balanceToMix(df, "lang", "doc_id",
+      Map("en" -> 0.5, "zz" -> 0.5))
+    assert(infeasible.count() === 0)
+  }
+
+  test("firstSeenStream: keep-first dedup across batches, min-id within batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("doc_id", "sig")
+    val q = graft.streaming.StreamValidate.firstSeenStream(stream, "sig", "doc_id")
+      .writeStream.format("memory").queryName("first_seen").outputMode("update").start()
+    try {
+      input.addData(("d3", "A"), ("d1", "A"), ("d2", "B"))
+      q.processAllAvailable() // in-batch dup of A: min doc_id d1 wins
+      val b1 = spark.sql("select doc_id from first_seen").collect().map(_.getString(0)).toSet
+      assert(b1 === Set("d1", "d2"))
+      input.addData(("d9", "A"), ("d4", "C"))
+      q.processAllAvailable() // A already seen (cross-batch) -> only C emits
+      val b2 = spark.sql("select doc_id from first_seen").collect().map(_.getString(0)).toSet
+      assert(b2 === Set("d1", "d2", "d4"))
+    } finally q.stop()
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
