@@ -306,7 +306,8 @@ object SparkEntry {
         TextAnalysis.matchCount(t, "[0-9]+").as("n_num"))
     }),
     "p_sample" -> ((s, dir) => { // oracle via auditGate fixture
-      val d = ld(s, dir, "documents")
+      // pre-project for scan pruning (see p_balance note; doc_id non-null)
+      val d = ld(s, dir, "documents").select("doc_id", "lang")
       val (train, test) = Sampling.trainTestSplit(d, "doc_id", testFraction = 0.2)
       val strat = Sampling.stratifiedSample(d, "lang", "doc_id",
         Map("en" -> 0.5), defaultFraction = 1.0)
@@ -315,9 +316,12 @@ object SparkEntry {
         .union(strat.select(lit("strat").as("part"), col("doc_id")))
     }),
     "p_balance" -> ((s, dir) => { // domain-mixture rebalance (oracle via gate fixture)
-      Sampling.balanceToMix(ld(s, dir, "documents"), "lang", "doc_id",
-        Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25))
-        .select(col("doc_id"), col("lang"))
+      // project BEFORE sampling: the gate's null-key fallback binds every
+      // column of the frame it is given, so sampling the full table would
+      // drag a full-width scan (PlanSpec asserts the pruned shape). doc_id
+      // is non-null here → gate values are unchanged by the projection.
+      Sampling.balanceToMix(ld(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25))
     }),
     // ---- events: windowed agg / sessionization / set ops ----
     "e_window" -> ((s, dir) =>

@@ -34,7 +34,14 @@ object Sampling {
     * nested deeper (inside structs/arrays, or map-valued maps) are excluded
     * from the fallback hash — rows differing ONLY there move together
     * (documented residual). Identical null-key rows always move together —
-    * use a genuinely unique key for per-row independence. */
+    * use a genuinely unique key for per-row independence.
+    *
+    * SCALE NOTE: the null fallback BINDS every column of `df`, so Catalyst
+    * cannot prune the scan below the sampling filter. Project the frame to
+    * the columns you need BEFORE sampling — with a non-null key the gate
+    * value is a function of the key alone, so pre-projection never changes
+    * membership; for null-key rows the fallback hash is frame-shape-
+    * dependent by design (it hashes whatever columns exist). */
   private def gate(df: DataFrame, keyCol: String, opTag: Long, salt: Long): Column = {
     val key = col(keyCol)
     val keyed = xxhash64(key, lit(opTag), lit(salt))

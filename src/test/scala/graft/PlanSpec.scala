@@ -238,4 +238,32 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("*(1) Project"), p2.take(2000))
     assert(p.nonEmpty)
   }
+
+  test("t_repetition: zero-shuffle codegen'd projection, pruned scan") {
+    val p = planOf("t_repetition")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+    assert(p.contains("*(1) Project"), p.take(2000)) // RepetitionStats doGenCode holds
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("t_unigram_lp: scoring stage is a zero-shuffle projection + one agg") {
+    // training does its own (bounded) aggregation; the SCORING side — the
+    // part that scans the full corpus at production scale — must be a
+    // shuffle-free projection with the vocab embedded in the expression
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.ops.UnigramLM.Model(Map("the" -> 100L, "a" -> 50L), 1000L)
+    val p = graft.ops.UnigramLM.score(docs, "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+    assert(p.contains("*(1) Project"), p.take(2000))
+  }
+
+  test("p_balance: gate filter is one narrow filter over the scan") {
+    val p = planOf("p_balance")
+    // one scan, no join (the cut CASE chain is compiled in), no shuffle
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema) // text never read
+  }
 }
