@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off probe: text quality-filter throughput at web-pipeline scale —
+  * repetition stats (Gopher signals), unigram-LM train + score, PII
+  * redaction, and mixture rebalancing over a synthetic multi-million-doc
+  * corpus (~500 chars/doc, pure function of row id). Every op under test is
+  * a zero-shuffle projection except LM training (two-phase term agg) and the
+  * balance count agg, so throughput should track scan speed; recorded in
+  * BASELINE.md.
+  *
+  * Env: SPARK_PROBE_ROWS (default 4M), SPARK_GRAFT_CPUS (default 16). */
+object ProbeText {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_PROBE_ROWS", "4000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = GraftSession.local(cpus, "probe-text")
+    spark.sparkContext.setLogLevel("WARN")
+    // ~80 words/doc, a newline every 10 words; 20% of docs repeat ONE line
+    // eight times (planted boilerplate -> duplicate-line + dup-ngram
+    // signals fire), the rest draw words from a 50k vocab
+    val docs = spark.range(rows).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(79)), i =>
+        concat(
+          when(pmod(col("id"), lit(5)) === 0, lit("r")).otherwise(lit("w")),
+          pmod(xxhash64(col("id"),
+              when(pmod(col("id"), lit(5)) === 0, pmod(i, lit(10))).otherwise(i)),
+            lit(50000L)).cast("string"),
+          when(pmod(i, lit(10)) === 9, lit("\n")).otherwise(lit(""))))).as("text"),
+      when(pmod(col("id"), lit(4)) === 0, lit("en"))
+        .when(pmod(col("id"), lit(4)) === 1, lit("fr"))
+        .when(pmod(col("id"), lit(4)) === 2, lit("de"))
+        .otherwise(lit("es")).as("lang"))
+      .localCheckpoint(true) // generation excluded from timings
+    val chars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    def timed(name: String)(body: => String): Unit = {
+      val t0 = System.nanoTime()
+      val detail = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","rows":$rows,"chars":$chars,"sec":$sec%.1f,""" +
+        f""""docs_per_s":${rows / sec / 1e6}%.2f M,"mb_per_s":${chars / sec / 1e6}%.0f,$detail}""")
+    }
+    timed("repetition-stats") {
+      val r = ops.TextAnalysis.repetitionProfile(docs, "text")
+        .agg(count(lit(1)), sum(col("gopher_pass").cast("long"))).head()
+      require(r.getLong(0) == rows)
+      s""""gopher_pass":${r.getLong(1)}"""
+    }
+    timed("unigram-lm train+score") {
+      val model = ops.UnigramLM.train(docs, "text", vocabSize = 50000)
+      val r = ops.UnigramLM.score(docs, "text", model)
+        .agg(sum(col("logprob_fp")), sum(col("n_tok"))).head()
+      s""""vocab":${model.vocab.size},"avg_fp":${r.getLong(0) / r.getLong(1)}"""
+    }
+    timed("pii-redact") {
+      val r = docs.select(
+        length(ops.TextAnalysis.redact(col("text"), ops.TextAnalysis.piiRules)).as("l"),
+        ops.TextAnalysis.matchCount(col("text"), "[0-9]{6,}").as("n"))
+        .agg(sum(col("l")), sum(col("n"))).head()
+      s""""out_chars":${r.getLong(0)},"num_hits":${r.getLong(1)}"""
+    }
+    timed("balance-to-mix") {
+      val kept = ops.Sampling.balanceToMix(docs.select("doc_id", "lang"),
+        "lang", "doc_id", Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2)).count()
+      s""""kept":$kept"""
+    }
+    spark.stop()
+  }
+}
