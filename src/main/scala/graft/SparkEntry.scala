@@ -282,6 +282,15 @@ object SparkEntry {
           sum(TextAnalysis.qualityPass(col("text")).cast(LongType)).as("n_pass"),
           count(lit(1)).as("n"))
     }),
+    "t_filter_audit" -> ((s, dir) => { // per-stage drop attribution (one scan)
+      val t = col("text")
+      val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+      val (_, audit) = Pipeline.filterWithAudit(ld(s, dir, "documents"), Seq(
+        "length" -> length(t).between(50, 400),
+        "quality" -> TextAnalysis.qualityPass(t),
+        "digits" -> (digits * 10 <= length(t))))
+      audit
+    }),
     "t_langid" -> ((s, dir) =>
       ld(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -775,6 +784,27 @@ object SparkEntry {
                 len(regexp_extract_all(text, '\S+')) AS n_ws,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
          FROM documents""",
+    "t_filter_audit" ->
+      // Mirrors filterWithAudit: first-failing-stage CASE chain with
+      // NULL-gate-rejects (coalesce FALSE), zero-filled stage list.
+      """WITH f AS (
+           SELECT CASE
+             WHEN NOT coalesce(length(text) BETWEEN 50 AND 400, FALSE) THEN 'length'
+             WHEN NOT coalesce(
+               len(regexp_extract_all(lower(text), '[a-z]+')) >= 5
+               AND length(text) >= 20 AND length(text) <= 100000
+               AND len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) * 10
+                   >= len(regexp_extract_all(lower(text), '[a-z]+')) * 3
+               AND len(regexp_extract_all(text, '[.!?,;:]')) * 5 <= length(text),
+               FALSE) THEN 'quality'
+             WHEN NOT coalesce(len(regexp_extract_all(text, '[0-9]')) * 10 <= length(text),
+               FALSE) THEN 'digits'
+             ELSE 'kept' END AS stage
+           FROM documents),
+         s(stage, ord) AS (VALUES ('length', 0), ('quality', 1), ('digits', 2), ('kept', 3)),
+         c AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_rows FROM f GROUP BY stage)
+         SELECT s.stage, CAST(s.ord AS INT) AS ord, coalesce(c.n_rows, 0) AS n_rows
+         FROM s LEFT JOIN c USING (stage)""",
     "t_quality" ->
       """SELECT source,
                 CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS words,

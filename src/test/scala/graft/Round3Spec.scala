@@ -795,6 +795,30 @@ class Round3Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filterWithAudit: first-failing attribution, null rejects, zero-fill") {
+    import graft.ops.Pipeline
+    val df = Seq(
+      ("a", 10, "x"),   // fails s1
+      ("b", 100, null), // passes s1, null s2 -> charged to s2
+      ("c", 100, "x"),  // passes all
+      ("d", 5, null))   // fails s1 AND s2 -> charged to s1 (first)
+      .toDF("id", "n", "tag")
+    val (kept, audit) = Pipeline.filterWithAudit(df, Seq(
+      "big_enough" -> (col("n") >= 50),
+      "tagged" -> col("tag").isNotNull,
+      "never_fires" -> lit(true)))
+    assert(kept.select("id").collect().map(_.getString(0)).toSeq === Seq("c"))
+    val rows = audit.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("big_enough", 0, 2L), ("tagged", 1, 1L), ("never_fires", 2, 0L), ("kept", 3, 1L)))
+    intercept[IllegalArgumentException] {
+      Pipeline.filterWithAudit(df, Seq("kept" -> lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.filterWithAudit(df, Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
