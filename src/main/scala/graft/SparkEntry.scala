@@ -24,7 +24,7 @@ object SparkEntry {
   // one-time step; per-query re-training would charge every search ~1.5 s
   // of train cost and is not what the operator costs at scale).
   private val ivfModels = scala.collection.concurrent.TrieMap.empty[(String, Long), Ivf.Model]
-  private def ivfModel(s: SparkSession, dir: String): Ivf.Model = {
+  private[graft] def ivfModel(s: SparkSession, dir: String): Ivf.Model = {
     // cache key includes the fixture's mtime so a rewritten embeddings table
     // at the same path never serves a stale quantizer within one JVM
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
@@ -284,11 +284,10 @@ object SparkEntry {
     }),
     "t_filter_audit" -> ((s, dir) => { // per-stage drop attribution (one scan)
       val t = col("text")
-      val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
       val (_, audit) = Pipeline.filterWithAudit(ld(s, dir, "documents"), Seq(
         "length" -> length(t).between(50, 400),
         "quality" -> TextAnalysis.qualityPass(t),
-        "digits" -> (digits * 10 <= length(t))))
+        "digits" -> (TextAnalysis.matchCount(t, "[0-9]") * 10 <= length(t))))
       audit
     }),
     "t_langid" -> ((s, dir) =>
@@ -742,7 +741,10 @@ object SparkEntry {
          tv AS (SELECT min(CAST(n AS DOUBLE) / (share / (SELECT tot FROM ts))) AS t FROM j),
          cuts AS (
            SELECT lang,
-                  CAST(trunc(CASE WHEN n = 0 THEN 0.0
+                  CAST(trunc(CASE
+                    WHEN n = 0 THEN 0.0
+                    WHEN CAST(n AS DOUBLE) / (share / (SELECT tot FROM ts)) = (SELECT t FROM tv)
+                      THEN 1.0
                     ELSE least(1.0, (share / (SELECT tot FROM ts)) * (SELECT t FROM tv) / n)
                     END * 1000000) AS BIGINT) AS cut
            FROM j)

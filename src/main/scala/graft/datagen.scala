@@ -176,9 +176,10 @@ object DataGen {
         Sampling.auditGate(docs, "doc_id", "stratified").as("g_strat"),
         Sampling.auditGate(docs, "doc_id", "mix").as("g_mix"))
       .write.mode("overwrite").parquet(SampleGatesFixturePath)
-    // same training call as SparkEntry.ivfModel (deterministic)
+    // the SAME memoized quantizer instance the s_ann_ivf* queries use — one
+    // training per (dir, mtime) and one source of truth for nlist/iters
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val model = Ivf.train(embs, "embedding", nlist = 8, iters = 2)
+    val model = SparkEntry.ivfModel(spark, sfDir)
     Ivf.index(embs, "embedding", model).select(col("vec_id"), col("list_id"))
       .write.mode("overwrite").parquet(IvfIndexFixturePath)
     // single-query probes exactly as s_ann_ivf derives them (driver-side)

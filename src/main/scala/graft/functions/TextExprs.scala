@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - lines: '\n'-separated segments with length > 0. A line INSTANCE is
   *    "duplicate" when its exact text occurs >= 2 times in the document;
-  *    numerators count all such instances.
-  *  - words: maximal ASCII [a-z0-9]+ runs of the lowercased text (matching
-  *    RE2 `[a-z0-9]+` over `lower(text)`; non-ASCII letters separate).
+  *    numerators count all such instances. Line characters are CODE POINTS
+  *    (matching SQL `length()`/`len()`), not UTF-16 units.
+  *  - words: maximal runs of code points whose SIMPLE lowercase mapping is
+  *    ASCII `[a-z0-9]` (matching RE2 `[a-z0-9]+` over a per-code-point
+  *    `lower(text)`, e.g. U+212A KELVIN SIGN tokenizes as `k`; locale/full
+  *    case mappings like U+0130 are a documented residual).
   *  - n-gram (n=2,3,4 "top"): sliding window of n words joined by single
   *    spaces; char length INCLUDES the n-1 joining spaces. `topN_chars` =
   *    occurrences * char-length of the most frequent n-gram, ties broken by
@@ -60,22 +63,21 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     }
     var nLines = 0L; var lineChars = 0L; var dupLines = 0L; var dupLineChars = 0L
     lines.foreach { l =>
-      nLines += 1; lineChars += l.length
-      if (lineCounts.get(l) >= 2) { dupLines += 1; dupLineChars += l.length }
+      val cp = l.codePointCount(0, l.length) // code points, like SQL length()
+      nLines += 1; lineChars += cp
+      if (lineCounts.get(l) >= 2) { dupLines += 1; dupLineChars += cp }
     }
-    // ---- word tokenization (ASCII alnum runs, lowercased)
+    // ---- word tokenization: code points whose simple lowercase is ASCII
+    // alnum (surrogate-pair safe; resulting words are pure ASCII)
     val words = new scala.collection.mutable.ArrayBuffer[String](64)
     val sb = new java.lang.StringBuilder(16)
     i = 0
     while (i < n) {
-      val c = text.charAt(i)
-      val lc =
-        if (c >= 'A' && c <= 'Z') (c + 32).toChar
-        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c
-        else 0.toChar
-      if (lc != 0) sb.append(lc)
+      val cp = text.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc.toChar)
       else if (sb.length > 0) { words += sb.toString; sb.setLength(0) }
-      i += 1
+      i += Character.charCount(cp)
     }
     if (sb.length > 0) words += sb.toString
     val w = words.length

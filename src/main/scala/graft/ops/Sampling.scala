@@ -219,7 +219,14 @@ object Sampling {
       counts.getOrElse(s, 0L).toDouble / (sh / shareSum) }.min
     val cuts = targets.map { case (s, sh) =>
       val n = counts.getOrElse(s, 0L)
-      val frac = if (n == 0L) 0.0 else math.min(1.0, (sh / shareSum) * t / n)
+      // binding strata (n/share' == t) keep EVERYTHING: mathematically
+      // frac = 1 there, but (share'*t)/n can round to 0.999… and a trunc'd
+      // cut of 999999 would silently drop ~1e-6 of a stratum the contract
+      // says is fully kept — pin it to exactly 1.0
+      val frac =
+        if (n == 0L) 0.0
+        else if (n.toDouble / (sh / shareSum) == t) 1.0
+        else math.min(1.0, (sh / shareSum) * t / n)
       s -> (frac * Denom).toLong
     }
     // non-target strata get cut -1: gate (>= 0) never passes → dropped

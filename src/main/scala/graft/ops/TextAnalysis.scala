@@ -133,11 +133,13 @@ object TextAnalysis {
       (s("dup10_cov_chars") * 10 <= s("word_chars"))
   }
 
-  /** Flattened per-document repetition profile + the boolean gate. */
-  def repetitionProfile(df: DataFrame, textCol: String): DataFrame = {
+  /** Flattened per-document repetition profile + the boolean gate, keyed by
+    * `idCol`. */
+  def repetitionProfile(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val st = repetitionStats(col(textCol))
     val flat = graft.functions.RepetitionStats.fieldNames.map(f => st(f).as(f))
-    df.select((col("doc_id") +: flat) :+ gopherPass(st).as("gopher_pass"): _*)
+    df.select((col(idCol) +: flat) :+ gopherPass(st).as("gopher_pass"): _*)
   }
 
   /** Corpus-wide top-k terms by DOCUMENT frequency (docs containing the

@@ -99,12 +99,21 @@ object StreamValidate {
         (_: String, rows: Iterator[Row], state: GroupState[KeySeenState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toSeq
+            // single fold — never materialize the group (a boilerplate
+            // explosion can put millions of rows behind one signature)
+            var arrived = 0L
+            var winner: Row = null
+            var winnerId: String = null
+            rows.foreach { r =>
+              arrived += 1
+              val id = String.valueOf(r.get(idIdx))
+              if (winner == null || id < winnerId) { winner = r; winnerId = id }
+            }
             val before = state.getOption.map(_.seen).getOrElse(0L)
-            state.update(KeySeenState(before + batch.length))
+            state.update(KeySeenState(before + arrived))
             ttl.foreach(state.setTimeoutDuration)
-            if (before > 0 || batch.isEmpty) Iterator.empty
-            else Iterator(batch.minBy(r => String.valueOf(r.get(idIdx))))
+            if (before > 0 || winner == null) Iterator.empty
+            else Iterator(winner)
           }
       }.toDF()
   }

@@ -819,6 +819,41 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("balanceToMix: binding stratum keeps gate-999999 rows (no trunc drop)") {
+    import graft.ops.Sampling
+    // find ids whose mix-gate is EXACTLY the truncation boundary: with
+    // non-dyadic shares the binding stratum's cut would round to 999999 and
+    // silently drop them unless frac is pinned to 1.0
+    val pool = spark.range(0, 20000000).toDF("doc_id")
+    val edgeIds = pool
+      .filter(Sampling.auditGate(pool, "doc_id", "mix") === 999999)
+      .collect().map(_.getLong(0)).take(20)
+    assert(edgeIds.nonEmpty, "no gate-999999 ids in 20M — widen the scan")
+    val aIds = edgeIds ++ (0L until 100L).filterNot(edgeIds.contains)
+    val df = aIds.toSeq.toDF("doc_id").withColumn("s", lit("a"))
+      .union(spark.range(10000000, 10010000).toDF("doc_id").withColumn("s", lit("b")))
+    // a is binding: n_a/0.7 << n_b/0.3 -> every 'a' row must survive
+    val kept = Sampling.balanceToMix(df, "s", "doc_id", Map("a" -> 0.7, "b" -> 0.3))
+      .filter(col("s") === "a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === aIds.toSet, s"binding stratum dropped ${aIds.toSet -- kept}")
+  }
+
+  test("repetitionStats: code-point counting and simple-lowercase tokens") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      ("emoji", "😀😀\n😀😀"), // 2 identical 2-cp lines
+      ("kelvin", "KK x")) // U+212A simple-lowercases to ASCII k
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "text").collect()
+      .map(r => r.getString(0) -> (1 to 11).map(r.getLong(_))).toMap
+    // n_lines, dup_lines, dup_line_chars, line_chars (CODE POINTS, not
+    // UTF-16 units: 4 not 8), n_words, word_chars, ...
+    assert(out("emoji") === Seq(2, 2, 4, 4, 0, 0, 0, 0, 0, 0, 0))
+    // "KK" is one run lowercasing to "kk"; words: kk, x
+    assert(out("kelvin").slice(4, 6) === Seq(2, 3))
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
