@@ -307,6 +307,8 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "t_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(ld(s, dir, "documents"), "text", 50)),
+    "t_tfidf" -> ((s, dir) => // per-doc top-3 keywords, fixed-point idf
+      TextAnalysis.tfidfTopTerms(ld(s, dir, "documents"), "text", "doc_id", 3)),
     "t_repetition" -> ((s, dir) => // Gopher repetition signals (exact ints)
       TextAnalysis.repetitionProfile(
         ld(s, dir, "documents").filter(col("text").isNotNull), "text")),
@@ -952,6 +954,26 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM toks t LEFT JOIN vocab v ON t.term = v.term
          GROUP BY t.doc_id""",
+    "t_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+         tc AS (
+           SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+           FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                 FROM d)
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY term),
+         idf AS (
+           SELECT term, df,
+                  CAST(round(ln(((SELECT nd FROM n) + 1.0) / (df + 1.0)) * 1e6) AS BIGINT) AS idf_fp
+           FROM dfreq),
+         s AS (
+           SELECT t.doc_id, t.term, t.tf, i.df, CAST(t.tf AS BIGINT) * i.idf_fp AS score_fp
+           FROM tc t JOIN idf i ON t.term = i.term),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rn
+           FROM s)
+         SELECT doc_id, term, tf, df, score_fp, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3""",
     "t_redact" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),

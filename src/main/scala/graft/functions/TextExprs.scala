@@ -157,6 +157,51 @@ object RepetitionStats {
     StructType(fieldNames.map(StructField(_, LongType, nullable = false)))
 }
 
+/** Per-document term frequencies in ONE pass: distinct words (same
+  * tokenization as [[RepetitionStats]] — simple-lowercase code points in
+  * `[a-z0-9]`) with their in-document counts, sorted by term for
+  * determinism. The in-row aggregation is what keeps TF computation off the
+  * shuffle: an explode→groupBy(doc, term) formulation shuffles every token
+  * occurrence, this shuffles nothing. */
+case class WordCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = s.toString
+    val counts = new java.util.TreeMap[String, Int]()
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc.toChar)
+      else if (sb.length > 0) { counts.merge(sb.toString, 1, Integer.sum); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) counts.merge(sb.toString, 1, Integer.sum)
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var m = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(m) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordCounts", this, classOf[WordCounts].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Fixed-point unigram log-likelihood over a token array — the scoring
   * kernel of the KenLM-style quality filter (CCNet's perplexity gate,
   * Wenzek et al. 2020, with a unigram model in place of the 5-gram KenLM).
@@ -217,6 +262,8 @@ object TextFunctions {
   import org.apache.spark.sql.GraftShim
   def repetition_stats(text: Column): Column =
     GraftShim.column(RepetitionStats(GraftShim.expression(text)))
+  def word_counts(text: Column): Column =
+    GraftShim.column(WordCounts(GraftShim.expression(text)))
   def unigram_logprob_fp(tokens: Column, vocab: Map[String, Long], total: Long): Column =
     GraftShim.column(UnigramLogProbFp(GraftShim.expression(tokens), vocab, total))
 }

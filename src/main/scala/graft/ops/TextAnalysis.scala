@@ -153,6 +153,36 @@ object TextAnalysis {
       .orderBy(desc("df"), col("term"))
       .limit(k)
 
+  /** TF-IDF keyword extraction: top-k terms per document scored by
+    * `tf * round(ln((N+1)/(df+1)) * 1e6)` — smoothed idf in fixed point, so
+    * scores are exact integers (cross-engine-stable) and ties break by term.
+    *
+    * Scale shape: TF is computed IN-ROW ([[graft.functions.WordCounts]],
+    * zero shuffle — an explode→groupBy(doc, term) formulation would shuffle
+    * every token occurrence), document frequency is a two-phase hash agg
+    * over the per-doc DISTINCT terms, the idf join is term-keyed (AQE
+    * broadcasts small df tables), and the per-doc top-k window is bounded
+    * by document vocabulary size. One driver-side count() for N (the
+    * corpus-size scalar every idf needs). */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val base = df.filter(col(textCol).isNotNull)
+    val n = base.count()
+    val tc = base.select(col(idCol),
+        explode(graft.functions.TextFunctions.word_counts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val idf = tc.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_fp",
+        round(log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) * 1e6).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("score_fp"), col("term"))
+    tc.join(idf, Seq("term"))
+      .withColumn("score_fp", col("tf").cast(LongType) * col("idf_fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score_fp"), col("rn"))
+  }
+
   /** One-call document profile: everything above as columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

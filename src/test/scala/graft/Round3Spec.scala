@@ -854,6 +854,28 @@ class Round3Spec extends SparkSpec {
     assert(out("kelvin").slice(4, 6) === Seq(2, 3))
   }
 
+  test("tfidfTopTerms: hand-computed fixed-point scores, deterministic ties") {
+    import graft.ops.TextAnalysis
+    // N=3: "cat" df=3 (idf ln(4/4)=0), "dog" df=2 (ln(4/3)), "emu" df=1 (ln 2)
+    val df = Seq(
+      ("d1", "cat cat dog emu"),
+      ("d2", "cat dog dog"),
+      ("d3", "cat"),
+      ("d4", null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", 2).collect()
+      .map(r => (r.getString(0), r.getInt(5)) ->
+        (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val idfDog = math.round(math.log(4.0 / 3.0) * 1e6)
+    val idfEmu = math.round(math.log(4.0 / 2.0) * 1e6)
+    assert(out(("d1", 1)) === ("emu", 1, 1L, idfEmu)) // 1*ln2 beats 1*ln(4/3)
+    assert(out(("d1", 2)) === ("dog", 1, 2L, idfDog))
+    assert(out(("d2", 1)) === ("dog", 2, 2L, 2 * idfDog))
+    assert(out(("d2", 2)) === ("cat", 1, 3L, 0L))
+    assert(out(("d3", 1)) === ("cat", 1, 3L, 0L)) // score 0 still ranked
+    assert(!out.keySet.exists(_._1 == "d4")) // null text -> absent
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
