@@ -43,6 +43,13 @@ object SparkEntry {
       UnigramLM.train(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", vocabSize = 500))
   }
+  private val bigramModels = scala.collection.concurrent.TrieMap.empty[(String, Long), UnigramLM.BigramModel]
+  private def bigramModel(s: SparkSession, dir: String): UnigramLM.BigramModel = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    bigramModels.getOrElseUpdate((dir, mtime),
+      UnigramLM.trainBigram(ld(s, dir, "documents").filter(col("text").isNotNull),
+        "text", vocabSize = 500, bigramSize = 1000))
+  }
 
   /** Flagship: full validation suite over the deterministic synthetic corpus
     * — violations frame (planted defects ⇒ rows > 0). */
@@ -315,6 +322,12 @@ object SparkEntry {
     "t_unigram_lp" -> ((s, dir) => { // unigram LM likelihood (CCNet-style)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
       UnigramLM.score(docs, "text", lmModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
+    "t_bigram_lp" -> ((s, dir) => { // interpolated-bigram LM likelihood
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      UnigramLM.scoreBigram(docs, "text", bigramModel(s, dir))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
     }),
@@ -954,6 +967,39 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM toks t LEFT JOIN vocab v ON t.term = v.term
          GROUP BY t.doc_id""",
+    "t_bigram_lp" ->
+      // Mirrors BigramLogProbFp: same vocab/tie-break rules, same IEEE
+      // arithmetic shape (0.5*(cb/cp) + 0.5*(cu/N)), chr(1)-joined bigram
+      // keys, first token scores plain unigram.
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, p, words[p] AS cur,
+                  CASE WHEN p > 1 THEN words[p-1] END AS prev
+           FROM d, unnest(range(1, len(words)+1)) AS t(p)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         uni AS (
+           SELECT cur AS term, CAST(count(*) AS BIGINT) AS c FROM toks
+           GROUP BY cur ORDER BY c DESC, term ASC LIMIT 500),
+         big AS (
+           SELECT prev || chr(1) || cur AS bg, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev IS NOT NULL
+           GROUP BY prev || chr(1) || cur ORDER BY c DESC, bg ASC LIMIT 1000),
+         lp AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CASE WHEN t.prev IS NULL
+                    THEN CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot)
+                    ELSE 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / coalesce(up.c, 1))
+                       + 0.5 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    END) * 1e6) AS BIGINT) AS v
+           FROM toks t
+           LEFT JOIN uni uc ON t.cur = uc.term
+           LEFT JOIN uni up ON t.prev = up.term
+           LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.bg)
+         SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
+                CAST(count(*) AS BIGINT) AS n_tok
+         FROM lp GROUP BY doc_id""",
     "t_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),

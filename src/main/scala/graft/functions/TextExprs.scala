@@ -258,6 +258,73 @@ case class UnigramLogProbFp(
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Fixed-point INTERPOLATED-BIGRAM log-likelihood over a token array — the
+  * deeper CCNet-style scorer: token i scores
+  * `ln(0.5 * c(prev,cur)/c(prev) + 0.5 * c(cur)/N)` (first token scores the
+  * plain unigram `ln(c(cur)/N)`), rounded per-term to the 1e-6 grid and
+  * summed as a long. Out-of-vocabulary counts fall back to 1 (unigrams) / 0
+  * (bigrams) — the interpolation keeps every probability positive. Both
+  * vocabularies are BOUNDED driver-side maps shipped once per executor;
+  * scoring stays a zero-shuffle projection. The 0.5 weight is dyadic so the
+  * arithmetic mirrors exactly in a SQL oracle. Bigram keys are
+  * prev + U+0001 + cur (tokens are [a-z0-9]+, so no collision). Returns struct(logprob_fp, n_tok). */
+case class BigramLogProbFp(
+    child: Expression, unigrams: Map[String, Long], bigrams: Map[String, Long],
+    total: Long) extends UnaryExpression {
+  require(total > 0, "total token count must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("logprob_fp", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false)))
+
+  @transient private lazy val uni: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](unigrams.size * 2)
+    unigrams.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+    m
+  }
+  @transient private lazy val bi: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](bigrams.size * 2)
+    bigrams.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+    m
+  }
+  private def cnt(m: java.util.HashMap[String, java.lang.Long], k: String, dflt: Long): Long = {
+    val v = m.get(k)
+    if (v == null) dflt else v.longValue()
+  }
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = a.numElements()
+    var sum = 0L
+    var scored = 0L
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val cur = a.getUTF8String(i).toString
+        val cu = cnt(uni, cur, 1L)
+        val p =
+          if (prev == null) cu.toDouble / total
+          else {
+            val cp = cnt(uni, prev, 1L)
+            val cb = cnt(bi, prev + "\u0001" + cur, 0L)
+            0.5 * (cb.toDouble / cp) + 0.5 * (cu.toDouble / total)
+          }
+        sum += math.round(math.log(p) * 1e6)
+        scored += 1
+        prev = cur
+      }
+      i += 1
+    }
+    InternalRow(sum, scored)
+  }
+  override def nullSafeEval(x: Any): Any =
+    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramLp", this, classOf[BigramLogProbFp].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShim
   def repetition_stats(text: Column): Column =
@@ -266,4 +333,7 @@ object TextFunctions {
     GraftShim.column(WordCounts(GraftShim.expression(text)))
   def unigram_logprob_fp(tokens: Column, vocab: Map[String, Long], total: Long): Column =
     GraftShim.column(UnigramLogProbFp(GraftShim.expression(tokens), vocab, total))
+  def bigram_logprob_fp(tokens: Column, unigrams: Map[String, Long],
+      bigrams: Map[String, Long], total: Long): Column =
+    GraftShim.column(BigramLogProbFp(GraftShim.expression(tokens), unigrams, bigrams, total))
 }

@@ -58,6 +58,46 @@ object UnigramLM {
       .withColumn("n_tok", st("n_tok"))
   }
 
+  /** Interpolated-bigram model: unigram vocabulary + top-B bigram counts.
+    * Token i scores `ln(0.5·c(prev,cur)/c(prev) + 0.5·c(cur)/N)` (first
+    * token: plain unigram) — the next rung toward CCNet's 5-gram KenLM,
+    * still fully SQL-oracle-reproducible (the 0.5 weight is dyadic). */
+  case class BigramModel(unigrams: Map[String, Long], bigrams: Map[String, Long],
+      totalTokens: Long) {
+    require(totalTokens > 0, "empty training corpus")
+    def logProbFp(tokensCol: Column): Column =
+      graft.functions.TextFunctions.bigram_logprob_fp(
+        tokensCol, unigrams, bigrams, totalTokens)
+  }
+
+  /** Adjacent-word bigrams as U+0001-joined strings (in-row — token
+    * occurrences never shuffle; only per-doc bigram instances explode into
+    * the count agg). */
+  private def bigramsCol(toks: Column): Column = {
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit("\u0001"), b))
+  }
+
+  /** Train unigram + bigram vocabularies. Ties at either V boundary break
+    * deterministically by (count desc, key asc). */
+  def trainBigram(df: DataFrame, textCol: String, vocabSize: Int,
+      bigramSize: Int): BigramModel = {
+    val base = train(df, textCol, vocabSize)
+    val bigrams = df.select(explode(bigramsCol(tokens(col(textCol)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("bg")).limit(bigramSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    BigramModel(base.vocab, bigrams, base.totalTokens)
+  }
+
+  /** Attach bigram-interpolated `logprob_fp` and `n_tok`. */
+  def scoreBigram(df: DataFrame, textCol: String, model: BigramModel): DataFrame = {
+    val st = model.logProbFp(tokens(col(textCol)))
+    df.withColumn("logprob_fp", st("logprob_fp"))
+      .withColumn("n_tok", st("n_tok"))
+  }
+
   /** Keep rows whose AVERAGE per-token log-likelihood is at least
     * `minAvgFp` (fixed-point, e.g. -9_000_000 = avg ln-prob >= -9.0), in
     * multiply-form so no division enters the plan. Tokenless rows drop. */

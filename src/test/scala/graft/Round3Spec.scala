@@ -876,6 +876,27 @@ class Round3Spec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == "d4")) // null text -> absent
   }
 
+  test("BigramLM: interpolated scores, first-token unigram, OOV fallbacks") {
+    import graft.ops.UnigramLM
+    // uni a:3 b:2 c:1 (N=6); bigrams a-b:2, a-c:1
+    val df = Seq(("d1", "a b"), ("d2", "a b"), ("d3", "a c")).toDF("doc_id", "text")
+    val m = UnigramLM.trainBigram(df, "text", vocabSize = 3, bigramSize = 2)
+    assert(m.unigrams === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(m.bigrams === Map("a\u0001b" -> 2L, "a\u0001c" -> 1L))
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    val first = fp(3.0 / 6) // ln p(a)
+    val ab = fp(0.5 * (2.0 / 3) + 0.5 * (2.0 / 6))
+    val ac = fp(0.5 * (1.0 / 3) + 0.5 * (1.0 / 6))
+    val got = UnigramLM.scoreBigram(df, "text", m).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("d1") === (first + ab, 2L))
+    assert(got("d3") === (first + ac, 2L))
+    // OOV doc: "z z" -> first ln(1/6), then 0.5*(0/1) + 0.5*(1/6)
+    val oov = UnigramLM.scoreBigram(Seq(("x", "z z")).toDF("doc_id", "text"), "text", m)
+      .collect()(0)
+    assert(oov.getLong(2) === fp(1.0 / 6) + fp(0.5 * (0.0 / 1) + 0.5 * (1.0 / 6)))
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
