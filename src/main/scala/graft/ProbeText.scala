@@ -54,6 +54,22 @@ object ProbeText {
         .agg(sum(col("logprob_fp")), sum(col("n_tok"))).head()
       s""""vocab":${model.vocab.size},"avg_fp":${r.getLong(0) / r.getLong(1)}"""
     }
+    timed("bigram-lm train+score") {
+      val model = ops.UnigramLM.trainBigram(docs, "text",
+        vocabSize = 50000, bigramSize = 200000)
+      val r = ops.UnigramLM.scoreBigram(docs, "text", model)
+        .agg(sum(col("logprob_fp")), sum(col("n_tok"))).head()
+      s""""bigrams":${model.bigrams.size},"avg_fp":${r.getLong(0) / r.getLong(1)}"""
+    }
+    timed("tfidf-top3 (quarter corpus)") {
+      // tf-idf is the one op here with an inherent term shuffle (df agg +
+      // idf join + per-doc window) — probe at rows/4 to keep the join
+      // input ~70M exploded terms
+      val quarter = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val r = ops.TextAnalysis.tfidfTopTerms(quarter, "text", "doc_id", 3)
+        .agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      s""""out_rows":${r.getLong(0)},"docs":${r.getLong(1)}"""
+    }
     timed("pii-redact") {
       val r = docs.select(
         length(ops.TextAnalysis.redact(col("text"), ops.TextAnalysis.piiRules)).as("l"),

@@ -80,7 +80,12 @@ object UnigramLM {
   }
 
   /** Train unigram + bigram vocabularies. Ties at either V boundary break
-    * deterministically by (count desc, key asc). */
+    * deterministically by (count desc, key asc). SCALE NOTE: the bigram
+    * count agg shuffles one string per token occurrence — at corpus scale,
+    * train on a REFERENCE SAMPLE (`Sampling.deterministicSample`) the way
+    * CCNet trains its KenLM on Wikipedia, not on the full corpus; the model
+    * only needs stable counts, and scoring (the full-corpus pass) stays a
+    * zero-shuffle projection regardless. */
   def trainBigram(df: DataFrame, textCol: String, vocabSize: Int,
       bigramSize: Int): BigramModel = {
     val base = train(df, textCol, vocabSize)

@@ -908,9 +908,13 @@ class Round3Spec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
       try df.select(concat_ws("|",
           repetition_stats(col("text")).cast("string"),
+          graft.functions.TextFunctions.word_counts(col("text")).cast("string"),
           graft.functions.TextFunctions.unigram_logprob_fp(
             split(col("text"), " "), Map("x" -> 5L, "two" -> 2L), 10L)
-            .cast("string")).as("s"))
+            .cast("string"),
+          graft.functions.TextFunctions.bigram_logprob_fp(
+            split(col("text"), " "), Map("x" -> 5L, "two" -> 2L),
+            Map("xx" -> 3L), 10L).cast("string")).as("s"))
         .collect().map(_.getString(0)).toSeq
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
