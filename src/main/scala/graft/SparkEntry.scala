@@ -987,10 +987,12 @@ object SparkEntry {
            FROM toks WHERE prev IS NOT NULL
            GROUP BY prev || chr(1) || cur ORDER BY c DESC, bg ASC LIMIT 1000),
          lp AS (
+           -- first token OR out-of-vocabulary predecessor: unigram backoff
+           -- (an OOV-prev denominator would make the bigram term exceed 1)
            SELECT t.doc_id,
-                  CAST(round(ln(CASE WHEN t.prev IS NULL
+                  CAST(round(ln(CASE WHEN t.prev IS NULL OR up.c IS NULL
                     THEN CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot)
-                    ELSE 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / coalesce(up.c, 1))
+                    ELSE 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
                        + 0.5 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
                     END) * 1e6) AS BIGINT) AS v
            FROM toks t

@@ -39,6 +39,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *    times (true span coverage, overlaps counted once — the Gopher
   *    "fraction of characters in duplicated n-grams" semantic).
   */
+/** The ONE word tokenizer shared by every text kernel (RepetitionStats,
+  * WordCounts) and documented as the contract of the SQL oracles: maximal
+  * runs of code points whose SIMPLE lowercase mapping is ASCII `[a-z0-9]`.
+  * Kept in one place so a Unicode-mapping fix can never drift between
+  * kernels that promise identical tokenization. */
+private[functions] object TextTok {
+  def foreachWord(text: String)(f: String => Unit): Unit = {
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc.toChar)
+      else if (sb.length > 0) { f(sb.toString); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) f(sb.toString)
+  }
+}
+
 case class RepetitionStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = RepetitionStats.schema
 
@@ -67,19 +88,9 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
       nLines += 1; lineChars += cp
       if (lineCounts.get(l) >= 2) { dupLines += 1; dupLineChars += cp }
     }
-    // ---- word tokenization: code points whose simple lowercase is ASCII
-    // alnum (surrogate-pair safe; resulting words are pure ASCII)
+    // ---- word tokenization (shared TextTok contract, surrogate-safe)
     val words = new scala.collection.mutable.ArrayBuffer[String](64)
-    val sb = new java.lang.StringBuilder(16)
-    i = 0
-    while (i < n) {
-      val cp = text.codePointAt(i)
-      val lc = Character.toLowerCase(cp)
-      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc.toChar)
-      else if (sb.length > 0) { words += sb.toString; sb.setLength(0) }
-      i += Character.charCount(cp)
-    }
-    if (sb.length > 0) words += sb.toString
+    TextTok.foreachWord(text)(words += _)
     val w = words.length
     var wordChars = 0L
     words.foreach(wordChars += _.length)
@@ -173,17 +184,7 @@ case class WordCounts(child: Expression) extends UnaryExpression {
   def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val text = s.toString
     val counts = new java.util.TreeMap[String, Int]()
-    val sb = new java.lang.StringBuilder(16)
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val cp = text.codePointAt(i)
-      val lc = Character.toLowerCase(cp)
-      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc.toChar)
-      else if (sb.length > 0) { counts.merge(sb.toString, 1, Integer.sum); sb.setLength(0) }
-      i += Character.charCount(cp)
-    }
-    if (sb.length > 0) counts.merge(sb.toString, 1, Integer.sum)
+    TextTok.foreachWord(text)(w => counts.merge(w, 1, Integer.sum))
     val out = new Array[Any](counts.size)
     val it = counts.entrySet().iterator()
     var m = 0
@@ -259,15 +260,21 @@ case class UnigramLogProbFp(
 }
 
 /** Fixed-point INTERPOLATED-BIGRAM log-likelihood over a token array — the
-  * deeper CCNet-style scorer: token i scores
-  * `ln(0.5 * c(prev,cur)/c(prev) + 0.5 * c(cur)/N)` (first token scores the
-  * plain unigram `ln(c(cur)/N)`), rounded per-term to the 1e-6 grid and
-  * summed as a long. Out-of-vocabulary counts fall back to 1 (unigrams) / 0
-  * (bigrams) — the interpolation keeps every probability positive. Both
-  * vocabularies are BOUNDED driver-side maps shipped once per executor;
-  * scoring stays a zero-shuffle projection. The 0.5 weight is dyadic so the
-  * arithmetic mirrors exactly in a SQL oracle. Bigram keys are
-  * prev + U+0001 + cur (tokens are [a-z0-9]+, so no collision). Returns struct(logprob_fp, n_tok). */
+  * deeper CCNet-style scorer. Token i scores
+  * `ln(0.5 * c(prev,cur)/c(prev) + 0.5 * c(cur)/N)` when `prev` is IN the
+  * unigram vocabulary; the first token, and any token whose predecessor is
+  * out-of-vocabulary, backs off to the plain unigram `ln(c(cur)/N)` (an
+  * OOV-prev denominator fallback would make the bigram term exceed 1 and
+  * emit POSITIVE log-likelihoods — backoff, not fabricated context).
+  * Out-of-vocabulary `cur` counts as 1; absent bigrams as 0. Per-term
+  * values round to the 1e-6 grid and sum as a long. Both vocabularies are
+  * BOUNDED driver-side maps shipped once per executor; scoring stays a
+  * zero-shuffle projection with UTF8String-keyed lookups (no per-token
+  * String/concat churn — the bigram map is two-level prev -> cur -> count)
+  * and precomputed fixed-point unigram scores for the backoff path. The
+  * 0.5 weight is dyadic so the arithmetic mirrors exactly in a SQL oracle.
+  * Constructor bigram keys join prev and cur with U+0001. Returns
+  * struct(logprob_fp, n_tok). */
 case class BigramLogProbFp(
     child: Expression, unigrams: Map[String, Long], bigrams: Map[String, Long],
     total: Long) extends UnaryExpression {
@@ -276,41 +283,65 @@ case class BigramLogProbFp(
     StructField("logprob_fp", LongType, nullable = false),
     StructField("n_tok", LongType, nullable = false)))
 
-  @transient private lazy val uni: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](unigrams.size * 2)
-    unigrams.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+  // counts for the interpolated path
+  @transient private lazy val uniCnt: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](unigrams.size * 2)
+    unigrams.foreach { case (t, c) =>
+      m.put(UTF8String.fromString(t), java.lang.Long.valueOf(c)) }
     m
   }
-  @transient private lazy val bi: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](bigrams.size * 2)
-    bigrams.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+  // precomputed fixed-point unigram scores for the backoff path
+  @transient private lazy val uniFp: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](unigrams.size * 2)
+    unigrams.foreach { case (t, c) =>
+      m.put(UTF8String.fromString(t),
+        java.lang.Long.valueOf(math.round(math.log(c.toDouble / total) * 1e6))) }
     m
   }
-  private def cnt(m: java.util.HashMap[String, java.lang.Long], k: String, dflt: Long): Long = {
-    val v = m.get(k)
-    if (v == null) dflt else v.longValue()
+  @transient private lazy val oovFp: Long =
+    math.round(math.log(1.0 / total) * 1e6)
+  // two-level prev -> cur -> count (constructor keys are U+0001-joined)
+  @transient private lazy val biCnt
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
+    bigrams.foreach { case (k, c) =>
+      val sep = k.indexOf('\u0001')
+      require(sep > 0, s"malformed bigram key: $k")
+      val prev = UTF8String.fromString(k.substring(0, sep))
+      val cur = UTF8String.fromString(k.substring(sep + 1))
+      m.computeIfAbsent(prev, _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+        .put(cur, java.lang.Long.valueOf(c))
+    }
+    m
   }
 
   def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
     val n = a.numElements()
     var sum = 0L
     var scored = 0L
-    var prev: String = null
+    var prev: UTF8String = null
+    var prevCnt: java.lang.Long = null
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val cur = a.getUTF8String(i).toString
-        val cu = cnt(uni, cur, 1L)
-        val p =
-          if (prev == null) cu.toDouble / total
-          else {
-            val cp = cnt(uni, prev, 1L)
-            val cb = cnt(bi, prev + "\u0001" + cur, 0L)
-            0.5 * (cb.toDouble / cp) + 0.5 * (cu.toDouble / total)
-          }
-        sum += math.round(math.log(p) * 1e6)
+        val cur = a.getUTF8String(i)
+        val cuBoxed = uniCnt.get(cur)
+        if (prevCnt == null) {
+          // first token or OOV predecessor: plain unigram (precomputed fp)
+          val fp = if (cuBoxed == null) oovFp else uniFp.get(cur).longValue()
+          sum += fp
+        } else {
+          val cu = if (cuBoxed == null) 1L else cuBoxed.longValue()
+          val curMap = biCnt.get(prev)
+          val cbBoxed = if (curMap == null) null else curMap.get(cur)
+          val cb = if (cbBoxed == null) 0L else cbBoxed.longValue()
+          val p = 0.5 * (cb.toDouble / prevCnt.longValue()) +
+            0.5 * (cu.toDouble / total)
+          sum += math.round(math.log(p) * 1e6)
+        }
         scored += 1
         prev = cur
+        prevCnt = cuBoxed
       }
       i += 1
     }

@@ -164,23 +164,35 @@ object TextAnalysis {
     * broadcasts small df tables), and the per-doc top-k window is bounded
     * by document vocabulary size. One driver-side count() for N (the
     * corpus-size scalar every idf needs). */
-  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    tfidfTopTermsCached(df, textCol, idCol, k)._1
+
+  /** [[tfidfTopTerms]] plus a RELEASE handle for the internal (id, term,
+    * tf) cache — the tokenized frame feeds BOTH the df aggregation and the
+    * scoring join, so without the persist the per-document tokenization of
+    * the whole corpus would run twice. Call the handle once the result is
+    * materialized (same discipline as `Dedup.minhashLshCached`). */
+  def tfidfTopTermsCached(df: DataFrame, textCol: String, idCol: String,
+      k: Int): (DataFrame, () => Unit) = {
     require(k >= 1, "k >= 1")
     val base = df.filter(col(textCol).isNotNull)
+    // N scans only the text-null mask (one cheap column), not the tokens
     val n = base.count()
     val tc = base.select(col(idCol),
         explode(graft.functions.TextFunctions.word_counts(col(textCol))).as("tc"))
       .select(col(idCol), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .persist()
     val idf = tc.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf_fp",
         round(log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) * 1e6).cast(LongType))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(desc("score_fp"), col("term"))
-    tc.join(idf, Seq("term"))
+    val out = tc.join(idf, Seq("term"))
       .withColumn("score_fp", col("tf").cast(LongType) * col("idf_fp"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score_fp"), col("rn"))
+    (out, () => { tc.unpersist(); () })
   }
 
   /** One-call document profile: everything above as columns. */

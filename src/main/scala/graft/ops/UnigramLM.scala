@@ -59,9 +59,10 @@ object UnigramLM {
   }
 
   /** Interpolated-bigram model: unigram vocabulary + top-B bigram counts.
-    * Token i scores `ln(0.5·c(prev,cur)/c(prev) + 0.5·c(cur)/N)` (first
-    * token: plain unigram) — the next rung toward CCNet's 5-gram KenLM,
-    * still fully SQL-oracle-reproducible (the 0.5 weight is dyadic). */
+    * Token i scores `ln(0.5·c(prev,cur)/c(prev) + 0.5·c(cur)/N)` when the
+    * predecessor is in-vocabulary; the first token and OOV-predecessor
+    * tokens back off to the plain unigram — the next rung toward CCNet's
+    * 5-gram KenLM, still fully SQL-oracle-reproducible (dyadic 0.5). */
   case class BigramModel(unigrams: Map[String, Long], bigrams: Map[String, Long],
       totalTokens: Long) {
     require(totalTokens > 0, "empty training corpus")

@@ -891,10 +891,21 @@ class Round3Spec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got("d1") === (first + ab, 2L))
     assert(got("d3") === (first + ac, 2L))
-    // OOV doc: "z z" -> first ln(1/6), then 0.5*(0/1) + 0.5*(1/6)
+    // OOV doc: "z z" -> first ln(1/6); prev z is OOV -> unigram BACKOFF
+    // ln(1/6) again (never a fabricated /1 denominator, which would let a
+    // top-B bigram with an OOV head score p > 1)
     val oov = UnigramLM.scoreBigram(Seq(("x", "z z")).toDF("doc_id", "text"), "text", m)
       .collect()(0)
-    assert(oov.getLong(2) === fp(1.0 / 6) + fp(0.5 * (0.0 / 1) + 0.5 * (1.0 / 6)))
+    assert(oov.getLong(2) === 2 * fp(1.0 / 6))
+    // bigram in top-B whose HEAD misses the tiny unigram vocab: backoff,
+    // and in particular the score stays NEGATIVE
+    val m1 = UnigramLM.trainBigram(df, "text", vocabSize = 1, bigramSize = 2)
+    assert(m1.unigrams === Map("a" -> 3L))
+    val headOov = UnigramLM
+      .scoreBigram(Seq(("y", "c a")).toDF("doc_id", "text"), "text", m1)
+      .collect()(0)
+    assert(headOov.getLong(2) === fp(1.0 / 6) + fp(3.0 / 6))
+    assert(headOov.getLong(2) < 0)
   }
 
   test("repetitionStats: compiled and interpreted paths agree") {
