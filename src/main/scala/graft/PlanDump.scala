@@ -56,6 +56,16 @@ object PlanDump {
     dump("batched IVF search (partition-pruned probe scan, broadcast queries, WindowGroupLimit top-k)",
       ops.Ivf.searchTopKBatch(spark.read.parquet(ivfDir), "embedding", "vec_id",
         ivfModel, queries, "embedding", "qid", k = 3, nprobe = 2))
+    dump("repetition profile (zero-shuffle single-kernel projection + gate)",
+      ops.TextAnalysis.repetitionProfile(docs, "text"))
+    dump("unigram-LM scoring (broadcast-vocab kernel, zero shuffles)",
+      ops.UnigramLM.score(docs, "text",
+        ops.UnigramLM.Model(Map("the" -> 100L, "a" -> 50L), 1000L)))
+    dump("mixture rebalance (compiled cut CASE chain, one narrow filter)",
+      ops.Sampling.balanceToMix(docs.select("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25)))
+    dump("tf-idf top-k (in-row TF kernel, df agg + idf join + bounded window)",
+      ops.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 3))
     spark.stop()
   }
 }
