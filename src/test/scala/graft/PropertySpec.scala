@@ -143,4 +143,69 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------------
+  // text kernels vs naive Scala models
+  // ---------------------------------------------------------------------
+
+  /** Independent word model: per-code-point simple lowercase, non-alnum →
+    * separator (implemented via mapping + split, NOT the kernel's loop). */
+  private def modelWords(text: String): Seq[String] = {
+    val mapped = text.codePoints().toArray.map(Character.toLowerCase).map { cp =>
+      if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) cp.toChar.toString else " "
+    }.mkString
+    mapped.split("\\s+").toSeq.filter(_.nonEmpty)
+  }
+
+  private def modelRepetition(text: String): Seq[Long] = {
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    val lineCount = lines.groupBy(identity).view.mapValues(_.size).toMap
+    def cps(s: String): Long = s.codePointCount(0, s.length).toLong
+    val dup = lines.filter(l => lineCount(l) >= 2)
+    val words = modelWords(text)
+    def wins(k: Int): Seq[String] = words.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+    def top(k: Int): Long = {
+      val c = wins(k).groupBy(identity).view.mapValues(_.size).toMap
+      if (c.isEmpty) 0L
+      else {
+        val (g, n) = c.toSeq.minBy { case (g, n) => (-n, -g.length, g) }
+        n.toLong * g.length
+      }
+    }
+    def cov(k: Int): Long = {
+      val ws = wins(k)
+      val c = ws.groupBy(identity).view.mapValues(_.size).toMap
+      val covered = Array.fill(words.size)(false)
+      ws.zipWithIndex.foreach { case (g, i) =>
+        if (c(g) >= 2) (i until i + k).foreach(covered(_) = true)
+      }
+      words.indices.filter(covered).map(i => words(i).length.toLong).sum
+    }
+    Seq(lines.size.toLong, dup.size.toLong, dup.map(cps).sum, lines.map(cps).sum,
+      words.size.toLong, words.map(_.length.toLong).sum,
+      top(2), top(3), top(4), cov(5), cov(10))
+  }
+
+  test("RepetitionStats and WordCounts match naive models on random text") {
+    val genText = Gen.listOfN(60, Gen.frequency(
+      10 -> Gen.alphaNumChar.map(_.toString),
+      4 -> Gen.const(" "),
+      2 -> Gen.const("\n"),
+      1 -> Gen.oneOf("😀", "K", "ß", "É", ".", "!"), // emoji, Kelvin, eszett, E-acute
+      2 -> Gen.oneOf("the", "spam spam", "aa bb"))).map(_.mkString)
+    val texts = samples(genText, 250).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = graft.ops.TextAnalysis.repetitionProfile(df, "text", "id").collect()
+      .map(r => r.getLong(0) -> (1 to 11).map(r.getLong(_))).toMap
+    val gotWc = df.select(col("id"),
+        graft.functions.TextFunctions.word_counts(col("text")).as("wc")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => x.getString(0) -> x.getInt(1))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === modelRepetition(t), s"repetition mismatch on: ${t.take(80)}")
+      val wcModel = modelWords(t).groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy(_._1).map { case (w, c) => (w, c) }
+      assert(gotWc(i.toLong) === wcModel, s"word-count mismatch on: ${t.take(80)}")
+    }
+  }
 }
