@@ -98,4 +98,28 @@ class EdgeSpec extends SparkSpec {
     val m = Ivf.train(emptyEmb, "embedding", nlist = 4)
     assert(m.nlist >= 1)
   }
+
+  test("quality-filter ops on degenerate inputs") {
+    import graft.ops.{TextAnalysis, UnigramLM}
+    // tokenless docs count toward N (their text is non-null) but never
+    // appear in the output; idf = ln((2+1)/(1+1)), tf breaks the rank
+    val df = Seq((1L, "beta alpha beta"), (2L, "!!! ...")).toDF("doc_id", "text")
+    val tfidf = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", 5).collect()
+    assert(tfidf.forall(_.getLong(0) === 1L)) // doc 2 tokenless -> absent
+    val idf = math.round(math.log(3.0 / 2.0) * 1e6)
+    assert(tfidf.map(r => (r.getString(1), r.getLong(4), r.getInt(5))).toSeq ===
+      Seq(("beta", 2 * idf, 1), ("alpha", idf, 2)))
+    // an all-null / tokenless training corpus is a loud error, not a model
+    val nullDocs = Seq((1L, null: String)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { UnigramLM.train(nullDocs, "text", 10) }
+    // repetition profile on a single character
+    val one = TextAnalysis.repetitionProfile(Seq((1L, "a")).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert((1 to 11).map(one.getLong(_)) === Seq(1, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0))
+    assert(one.getBoolean(12) === true) // 1 clean word passes every ratio
+    // balanceToMix on an empty frame: empty out, no division blowups
+    val emptyDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(graft.ops.Sampling.balanceToMix(emptyDocs2, "lang", "doc_id",
+      Map("en" -> 1.0)).count() === 0)
+  }
 }
