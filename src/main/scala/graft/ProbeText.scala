@@ -39,8 +39,9 @@ object ProbeText {
       val t0 = System.nanoTime()
       val detail = body
       val sec = (System.nanoTime() - t0) / 1e9
+      // valid JSON: unit suffixes live in the key names, values are numbers
       println(f"""{"probe":"$name","rows":$rows,"chars":$chars,"sec":$sec%.1f,""" +
-        f""""docs_per_s":${rows / sec / 1e6}%.2f M,"mb_per_s":${chars / sec / 1e6}%.0f,$detail}""")
+        f""""mdocs_per_s":${rows / sec / 1e6}%.2f,"mb_per_s":${chars / sec / 1e6}%.0f,$detail}""")
     }
     timed("repetition-stats") {
       val r = ops.TextAnalysis.repetitionProfile(docs, "text")
@@ -64,10 +65,13 @@ object ProbeText {
     timed("tfidf-top3 (quarter corpus)") {
       // tf-idf is the one op here with an inherent term shuffle (df agg +
       // idf join + per-doc window) — probe at rows/4 to keep the join
-      // input ~70M exploded terms
+      // input ~70M exploded terms. Cached variant + release so the pinned
+      // token frame can't skew the probes that follow.
       val quarter = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-      val r = ops.TextAnalysis.tfidfTopTerms(quarter, "text", "doc_id", 3)
-        .agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      val (out, release) =
+        ops.TextAnalysis.tfidfTopTermsCached(quarter, "text", "doc_id", 3)
+      val r = out.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      release()
       s""""out_rows":${r.getLong(0)},"docs":${r.getLong(1)}"""
     }
     timed("pii-redact") {

@@ -143,12 +143,13 @@ object DataGen {
       .write.mode("overwrite").parquet(SimhashSigFixturePath)
     // d_neardup_drop: the LSH->exact-Jaccard verified edge list (the CC +
     // keep-min + anti-join tail is what the oracle recomputes)
-    val cand = Dedup.minhashLsh(docs, "text", "doc_id", numHashes = 64,
-      bands = 16, shingleK = 1, threshold = 0.7, maxBucket = 500)
+    val (cand, releaseLsh) = Dedup.minhashLshCached(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 1, threshold = 0.7, maxBucket = 500)
     Dedup.ngramJaccardFor(docs, "text", "doc_id", cand, shingleK = 1,
         minJaccard = 0.7)
       .select("id_a", "id_b")
       .write.mode("overwrite").parquet(NeardupEdgesFixturePath)
+    releaseLsh() // the write above materialized the edges — drop the sig cache
     // s_ann_lsh: sign-LSH band values (bands=8, planesPerBand=4), norm>0 rows
     // only — mirrors cosineLshPairs' base filter
     spark.read.parquet(s"$sfDir/embeddings.parquet")

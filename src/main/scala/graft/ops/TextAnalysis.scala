@@ -164,6 +164,10 @@ object TextAnalysis {
     * broadcasts small df tables), and the per-doc top-k window is bounded
     * by document vocabulary size. One driver-side count() for N (the
     * corpus-size scalar every idf needs). */
+  /** Convenience form that persists its internal token frame with NO owner —
+    * one-shot sessions only; long-lived / multi-pass pipelines should use
+    * [[tfidfTopTermsCached]] and call the release handle (the same trade as
+    * `Dedup.minhashLsh` vs `minhashLshCached`). */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     tfidfTopTermsCached(df, textCol, idCol, k)._1
 

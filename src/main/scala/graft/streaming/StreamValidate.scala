@@ -89,6 +89,14 @@ object StreamValidate {
     implicit val rowEnc: Encoder[Row] = Encoders.row(stream.schema)
     implicit val se: Encoder[String] = Encoders.STRING
     implicit val ke: Encoder[KeySeenState] = Encoders.product[KeySeenState]
+    // String.valueOf on Array[Byte] is identity ("[B@..."), which would make
+    // every binary signature unique (dedup silently no-ops) and binary id
+    // ordering partition-race nondeterministic — reject loudly instead
+    Seq(sigCol, idCol).foreach { c =>
+      require(stream.schema(c).dataType !=
+          org.apache.spark.sql.types.BinaryType,
+        s"$c is BinaryType — hex-encode it (e.g. hex(col)) before streaming dedup")
+    }
     val sigIdx = stream.schema.fieldIndex(sigCol)
     val idIdx = stream.schema.fieldIndex(idCol)
     val timeoutConf =

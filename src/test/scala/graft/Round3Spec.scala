@@ -925,7 +925,7 @@ class Round3Spec extends SparkSpec {
             .cast("string"),
           graft.functions.TextFunctions.bigram_logprob_fp(
             split(col("text"), " "), Map("x" -> 5L, "two" -> 2L),
-            Map("xx" -> 3L), 10L).cast("string")).as("s"))
+            Map("x\u0001x" -> 3L), 10L).cast("string")).as("s"))
         .collect().map(_.getString(0)).toSeq
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
