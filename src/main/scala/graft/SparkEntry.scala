@@ -64,6 +64,25 @@ object SparkEntry {
   /** cents-exact money column. */
   private def cents(c: Column): Column = round(c * 100).cast(LongType)
 
+  /** The draft-07 documents suite shared by v_jsonschema and the JSONL
+    * round-trip query (identical checks, two sources). */
+  private val docSchemaJson =
+    """{"type":"object","required":["doc_id","text"],
+        "properties":{
+          "doc_id":{"type":"integer","minimum":0},
+          "text":{"type":"string","minLength":60,"maxLength":400,"pattern":"[A-Za-z]"},
+          "n_chars":{"minimum":0,"maximum":375},
+          "lang":{"enum":["en","es","fr","de"]},
+          "source":{"type":"string","pattern":"^src[0-9]+$"}}}"""
+
+  private def jsonSchemaViolationCounts(df: DataFrame): DataFrame = {
+    val suite = JsonSchema.parse(docSchemaJson, "doc_id", tableSchema = Some(df.schema))
+      .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+    val compiled = suite.compile(df.schema)
+      .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+    compiled.run(df).violations.groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- validation engine: row-local checks (C4-C7, C2, C8, C21) ----
     "v_range" -> ((s, dir) => {
@@ -114,21 +133,19 @@ object SparkEntry {
       ld(s, dir, "embeddings").filter(!c.pred).select(col("vec_id"))
     }),
     // ---- runtime JSON Schema → engine → violation profile (loader E2E) ----
-    "v_jsonschema" -> ((s, dir) => {
-      val df = ld(s, dir, "documents")
-      val schemaJson =
-        """{"type":"object","required":["doc_id","text"],
-            "properties":{
-              "doc_id":{"type":"integer","minimum":0},
-              "text":{"type":"string","minLength":60,"maxLength":400,"pattern":"[A-Za-z]"},
-              "n_chars":{"minimum":0,"maximum":375},
-              "lang":{"enum":["en","es","fr","de"]},
-              "source":{"type":"string","pattern":"^src[0-9]+$"}}}"""
-      val suite = JsonSchema.parse(schemaJson, "doc_id", tableSchema = Some(df.schema))
-        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
-      val compiled = suite.compile(df.schema)
-        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
-      compiled.run(df).violations.groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))
+    "v_jsonschema" -> ((s, dir) =>
+      jsonSchemaViolationCounts(ld(s, dir, "documents"))),
+    "j_jsonl" -> ((s, dir) => { // JSONL round-trip: the reference's native
+      // input form — export, re-parse with an explicit schema + corrupt
+      // capture, validate. The export is part of the measured operator (a
+      // JSON source benchmark), and gives the oracle the same bytes.
+      val docs = ld(s, dir, "documents")
+      val path = "/root/repo/target/fixtures/documents_jsonl"
+      docs.write.mode("overwrite").json(path)
+      val (valid, corrupt) = sources.JsonCorpus.readSplit(s, path, docs.schema)
+      jsonSchemaViolationCounts(valid)
+        .union(s.range(1).select(lit("corrupt_lines").as("constraint_id"),
+          lit(corrupt.count()).as("n")))
     }),
     // ---- cross-row: uniqueness / referential (SURVEY.md §2.4) ----
     "v_unique" -> ((s, dir) => // agg checks emit native-typed keys; stringify for the oracle
@@ -471,6 +488,30 @@ object SparkEntry {
            UNION ALL SELECT 'regex(source)', count(*) FROM documents
              WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$'))
          SELECT constraint_id, CAST(n AS BIGINT) AS n FROM v WHERE n > 0""",
+    "j_jsonl" ->
+      // Same checks as v_jsonschema but over the JSONL export the query
+      // itself writes; corrupt_lines is 0 by construction (clean export) —
+      // malformed-line capture is covered by ScalaTest with planted garbage.
+      """WITH documents AS (
+           SELECT * FROM read_json('/root/repo/target/fixtures/documents_jsonl/*.json',
+                                   format='newline_delimited')),
+         v AS (
+           SELECT 'nonnull(doc_id)' AS constraint_id, count(*) AS n FROM documents WHERE doc_id IS NULL
+           UNION ALL SELECT 'nonnull(text)', count(*) FROM documents WHERE text IS NULL
+           UNION ALL SELECT 'range(doc_id)', count(*) FROM documents
+             WHERE doc_id IS NOT NULL AND NOT (doc_id >= 0)
+           UNION ALL SELECT 'length(text)', count(*) FROM documents
+             WHERE text IS NOT NULL AND NOT (length(text) >= 60 AND length(text) <= 400)
+           UNION ALL SELECT 'regex(text)', count(*) FROM documents
+             WHERE text IS NOT NULL AND NOT regexp_matches(text, '[A-Za-z]')
+           UNION ALL SELECT 'range(n_chars)', count(*) FROM documents
+             WHERE n_chars IS NOT NULL AND NOT (n_chars >= 0 AND n_chars <= 375)
+           UNION ALL SELECT 'enum(lang)', count(*) FROM documents
+             WHERE lang IS NOT NULL AND lang NOT IN ('en','es','fr','de')
+           UNION ALL SELECT 'regex(source)', count(*) FROM documents
+             WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$'))
+         SELECT constraint_id, CAST(n AS BIGINT) AS n FROM v WHERE n > 0
+         UNION ALL SELECT 'corrupt_lines', CAST(0 AS BIGINT)""",
     "v_drift_chi2_fp" ->
       """WITH binned AS (
            SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL corpus source — the reference's NATIVE input form (tamasfe/verify
+  * validates in-memory JSON/serde values; `verify/examples/schemars_json.rs`
+  * parses JSON documents). The engine-side rule: parse with an EXPLICIT
+  * schema and PERMISSIVE corrupt-record capture, so a malformed line becomes
+  * a visible row (data columns null, raw line preserved) that the caller
+  * counts — never a silent drop, and never a schema-inference pass over
+  * 100 TB (inference reads the data twice and types drift per partition).
+  */
+object JsonCorpus {
+
+  val CorruptCol = "_corrupt"
+
+  /** Read newline-delimited JSON with `schema` + a corrupt-record column.
+    * One narrow scan; JSON parsing is per-row and embarrassingly parallel. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    spark.read
+      .schema(schema.add(CorruptCol, StringType, nullable = true))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+  }
+
+  /** (valid rows without the corrupt column, corrupt raw lines).
+    *
+    * The corrupt side is derived from a TEXT scan + `from_json`, not from
+    * the JSON scan: Spark refuses any JSON-scan plan whose referenced
+    * columns prune down to only the corrupt record column (which is exactly
+    * what `corrupt.count()` does), and the documented cache() workaround
+    * would pin the whole parsed corpus. Whitespace-only lines are skipped
+    * to mirror the JSON reader's behavior. */
+  def readSplit(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val valid = read(spark, path, schema).filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        from_json(col("value"), schema.add(CorruptCol, StringType, nullable = true),
+          java.util.Map.of("mode", "PERMISSIVE",
+            "columnNameOfCorruptRecord", CorruptCol)).as("j"))
+    val corrupt = parsed
+      .filter(col("j").isNull || col(s"j.$CorruptCol").isNotNull)
+      .select(col("value").as(CorruptCol))
+    (valid, corrupt)
+  }
+}

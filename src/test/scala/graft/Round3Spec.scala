@@ -908,6 +908,30 @@ class Round3Spec extends SparkSpec {
     assert(headOov.getLong(2) < 0)
   }
 
+  test("JsonCorpus: explicit-schema parse with corrupt-line capture") {
+    import graft.sources.JsonCorpus
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_test")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello"}""",
+      """{"doc_id": "NOT_A_NUMBER", "text": "bad type"}""", // type mismatch
+      """{this is not json at all""", // malformed
+      """{"doc_id": 3, "text": null}""")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (valid, corrupt) = JsonCorpus.readSplit(spark, dir.toString, schema)
+    val ok = valid.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    assert(ok.toSet === Set(1L -> "hello", 3L -> null))
+    assert(corrupt.count() === 2) // bad type AND malformed both captured
+    // schema already containing the corrupt column is rejected loudly
+    intercept[IllegalArgumentException] {
+      JsonCorpus.read(spark, dir.toString, schema.add("_corrupt", StringType))
+    }
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
