@@ -336,6 +336,13 @@ object SparkEntry {
     "t_repetition" -> ((s, dir) => // Gopher repetition signals (exact ints)
       TextAnalysis.repetitionProfile(
         ld(s, dir, "documents").filter(col("text").isNotNull), "text")),
+    "t_gopher_quality" -> ((s, dir) => { // the REST of the Gopher heuristics
+      val t = col("text")
+      val feats = TextAnalysis.gopherQualityFeatures(t)
+      ld(s, dir, "documents").filter(t.isNotNull).select(
+        (col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
+          TextAnalysis.gopherQualityPass(t).as("q_pass"): _*)
+    }),
     "t_unigram_lp" -> ((s, dir) => { // unigram LM likelihood (CCNet-style)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
       UnigramLM.score(docs, "text", lmModel(s, dir))
@@ -988,6 +995,35 @@ object SparkEntry {
          LEFT JOIN top t4 ON b.doc_id = t4.doc_id AND t4.n = 4
          LEFT JOIN cov c5 ON b.doc_id = c5.doc_id AND c5.n = 5
          LEFT JOIN cov c10 ON b.doc_id = c10.doc_id AND c10.n = 10""",
+    "t_gopher_quality" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_words,
+                  length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+                  len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+                  len(regexp_extract_all(text, '(?m)^[^\n]+')) AS n_lines,
+                  len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet_lines,
+                  len(regexp_extract_all(text, '(?m)(\.{3}|…)[ \t]*$')) AS n_ellipsis_lines,
+                  len(regexp_extract_all(text, '#|\.{3}|…')) AS n_symbols,
+                  (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+                  ) AS n_stop_distinct
+           FROM documents WHERE text IS NOT NULL)
+         SELECT *,
+                (n_words >= 50 AND n_words <= 100000
+                 AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+                 AND n_symbols * 10 <= n_words
+                 AND n_bullet_lines * 10 <= n_lines * 9
+                 AND n_ellipsis_lines * 10 <= n_lines * 3
+                 AND n_alpha_words * 10 >= n_words * 8
+                 AND n_stop_distinct >= 2) AS q_pass
+         FROM f""",
     "t_unigram_lp" ->
       // Same tokenization/vocab/fixed-point rules as UnigramLM: top-500
       // terms by (count desc, term asc), OOV scores as count 1, per-term

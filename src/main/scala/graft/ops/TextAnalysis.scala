@@ -153,6 +153,48 @@ object TextAnalysis {
       .orderBy(desc("df"), col("term"))
       .limit(k)
 
+  /** The REST of the published Gopher quality heuristics (Rae et al. 2021
+    * §A1.1, complementing [[repetitionStats]]' repetition signals) as exact
+    * integer features over WHITESPACE tokens (`\S+` — this family reasons
+    * about typography, not vocabulary, so tokens keep their punctuation):
+    *
+    *  - `n_words`, `word_chars` (non-whitespace chars = Σ token lengths),
+    *    `n_alpha_words` (tokens containing >= 1 ASCII letter)
+    *  - `n_bullet_lines` (lines starting `-`/`*`/`•`),
+    *    `n_ellipsis_lines` (lines ending `...`/`…`), `n_lines`
+    *  - `n_symbols` (`#`, `...`, `…` occurrences)
+    *  - `n_stop_distinct` (how many of 8 common English stopwords appear) */
+  def gopherQualityFeatures(text: Column): Seq[(String, Column)] = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Seq(
+      "n_words" -> size(regexp_extract_all(text, lit("\\S+"), lit(0))),
+      "word_chars" -> length(regexp_replace(text, "\\s", "")),
+      "n_alpha_words" -> size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0))),
+      "n_lines" -> size(regexp_extract_all(text, lit("(?m)^[^\\n]+"), lit(0))),
+      "n_bullet_lines" -> size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*•]"), lit(0))),
+      "n_ellipsis_lines" -> size(regexp_extract_all(text, lit("(?m)(\\.{3}|…)[ \\t]*$"), lit(0))),
+      "n_symbols" -> size(regexp_extract_all(text, lit("#|\\.{3}|…"), lit(0))),
+      "n_stop_distinct" -> stops.map(s =>
+        when(lower(text).rlike(s"\\b$s\\b"), 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** The published Gopher quality gate in multiply-form: 50-100k words,
+    * mean word length 3-10, symbol ratio <= 0.1, bullet lines <= 90%,
+    * ellipsis lines <= 30%, >= 80% alphabetic words, >= 2 distinct
+    * stopwords. Combine with [[gopherPass]] (the repetition gate) for the
+    * complete MassiveText filter. */
+  def gopherQualityPass(text: Column): Column = {
+    val f = gopherQualityFeatures(text).toMap
+    val (nw, wc) = (f("n_words"), f("word_chars"))
+    (nw >= 50) && (nw <= 100000) &&
+      (wc >= nw * 3) && (wc <= nw * 10) &&
+      (f("n_symbols") * 10 <= nw) &&
+      (f("n_bullet_lines") * 10 <= f("n_lines") * 9) &&
+      (f("n_ellipsis_lines") * 10 <= f("n_lines") * 3) &&
+      (f("n_alpha_words") * 10 >= nw * 8) &&
+      (f("n_stop_distinct") >= 2)
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document scored by
     * `tf * round(ln((N+1)/(df+1)) * 1e6)` — smoothed idf in fixed point, so
     * scores are exact integers (cross-engine-stable) and ties break by term.

@@ -932,6 +932,27 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("gopherQualityFeatures: typography signals and the quality gate") {
+    import graft.ops.TextAnalysis
+    val listDoc = "- first point\n- second point...\nplain line"
+    val clean = "The cats and dogs have run to the park with joy. " +
+      (1 to 45).map(i => s"word$i").mkString(" ")
+    val df = Seq(("lst", listDoc), ("ok", clean)).toDF("doc_id", "text")
+    val feats = TextAnalysis.gopherQualityFeatures(col("text"))
+    val out = df.select((col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
+        TextAnalysis.gopherQualityPass(col("text")).as("p"): _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val l = out("lst")
+    // 8 \S+ tokens (35 non-ws chars, 6 with letters — the two bare "-"
+    // don't count); 3 lines; 2 bullet lines; 1 ellipsis-ending line; one
+    // "..." symbol; no stopwords from the list
+    assert((1 to 8).map(l.getInt(_)) === Seq(8, 35, 6, 3, 2, 1, 1, 0))
+    assert(l.getBoolean(9) === false) // <50 words + bullets + no stopwords
+    val c = out("ok")
+    assert(c.getInt(1) === 56 && c.getInt(8) >= 4) // the/and/have/to/with
+    assert(c.getBoolean(9) === true)
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
