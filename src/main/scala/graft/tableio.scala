@@ -21,6 +21,20 @@ final case class TableIO(format: String = TableIO.defaultFormat) {
     * resume and co-located reads. */
   def writeBucketed(df: DataFrame, path: String, bucketCol: String, mode: String = "overwrite"): Unit =
     writer(df, mode).partitionBy(bucketCol).save(path)
+
+  /** TRUE Spark bucketing (`bucketBy` + `saveAsTable`): readers of the
+    * catalog table carry HashPartitioning on the bucket key, so KEY-LOCAL
+    * operations — the uniqueness groupBy, exact-dedup groupBy, co-located
+    * key joins — run with ZERO exchange (PlanSpec asserts it). This is the
+    * "store bucketed by doc_id and uniqueness never shuffles" path from the
+    * scale notes; directory partitioning ([[writeBucketed]]) prunes scans
+    * but cannot remove shuffles. Needs a table catalog (`saveAsTable`) —
+    * on a real cluster, Iceberg's `bucket(N, col)` transform with
+    * storage-partitioned joins plays this role. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    writer(df, mode).bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }
 
 object TableIO {

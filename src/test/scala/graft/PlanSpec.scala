@@ -259,6 +259,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p.take(2000))
   }
 
+  test("bucketed table: uniqueness and exact dedup run with ZERO exchange") {
+    // the 100 TB path the scale notes promise: store bucketed by the key
+    // and key-local operations never shuffle
+    val corpus = DataGen.sequences(spark, 2000, maxLen = 8)
+      .select(col("doc_id"), col("n_tok"))
+    try {
+      TableIO.default.writeBucketedTable(corpus, "bkt_corpus", "doc_id", 8)
+      val t = spark.table("bkt_corpus")
+      val uniq = Unique("doc_id").run(t)
+      val shuffles = uniq.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, uniq.queryExecution.executedPlan.toString.take(2000))
+      // same rows as the unbucketed run
+      val plain = Unique("doc_id").run(corpus).collect().map(_.toString).sorted
+      assert(uniq.collect().map(_.toString).sorted === plain)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_corpus")
+  }
+
   test("p_balance: gate filter is one narrow filter over the scan") {
     val p = planOf("p_balance")
     // one scan, no join (the cut CASE chain is compiled in), no shuffle
