@@ -74,6 +74,12 @@ object ProbeText {
       release()
       s""""out_rows":${r.getLong(0)},"docs":${r.getLong(1)}"""
     }
+    timed("gopher-quality-heuristics") {
+      val r = docs.select(ops.TextAnalysis.gopherQualityPass(col("text"))
+          .cast("long").as("p"))
+        .agg(sum(col("p")), count(lit(1))).head()
+      s""""q_pass":${r.getLong(0)}"""
+    }
     timed("pii-redact") {
       val r = docs.select(
         length(ops.TextAnalysis.redact(col("text"), ops.TextAnalysis.piiRules)).as("l"),
