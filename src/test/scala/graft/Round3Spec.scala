@@ -953,6 +953,41 @@ class Round3Spec extends SparkSpec {
     assert(c.getBoolean(9) === true)
   }
 
+  test("streaming E2E: file-source JSONL -> violations + keep-first dedup") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("n_tok", LongType),
+      StructField("sig", StringType)))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    writeFile("b1.json", Seq(
+      """{"doc_id":"d1","n_tok":10,"sig":"A"}""",
+      """{"doc_id":"d2","n_tok":-5,"sig":"B"}""")) // n_tok out of range
+    val stream = spark.readStream.schema(schema).json(dir.toString)
+    val suite = ConstraintSuite("doc_id", Seq(NonNull("doc_id"), Range("n_tok", 1, 100)))
+    val compiled = suite.compile(schema).toOption.get
+    val vioQ = graft.streaming.StreamValidate.violationsStream(compiled, stream)
+      .writeStream.format("memory").queryName("file_vios").outputMode("append").start()
+    val dedupQ = graft.streaming.StreamValidate.firstSeenStream(stream, "sig", "doc_id")
+      .writeStream.format("memory").queryName("file_dedup").outputMode("update").start()
+    try {
+      vioQ.processAllAvailable(); dedupQ.processAllAvailable()
+      assert(spark.sql("select doc_id from file_vios").collect()
+        .map(_.getString(0)).toSeq === Seq("d2"))
+      // batch 2 arrives as a NEW FILE: cross-file dedup + incremental checks
+      writeFile("b2.json", Seq(
+        """{"doc_id":"d3","n_tok":200,"sig":"A"}""", // dup sig + out of range
+        """{"doc_id":"d4","n_tok":7,"sig":"C"}"""))
+      vioQ.processAllAvailable(); dedupQ.processAllAvailable()
+      assert(spark.sql("select doc_id from file_vios").collect()
+        .map(_.getString(0)).toSet === Set("d2", "d3"))
+      assert(spark.sql("select doc_id from file_dedup").collect()
+        .map(_.getString(0)).toSet === Set("d1", "d2", "d4")) // d3's sig seen
+    } finally { vioQ.stop(); dedupQ.stop() }
+  }
+
   test("repetitionStats: compiled and interpreted paths agree") {
     import graft.functions.TextFunctions.repetition_stats
     val df = Seq(
