@@ -114,6 +114,22 @@ object JsonSchema {
     def txt(n: JsonNode, k: String): Option[String] =
       Option(n.get(k)).filter(_.isTextual).map(_.asText())
 
+    /** Regex keyword read with EAGER syntax validation: the reference's
+      * `RootSchema::verify` reports an invalid pattern ALONGSIDE $ref errors
+      * in one pass (tests/schemars.rs:109-141); deferring to the constraint
+      * selfCheck would silently drop it whenever other parse errors already
+      * abort before compile. The constraint is still emitted (selfCheck
+      * double-reports at compile, harmlessly). */
+    def patTxt(n: JsonNode, k: String): Option[String] =
+      txt(n, k).map { p =>
+        scala.util.Try(java.util.regex.Pattern.compile(p)) match {
+          case scala.util.Failure(e) =>
+            errors += SuiteError.InvalidPattern(p, e.getMessage)
+          case _ => ()
+        }
+        p
+      }
+
     /** draft-07: minimum AND exclusiveMinimum apply independently — compile
       * the single strictest effective bound per side (exclusive wins ties). */
     def mergedBounds(n: JsonNode): (Option[Double], Boolean, Option[Double], Boolean) = {
@@ -207,7 +223,7 @@ object JsonSchema {
           max = maxV.getOrElse(Double.PositiveInfinity),
           exclusiveMin = minX, exclusiveMax = maxX)
       num(node, "multipleOf").foreach(m => out += MultipleOf(col, m))
-      txt(node, "pattern").foreach(p => out += Regex(col, p))
+      patTxt(node, "pattern").foreach(p => out += Regex(col, p))
       val minL = intOpt(node, "minLength"); val maxL = intOpt(node, "maxLength")
       if (minL.isDefined || maxL.isDefined) out += LengthBounds(col, minL, maxL)
 
@@ -299,7 +315,7 @@ object JsonSchema {
           Option(itR.get("enum")).filter(_.isArray).foreach { e =>
             out += ArrayElemIn(col, enumValues(e)._1) // null elems fail isin → violations, as intended
           }
-          txt(itR, "pattern").foreach(p => out += ArrayElemPattern(col, p))
+          patTxt(itR, "pattern").foreach(p => out += ArrayElemPattern(col, p))
           val eMinL = intOpt(itR, "minLength"); val eMaxL = intOpt(itR, "maxLength")
           if (eMinL.isDefined || eMaxL.isDefined) out += ArrayElemLength(col, eMinL, eMaxL)
           flagUnsupported(itR, Set("type", "minimum", "maximum", "exclusiveMinimum",
@@ -340,7 +356,7 @@ object JsonSchema {
             preds += ElemRange(lo.getOrElse(Double.NegativeInfinity),
               hi.getOrElse(Double.PositiveInfinity))
           Option(c.get("enum")).filter(_.isArray).foreach(e => preds += ElemEnum(enumValues(e)._1))
-          txt(c, "pattern").foreach(p => preds += ElemPatternPred(p))
+          patTxt(c, "pattern").foreach(p => preds += ElemPatternPred(p))
           val cMinL = intOpt(c, "minLength"); val cMaxL = intOpt(c, "maxLength")
           if (cMinL.isDefined || cMaxL.isDefined) preds += ElemLengthPred(cMinL, cMaxL)
           // contains.type: Catalyst element types are uniform, so a
@@ -457,7 +473,7 @@ object JsonSchema {
               if (!pn.asBoolean()) out += MapSizeBounds(col, None, Some(0)) // no key is valid
             } else {
               var any = false
-              txt(pn, "pattern").foreach { p => any = true; out += MapKeyPattern(col, p) }
+              patTxt(pn, "pattern").foreach { p => any = true; out += MapKeyPattern(col, p) }
               val kMinL = intOpt(pn, "minLength"); val kMaxL = intOpt(pn, "maxLength")
               if (kMinL.isDefined || kMaxL.isDefined) {
                 any = true; out += MapKeyLength(col, kMinL, kMaxL)

@@ -74,11 +74,14 @@ class JsonSchemaSpec extends SparkSpec {
     assert(JsonSchema.parse(external, "doc_id").isLeft)
   }
 
-  test("invalid regex inside a runtime schema rejected at suite compile") {
+  test("invalid regex inside a runtime schema rejected at PARSE (RootSchema::verify timing)") {
+    // eager: the reference reports bad patterns in the schema self-check,
+    // not first-use — and so must we, or a schema that ALSO has $ref errors
+    // would lose the pattern error entirely (three-error port below)
     val bad = """{"type":"object","properties":{"doc_id":{"pattern":"[[[["}}}"""
-    val suite = JsonSchema.parse(bad, "doc_id").toOption.get
-    val es = suite.compile(df.schema).left.toOption.get
-    assert(es.exists(_.isInstanceOf[SuiteError.InvalidPattern]))
+    val errs = JsonSchema.parse(bad, "doc_id")
+      .left.toOption.getOrElse(fail("expected parse errors"))
+    assert(errs.exists(_.isInstanceOf[SuiteError.InvalidPattern]))
   }
 
   test("boolean false schema rejects all rows; combinators compose") {
@@ -252,6 +255,26 @@ class JsonSchemaSpec extends SparkSpec {
     assert(es.exists(_.msg.contains("some_int")))            // RequiredProperty analog
     assert(es.exists(_.msg.contains("some_inner")))          // UnknownProperty analog
     assert(es.exists { case SuiteError.TypeMismatch("doc_id", "boolean", _, _) => true; case _ => false })
+  }
+
+  test("reference tests/schemars.rs:109-141 port: self-verify accumulates all three errors") {
+    // one schema document carrying an invalid regex, a missing local $ref,
+    // and an external $ref — RootSchema::verify reports ALL of them; so
+    // must the loader (accumulate-all, never first-error-wins)
+    val json =
+      """{"$schema":"http://json-schema.org/draft-07/schema#","type":"object",
+          "properties":{
+            "invalid_string":{"type":"string","pattern":"[[[[\\"},
+            "missing_local":{"$ref":"#/definitions/Missing"},
+            "external_ref":{"$ref":"http://example.com/schema.json#/definitions/Something"}}}"""
+    val errs = JsonSchema.parse(json, "doc_id")
+      .left.toOption.getOrElse(fail("expected schema self-check errors"))
+    assert(errs.exists(e => e.msg.contains("[[[[") || e.msg.toLowerCase.contains("pattern")),
+      errs.map(_.msg).mkString("; "))
+    assert(errs.exists(_.msg.contains("Missing")), errs.map(_.msg).mkString("; "))
+    assert(errs.exists(e => e.msg.contains("example.com") || e.msg.toLowerCase.contains("external")),
+      errs.map(_.msg).mkString("; "))
+    assert(errs.size >= 3)
   }
 }
 
