@@ -140,7 +140,7 @@ object SparkEntry {
       // capture, validate. The export is part of the measured operator (a
       // JSON source benchmark), and gives the oracle the same bytes.
       val docs = ld(s, dir, "documents")
-      val path = "/root/repo/target/fixtures/documents_jsonl"
+      val path = DataGen.DocumentsJsonlFixturePath
       docs.write.mode("overwrite").json(path)
       val (valid, corrupt) = sources.JsonCorpus.readSplit(s, path, docs.schema)
       jsonSchemaViolationCounts(valid)
@@ -501,7 +501,10 @@ object SparkEntry {
       // malformed-line capture is covered by ScalaTest with planted garbage.
       """WITH documents AS (
            SELECT * FROM read_json('/root/repo/target/fixtures/documents_jsonl/*.json',
-                                   format='newline_delimited')),
+                                   format='newline_delimited',
+                                   columns={doc_id:'BIGINT', text:'VARCHAR',
+                                            lang:'VARCHAR', source:'VARCHAR',
+                                            n_chars:'BIGINT'})),
          v AS (
            SELECT 'nonnull(doc_id)' AS constraint_id, count(*) AS n FROM documents WHERE doc_id IS NULL
            UNION ALL SELECT 'nonnull(text)', count(*) FROM documents WHERE text IS NULL
@@ -996,11 +999,14 @@ object SparkEntry {
          LEFT JOIN cov c5 ON b.doc_id = c5.doc_id AND c5.n = 5
          LEFT JOIN cov c10 ON b.doc_id = c10.doc_id AND c10.n = 10""",
     "t_gopher_quality" ->
+      // Engine-parity regexes: explicit whitespace class (Java \s has \x0B,
+      // RE2's doesn't); RE2 multiline is already \n-only (Spark side uses
+      // the (?d) UNIX_LINES flag for the same semantics).
       """WITH f AS (
            SELECT doc_id,
-                  len(regexp_extract_all(text, '\S+')) AS n_words,
-                  length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
-                  len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+                  len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+                  length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS word_chars,
+                  len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]*[A-Za-z][^ \t\n\x0B\f\r]*')) AS n_alpha_words,
                   len(regexp_extract_all(text, '(?m)^[^\n]+')) AS n_lines,
                   len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet_lines,
                   len(regexp_extract_all(text, '(?m)(\.{3}|…)[ \t]*$')) AS n_ellipsis_lines,

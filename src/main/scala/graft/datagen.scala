@@ -165,6 +165,11 @@ object DataGen {
     * probe sets are materialized so the oracle re-derives the DOWNSTREAM
     * decisions (cut comparisons, probe filters, cosine rank) in SQL. */
   val SampleGatesFixturePath = "/root/repo/target/fixtures/sample_gates.parquet"
+  /** Written by the j_jsonl QUERY itself (the export half of the round-trip
+    * is part of the measured operator); the oracle reads it back with
+    * explicit columns= (Spark's JSON writer drops null fields, so column
+    * INFERENCE could miss an all-null column entirely). */
+  val DocumentsJsonlFixturePath = "/root/repo/target/fixtures/documents_jsonl"
   val IvfIndexFixturePath = "/root/repo/target/fixtures/ivf_index.parquet"
   val IvfProbesSingleFixturePath = "/root/repo/target/fixtures/ivf_probes_single.parquet"
   val IvfProbesBatchFixturePath = "/root/repo/target/fixtures/ivf_probes_batch.parquet"

@@ -166,13 +166,22 @@ object TextAnalysis {
     *  - `n_stop_distinct` (how many of 8 common English stopwords appear) */
   def gopherQualityFeatures(text: Column): Seq[(String, Column)] = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // ENGINE-PARITY regexes (Java here, RE2 in the DuckDB oracle):
+    //  - whitespace is the explicit class [ \t\n\x0B\f\r] — Java \s includes
+    //    \x0B, RE2's does not;
+    //  - multiline ^/$ get Java's (?d) UNIX_LINES flag so only \n terminates
+    //    lines, matching RE2's multiline semantics (\r, U+0085, U+2028/9
+    //    would otherwise split lines in Java only). RE2 has no (?d) and
+    //    needs none.
+    val ws = " \\t\\n\\x0B\\f\\r"
     Seq(
-      "n_words" -> size(regexp_extract_all(text, lit("\\S+"), lit(0))),
-      "word_chars" -> length(regexp_replace(text, "\\s", "")),
-      "n_alpha_words" -> size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0))),
-      "n_lines" -> size(regexp_extract_all(text, lit("(?m)^[^\\n]+"), lit(0))),
-      "n_bullet_lines" -> size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*•]"), lit(0))),
-      "n_ellipsis_lines" -> size(regexp_extract_all(text, lit("(?m)(\\.{3}|…)[ \\t]*$"), lit(0))),
+      "n_words" -> size(regexp_extract_all(text, lit(s"[^$ws]+"), lit(0))),
+      "word_chars" -> length(regexp_replace(text, s"[$ws]", "")),
+      "n_alpha_words" -> size(regexp_extract_all(text,
+        lit(s"[^$ws]*[A-Za-z][^$ws]*"), lit(0))),
+      "n_lines" -> size(regexp_extract_all(text, lit("(?dm)^[^\\n]+"), lit(0))),
+      "n_bullet_lines" -> size(regexp_extract_all(text, lit("(?dm)^[ \\t]*[-*•]"), lit(0))),
+      "n_ellipsis_lines" -> size(regexp_extract_all(text, lit("(?dm)(\\.{3}|…)[ \\t]*$"), lit(0))),
       "n_symbols" -> size(regexp_extract_all(text, lit("#|\\.{3}|…"), lit(0))),
       "n_stop_distinct" -> stops.map(s =>
         when(lower(text).rlike(s"\\b$s\\b"), 1).otherwise(0)).reduce(_ + _))

@@ -39,8 +39,11 @@ object JsonCorpus {
   def readSplit(spark: SparkSession, path: String, schema: StructType)
       : (DataFrame, DataFrame) = {
     val valid = read(spark, path, schema).filter(col(CorruptCol).isNull).drop(CorruptCol)
+    // NOT trim(): SQL trim strips only 0x20, so a tab-only line would be
+    // counted corrupt while the JSON reader skips it — require a
+    // non-whitespace char instead
     val parsed = spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(col("value").rlike("\\S"))
       .select(col("value"),
         from_json(col("value"), schema.add(CorruptCol, StringType, nullable = true),
           java.util.Map.of("mode", "PERMISSIVE",

@@ -264,6 +264,11 @@ class PlanSpec extends SparkSpec {
     // and key-local operations never shuffle
     val corpus = DataGen.sequences(spark, 2000, maxLen = 8)
       .select(col("doc_id"), col("n_tok"))
+    // AQE wraps plans in AdaptiveSparkPlanExec (a LEAF node), which would
+    // make the exchange collect vacuously empty — disable it so a
+    // bucketing regression actually fails this test
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       TableIO.default.writeBucketedTable(corpus, "bkt_corpus", "doc_id", 8)
       val t = spark.table("bkt_corpus")
@@ -272,10 +277,19 @@ class PlanSpec extends SparkSpec {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
       assert(shuffles.isEmpty, uniq.queryExecution.executedPlan.toString.take(2000))
+      // ... and the same pipeline over the UNBUCKETED frame must show the
+      // exchange, or this assertion proves nothing
+      val plainPlan = Unique("doc_id").run(corpus).queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(plainPlan.nonEmpty)
       // same rows as the unbucketed run
       val plain = Unique("doc_id").run(corpus).collect().map(_.toString).sorted
       assert(uniq.collect().map(_.toString).sorted === plain)
-    } finally spark.sql("DROP TABLE IF EXISTS bkt_corpus")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bkt_corpus")
+    }
   }
 
   test("p_balance: gate filter is one narrow filter over the scan") {

@@ -916,6 +916,7 @@ class Round3Spec extends SparkSpec {
       """{"doc_id": 1, "text": "hello"}""",
       """{"doc_id": "NOT_A_NUMBER", "text": "bad type"}""", // type mismatch
       """{this is not json at all""", // malformed
+      "\t  ", // whitespace-only: JSON reader skips it; must NOT count corrupt
       """{"doc_id": 3, "text": null}""")
     java.nio.file.Files.write(dir.resolve("part-0.json"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
@@ -925,7 +926,7 @@ class Round3Spec extends SparkSpec {
     val ok = valid.collect().map(r =>
       (if (r.isNullAt(0)) -1L else r.getLong(0)) -> (if (r.isNullAt(1)) null else r.getString(1)))
     assert(ok.toSet === Set(1L -> "hello", 3L -> null))
-    assert(corrupt.count() === 2) // bad type AND malformed both captured
+    assert(corrupt.count() === 2) // bad type + malformed; tab-only line skipped
     // schema already containing the corrupt column is rejected loudly
     intercept[IllegalArgumentException] {
       JsonCorpus.read(spark, dir.toString, schema.add("_corrupt", StringType))
@@ -951,6 +952,15 @@ class Round3Spec extends SparkSpec {
     val c = out("ok")
     assert(c.getInt(1) === 56 && c.getInt(8) >= 4) // the/and/have/to/with
     assert(c.getBoolean(9) === true)
+    // engine-parity semantics: \r is NOT a line terminator ((?d) UNIX_LINES,
+    // matching RE2's \n-only multiline), \x0B IS whitespace (explicit class)
+    val odd = Seq(("cr", "- a\rb\nplain"), ("vt", "x\u000by"))
+      .toDF("doc_id", "text")
+    val o2 = odd.select((col("doc_id") +: feats.map { case (n, cc) => cc.as(n) }): _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(o2("cr").getInt(4) === 2) // "- a\rb" + "plain", not 3
+    assert(o2("cr").getInt(5) === 1) // only the first line is a bullet line
+    assert(o2("vt").getInt(1) === 2) // \x0B separates words
   }
 
   test("streaming E2E: file-source JSONL -> violations + keep-first dedup") {
