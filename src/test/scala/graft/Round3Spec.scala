@@ -963,6 +963,24 @@ class Round3Spec extends SparkSpec {
     assert(o2("vt").getInt(1) === 2) // \x0B separates words
   }
 
+  test("CsvCorpus: explicit-schema parse with corrupt-line capture") {
+    import graft.sources.CsvCorpus
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("csv_test")
+    java.nio.file.Files.write(dir.resolve("part-0.csv"), String.join("\n",
+      "1,alpha",
+      "oops,beta", // doc_id type mismatch
+      "3,gamma,EXTRA_COLUMN", // wrong arity
+      "4,delta").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("name", StringType)))
+    val (valid, corrupt) = CsvCorpus.readSplit(spark, dir.toString, schema)
+    val ok = valid.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+    assert(ok.toSet === Set(1L -> "alpha", 4L -> "delta"))
+    assert(corrupt.count() === 2)
+  }
+
   test("streaming E2E: file-source JSONL -> violations + keep-first dedup") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("jsonl_stream")
