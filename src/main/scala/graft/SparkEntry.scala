@@ -373,6 +373,14 @@ object SparkEntry {
         .union(test.select(lit("test").as("part"), col("doc_id")))
         .union(strat.select(lit("strat").as("part"), col("doc_id")))
     }),
+    "p_cap_exact" -> ((s, dir) => // exact-k per-stratum cap (gate fixture oracle)
+      Sampling.capStrataExact(ld(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", maxRows = 40)),
+    "p_weighted" -> ((s, dir) => { // per-row weighted sampling (gate fixture oracle)
+      val d = ld(s, dir, "documents").select("doc_id", "n_chars")
+        .withColumn("w", col("n_chars") / lit(400.0))
+      Sampling.weightedSample(d, "doc_id", "w").select("doc_id")
+    }),
     "p_balance" -> ((s, dir) => { // domain-mixture rebalance (oracle via gate fixture)
       // project BEFORE sampling: the gate's null-key fallback binds every
       // column of the frame it is given, so sampling the full table would
@@ -801,6 +809,27 @@ object SparkEntry {
          UNION ALL
          SELECT 'strat' AS part, doc_id FROM d
          WHERE CASE WHEN lang = 'en' THEN g_strat < 500000 ELSE TRUE END""",
+    "p_cap_exact" ->
+      """WITH g AS (
+           SELECT doc_id, g_capx FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
+         d AS (
+           SELECT dd.doc_id, dd.lang, g.g_capx
+           FROM documents dd JOIN g USING (doc_id)),
+         r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY g_capx ASC, doc_id ASC) AS rn
+           FROM d)
+         SELECT doc_id, lang FROM r WHERE rn <= 40""",
+    "p_weighted" ->
+      // clamp(n_chars/400, 0, 1) gate cut in the same IEEE op order as
+      // weightedSample (greatest then least then *1e6 then trunc)
+      """WITH g AS (
+           SELECT doc_id, g_weighted FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet'))
+         SELECT d.doc_id
+         FROM documents d JOIN g USING (doc_id)
+         WHERE g.g_weighted <
+           CAST(trunc(least(greatest(CAST(d.n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
+                      * 1000000) AS BIGINT)""",
     "p_balance" ->
       // Mirrors balanceToMix arithmetic exactly (same IEEE double ops in the
       // same order): shareSum over sorted keys, T = min(n/share'), frac =

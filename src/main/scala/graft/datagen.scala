@@ -180,7 +180,9 @@ object DataGen {
     docs.select(col("doc_id"),
         Sampling.auditGate(docs, "doc_id", "split").as("g_split"),
         Sampling.auditGate(docs, "doc_id", "stratified").as("g_strat"),
-        Sampling.auditGate(docs, "doc_id", "mix").as("g_mix"))
+        Sampling.auditGate(docs, "doc_id", "mix").as("g_mix"),
+        Sampling.auditGate(docs, "doc_id", "cap_exact").as("g_capx"),
+        Sampling.auditGate(docs, "doc_id", "weighted").as("g_weighted"))
       .write.mode("overwrite").parquet(SampleGatesFixturePath)
     // the SAME memoized quantizer instance the s_ann_ivf* queries use — one
     // training per (dir, mtime) and one source of truth for nlist/iters

@@ -84,6 +84,7 @@ object Sampling {
   private val TagWeighted = 5L
   private val TagShuffle = 6L
   private val TagMix = 7L
+  private val TagCapExact = 8L
 
   /** AUDIT surface: the raw gate value (0 <= g < 1,000,000) a sampling op
     * compares against its cut, keyed exactly as that op keys it. Lets
@@ -101,6 +102,7 @@ object Sampling {
       case "weighted" => TagWeighted
       case "shuffle" => TagShuffle
       case "mix" => TagMix
+      case "cap_exact" => TagCapExact
       case other => throw new IllegalArgumentException(s"unknown sampling op: $other")
     }
     gate(df, keyCol, tag, salt)
@@ -236,4 +238,20 @@ object Sampling {
     df.filter(gate(df, keyCol, TagMix, salt) < cut)
   }
 
+  /** EXACT-k per-stratum cap — the sort-based opt-in [[capStrata]]'s
+    * docstring points at: every stratum keeps its `maxRows` LOWEST-gate
+    * rows exactly (ties broken by key), instead of capStrata's binomial
+    * approximation. COST: a per-stratum sort (window) — a hot stratum
+    * serializes into one task's sort, which is precisely why the
+    * approximate variant is the default at 10^12 rows. Deterministic like
+    * everything here: the gate is a pure function of (key, salt). */
+  def capStrataExact(df: DataFrame, strataCol: String, keyCol: String,
+      maxRows: Int, salt: Long = 0L): DataFrame = {
+    require(maxRows > 0, "maxRows > 0")
+    val g = gate(df, keyCol, TagCapExact, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(g.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxRows).drop("__rn")
+  }
 }

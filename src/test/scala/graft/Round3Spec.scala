@@ -963,6 +963,22 @@ class Round3Spec extends SparkSpec {
     assert(o2("vt").getInt(1) === 2) // \x0B separates words
   }
 
+  test("capStrataExact: exactly k per over-cap stratum, repartition-stable") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 1000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 10 = 0 THEN 'rare' ELSE 'hot' END AS s")
+    val out = Sampling.capStrataExact(df, "s", "doc_id", maxRows = 50)
+    val byS = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("hot") === 50L) // 900 rows capped to EXACTLY 50
+    assert(byS("rare") === 50L) // 100 rows also above cap
+    val under = Sampling.capStrataExact(df, "s", "doc_id", maxRows = 5000)
+    assert(under.count() === 1000) // under-cap strata untouched
+    val again = Sampling.capStrataExact(df.repartition(7), "s", "doc_id", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("CsvCorpus: explicit-schema parse with corrupt-line capture") {
     import graft.sources.CsvCorpus
     import org.apache.spark.sql.types._
