@@ -92,7 +92,7 @@ object Sampling {
     * every sampling decision from a materialized (key, gate) table without
     * re-running the engine — e.g. trainTestSplit keeps train = g >= cut,
     * test = g < cut. Ops: "sample", "split", "stratified", "cap",
-    * "weighted", "shuffle", "mix". */
+    * "weighted", "shuffle", "mix", "cap_exact". */
   def auditGate(df: DataFrame, keyCol: String, op: String, salt: Long = 0L): Column = {
     val tag = op match {
       case "sample" => TagSample
@@ -249,8 +249,14 @@ object Sampling {
       maxRows: Int, salt: Long = 0L): DataFrame = {
     require(maxRows > 0, "maxRows > 0")
     val g = gate(df, keyCol, TagCapExact, salt)
+    // full-row hash as the FINAL tie-break: (gate, key) ties on duplicate
+    // keys would otherwise rank by shuffle arrival order (the repo's
+    // documented duplicate-key trap — DataGen plants duplicate ids).
+    // Fully identical duplicate rows still tie, interchangeably: either
+    // copy at the boundary yields the same output multiset.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(g.asc, col(keyCol).asc)
+      .partitionBy(strataCol)
+      .orderBy(g.asc, col(keyCol).asc, rowHash(df, TagCapExact, salt).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxRows).drop("__rn")
   }

@@ -5,14 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
 /** CSV corpus source — same contract as [[JsonCorpus]]: explicit schema,
-  * PERMISSIVE parse, malformed rows surface as counted corrupt lines.
-  * CSV's failure modes differ from JSON's (wrong column COUNT, unclosed
-  * quotes, type mismatches), but the pipeline-side rule is identical:
-  * never silently drop a line. */
+  * malformed rows surface as counted corrupt lines. CSV's failure modes
+  * differ from JSON's (wrong column COUNT, unclosed quotes, type
+  * mismatches), but the pipeline-side rule is identical: never silently
+  * drop a PARSEABLE line (truly blank / whitespace-only lines are skipped
+  * by the CSV reader itself and are therefore outside the accounting on
+  * both sides). */
 object CsvCorpus {
 
   val CorruptCol = "_corrupt"
 
+  /** Raw PERMISSIVE read with the corrupt-record column attached. NOTE
+    * Spark's restriction: a query over this frame whose referenced columns
+    * prune down to ONLY the corrupt column (e.g.
+    * `filter(_corrupt.isNotNull).count()`) throws — use [[readSplit]],
+    * whose two sides are built to avoid it. */
   def read(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = false, sep: String = ","): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
@@ -26,31 +33,48 @@ object CsvCorpus {
       .csv(path)
   }
 
-  /** (valid rows, corrupt raw lines) — corrupt side via text scan +
-    * from_csv for the same pruning-restriction reason as
-    * [[JsonCorpus.readSplit]]. With `header=true` the first line of EVERY
-    * file is dropped from both sides. */
+  /** (valid rows, corrupt raw lines). BOTH sides derive from ONE text scan
+    * + `from_csv` parse, so they share a single corruption judgment and
+    * neither trips Spark's only-corrupt-column pruning restriction
+    * (`count()` is safe on either). The native CSV reader is deliberately
+    * NOT used for the valid side: its column pruning skips parsing unneeded
+    * fields, so `DROPMALFORMED.count()` counts malformed lines as valid —
+    * a mode/pruning interaction that would make the two sides disagree.
+    * With `header=true` the first line of every file is excluded via a
+    * per-file min-line-id broadcast join — never a whole-corpus window
+    * sort. Truly blank / whitespace-only lines are outside the accounting
+    * (the CSV format has no row there). */
   def readSplit(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = false, sep: String = ","): (DataFrame, DataFrame) = {
-    val valid = read(spark, path, schema, header, sep)
-      .filter(col(CorruptCol).isNull).drop(CorruptCol)
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
     val opts = Map(
       "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> CorruptCol,
       "sep" -> sep)
-    val headerFilter =
+    // blank/whitespace-only lines: skipped by the CSV reader, so skip them
+    // here too (from_csv would otherwise parse them to all-null rows)
+    val raw = spark.read.text(path).filter(col("value").rlike("\\S"))
+    val headerless =
       if (header) {
-        // drop each file's first line (the CSV reader consumed it as header)
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(input_file_name())
-          .orderBy(monotonically_increasing_id())
-        (df: DataFrame) => df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") > 1).drop("__rn")
-      } else identity[DataFrame] _
-    val parsed = headerFilter(spark.read.text(path))
-      .select(col("value"),
-        from_csv(col("value"), schema.add(CorruptCol, StringType, nullable = true),
-          opts).as("j"))
+        // drop each file's FIRST line: per-file min line id is a tiny
+        // aggregate broadcast back — not a window, which would shuffle and
+        // sort the whole corpus by file. monotonically_increasing_id is
+        // stable here: both branches scan the same files with the same
+        // splits, so ids reproduce across the self-join's two subtrees.
+        val lined = raw.select(col("value"),
+          input_file_name().as("__f"), monotonically_increasing_id().as("__i"))
+        val firsts = lined.groupBy("__f").agg(min("__i").as("__hdr"))
+        lined.join(broadcast(firsts), Seq("__f"))
+          .filter(col("__i") =!= col("__hdr"))
+          .select(col("value"))
+      } else raw
+    val parsed = headerless.select(col("value"),
+      from_csv(col("value"), schema.add(CorruptCol, StringType, nullable = true),
+        opts).as("j"))
+    val valid = parsed
+      .filter(col("j").isNotNull && col(s"j.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
     val corrupt = parsed
       .filter(col("j").isNull || col(s"j.$CorruptCol").isNotNull)
       .select(col("value").as(CorruptCol))
@@ -61,17 +85,18 @@ object CsvCorpus {
 /** JSONL corpus source — the reference's NATIVE input form (tamasfe/verify
   * validates in-memory JSON/serde values; `verify/examples/schemars_json.rs`
   * parses JSON documents). The engine-side rule: parse with an EXPLICIT
-  * schema and PERMISSIVE corrupt-record capture, so a malformed line becomes
-  * a visible row (data columns null, raw line preserved) that the caller
-  * counts — never a silent drop, and never a schema-inference pass over
-  * 100 TB (inference reads the data twice and types drift per partition).
+  * schema and corrupt-record accounting, so a malformed line becomes a
+  * counted, visible artifact — never a silent drop, and never a
+  * schema-inference pass over 100 TB (inference reads the data twice and
+  * types drift per partition).
   */
 object JsonCorpus {
 
   val CorruptCol = "_corrupt"
 
-  /** Read newline-delimited JSON with `schema` + a corrupt-record column.
-    * One narrow scan; JSON parsing is per-row and embarrassingly parallel. */
+  /** Raw PERMISSIVE read with the corrupt-record column attached. Same
+    * pruning-restriction caveat as [[CsvCorpus.read]] — prefer
+    * [[readSplit]] for anything that counts either side. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not already contain $CorruptCol")
@@ -82,26 +107,29 @@ object JsonCorpus {
       .json(path)
   }
 
-  /** (valid rows without the corrupt column, corrupt raw lines).
-    *
-    * The corrupt side is derived from a TEXT scan + `from_json`, not from
-    * the JSON scan: Spark refuses any JSON-scan plan whose referenced
-    * columns prune down to only the corrupt record column (which is exactly
-    * what `corrupt.count()` does), and the documented cache() workaround
-    * would pin the whole parsed corpus. Whitespace-only lines are skipped
-    * to mirror the JSON reader's behavior. */
+  /** (valid rows, corrupt raw lines). BOTH sides derive from ONE text scan
+    * + `from_json` parse — a single corruption judgment, and neither side
+    * can trip Spark's only-corrupt-column pruning restriction (`count()`
+    * is safe on both). The native JSON reader is deliberately NOT used:
+    * under column pruning (e.g. a bare count()) it skips field conversion,
+    * so PERMISSIVE/DROPMALFORMED would judge a type-mismatched line VALID
+    * for some queries and corrupt for others — the two sides would drift.
+    * Whitespace-only lines are outside the accounting (the format has no
+    * row there; filtered via a non-whitespace rlike, NOT trim(), which
+    * strips only 0x20). */
   def readSplit(spark: SparkSession, path: String, schema: StructType)
       : (DataFrame, DataFrame) = {
-    val valid = read(spark, path, schema).filter(col(CorruptCol).isNull).drop(CorruptCol)
-    // NOT trim(): SQL trim strips only 0x20, so a tab-only line would be
-    // counted corrupt while the JSON reader skips it — require a
-    // non-whitespace char instead
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
     val parsed = spark.read.text(path)
       .filter(col("value").rlike("\\S"))
       .select(col("value"),
         from_json(col("value"), schema.add(CorruptCol, StringType, nullable = true),
           java.util.Map.of("mode", "PERMISSIVE",
             "columnNameOfCorruptRecord", CorruptCol)).as("j"))
+    val valid = parsed
+      .filter(col("j").isNotNull && col(s"j.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
     val corrupt = parsed
       .filter(col("j").isNull || col(s"j.$CorruptCol").isNotNull)
       .select(col("value").as(CorruptCol))

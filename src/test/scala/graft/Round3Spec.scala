@@ -923,6 +923,8 @@ class Round3Spec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val (valid, corrupt) = JsonCorpus.readSplit(spark, dir.toString, schema)
+    assert(valid.count() === 2) // count() must not trip the corrupt-column
+    // pruning restriction (DROPMALFORMED valid side)
     val ok = valid.collect().map(r =>
       (if (r.isNullAt(0)) -1L else r.getLong(0)) -> (if (r.isNullAt(1)) null else r.getString(1)))
     assert(ok.toSet === Set(1L -> "hello", 3L -> null))
@@ -977,6 +979,17 @@ class Round3Spec extends SparkSpec {
     val again = Sampling.capStrataExact(df.repartition(7), "s", "doc_id", 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // DUPLICATE keys (the planted-duplicate-id trap): membership must stay
+    // a pure function of row content, not shuffle arrival — the full-row
+    // hash tie-break makes boundary picks repartition-stable
+    val dups = spark.range(0, 400).selectExpr(
+      "id % 200 AS doc_id", "concat('p', id) AS payload", "'one' AS s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.capStrataExact(d, "s", "doc_id", 150)
+        .select("payload").collect().map(_.getString(0)).toSet
+    val a = run(dups.repartition(3))
+    assert(a.size === 150)
+    assert(a === run(dups.repartition(17)) && a === run(dups.repartition(64)))
   }
 
   test("CsvCorpus: explicit-schema parse with corrupt-line capture") {
@@ -991,10 +1004,21 @@ class Round3Spec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("name", StringType)))
     val (valid, corrupt) = CsvCorpus.readSplit(spark, dir.toString, schema)
+    assert(valid.count() === 2) // count() safe on the DROPMALFORMED side
     val ok = valid.collect()
       .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
     assert(ok.toSet === Set(1L -> "alpha", 4L -> "delta"))
     assert(corrupt.count() === 2)
+    // header=true: each file's first line leaves BOTH sides; blank and
+    // whitespace-only lines are reader-skipped, never counted corrupt
+    val hdir = java.nio.file.Files.createTempDirectory("csv_hdr")
+    java.nio.file.Files.write(hdir.resolve("a.csv"), String.join("\n",
+      "doc_id,name", "1,alpha", "", "  ", "bad,row,extra").getBytes("UTF-8"))
+    java.nio.file.Files.write(hdir.resolve("b.csv"), String.join("\n",
+      "doc_id,name", "7,eta").getBytes("UTF-8"))
+    val (hv, hc) = CsvCorpus.readSplit(spark, hdir.toString, schema, header = true)
+    assert(hv.collect().map(_.getLong(0)).toSet === Set(1L, 7L))
+    assert(hc.collect().map(_.getString(0)).toSeq === Seq("bad,row,extra"))
   }
 
   test("streaming E2E: file-source JSONL -> violations + keep-first dedup") {
