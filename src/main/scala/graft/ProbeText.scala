@@ -87,6 +87,14 @@ object ProbeText {
         .agg(sum(col("l")), sum(col("n"))).head()
       s""""out_chars":${r.getLong(0)},"num_hits":${r.getLong(1)}"""
     }
+    timed("jsonl-roundtrip (write + readSplit + validate counts)") {
+      val path = "target/probe_jsonl"
+      docs.write.mode("overwrite").json(path)
+      val (valid, corrupt) = sources.JsonCorpus.readSplit(spark, path, docs.schema)
+      val (nv, nc) = (valid.count(), corrupt.count())
+      require(nv == rows && nc == 0, s"roundtrip drift: $nv/$nc")
+      s""""valid":$nv,"corrupt":$nc"""
+    }
     timed("balance-to-mix") {
       val kept = ops.Sampling.balanceToMix(docs.select("doc_id", "lang"),
         "lang", "doc_id", Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2)).count()
