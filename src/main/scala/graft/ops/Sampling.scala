@@ -41,7 +41,9 @@ object Sampling {
     * the columns you need BEFORE sampling — with a non-null key the gate
     * value is a function of the key alone, so pre-projection never changes
     * membership; for null-key rows the fallback hash is frame-shape-
-    * dependent by design (it hashes whatever columns exist). */
+    * dependent by design (it hashes whatever columns exist). One carve-out:
+    * [[capStrataExact]]'s duplicate-key BOUNDARY tie-break also hashes the
+    * full row — see its docstring. */
   private def gate(df: DataFrame, keyCol: String, opTag: Long, salt: Long): Column = {
     val key = col(keyCol)
     val keyed = xxhash64(key, lit(opTag), lit(salt))
@@ -243,8 +245,11 @@ object Sampling {
     * rows exactly (ties broken by key), instead of capStrata's binomial
     * approximation. COST: a per-stratum sort (window) — a hot stratum
     * serializes into one task's sort, which is precisely why the
-    * approximate variant is the default at 10^12 rows. Deterministic like
-    * everything here: the gate is a pure function of (key, salt). */
+    * approximate variant is the default at 10^12 rows. Deterministic: the
+    * gate is a pure function of (key, salt), and DUPLICATE-key ties at the
+    * cap boundary break by a full-row hash — repartition/rerun-stable, but
+    * (unlike the pure key gate) dependent on the frame's COLUMN SET, so
+    * pass the same projection on every run when keys can repeat. */
   def capStrataExact(df: DataFrame, strataCol: String, keyCol: String,
       maxRows: Int, salt: Long = 0L): DataFrame = {
     require(maxRows > 0, "maxRows > 0")

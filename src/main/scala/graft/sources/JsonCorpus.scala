@@ -4,6 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
+/** Shared tail of the corpus readSplits: given the (value, j) parse frame,
+  * produce (valid rows, corrupt raw lines). One implementation so a
+  * semantics fix can never drift between the CSV and JSONL sources.
+  * Fields extract via getField (not a "j.$f" path string, which would
+  * misparse dotted/backticked field names as nested paths). */
+private[sources] object SourceSplit {
+  def apply(parsed: DataFrame, schema: StructType, corruptCol: String)
+      : (DataFrame, DataFrame) = {
+    val valid = parsed
+      .filter(col("j").isNotNull && col("j").getField(corruptCol).isNull)
+      .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*)
+    val corrupt = parsed
+      .filter(col("j").isNull || col("j").getField(corruptCol).isNotNull)
+      .select(col("value").as(corruptCol))
+    (valid, corrupt)
+  }
+}
+
 /** CSV corpus source — same contract as [[JsonCorpus]]: explicit schema,
   * malformed rows surface as counted corrupt lines. CSV's failure modes
   * differ from JSON's (wrong column COUNT, unclosed quotes, type
@@ -72,13 +90,7 @@ object CsvCorpus {
     val parsed = headerless.select(col("value"),
       from_csv(col("value"), schema.add(CorruptCol, StringType, nullable = true),
         opts).as("j"))
-    val valid = parsed
-      .filter(col("j").isNotNull && col(s"j.$CorruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
-    val corrupt = parsed
-      .filter(col("j").isNull || col(s"j.$CorruptCol").isNotNull)
-      .select(col("value").as(CorruptCol))
-    (valid, corrupt)
+    SourceSplit(parsed, schema, CorruptCol)
   }
 }
 
@@ -127,12 +139,6 @@ object JsonCorpus {
         from_json(col("value"), schema.add(CorruptCol, StringType, nullable = true),
           java.util.Map.of("mode", "PERMISSIVE",
             "columnNameOfCorruptRecord", CorruptCol)).as("j"))
-    val valid = parsed
-      .filter(col("j").isNotNull && col(s"j.$CorruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
-    val corrupt = parsed
-      .filter(col("j").isNull || col(s"j.$CorruptCol").isNotNull)
-      .select(col("value").as(CorruptCol))
-    (valid, corrupt)
+    SourceSplit(parsed, schema, CorruptCol)
   }
 }
