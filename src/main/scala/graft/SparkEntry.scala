@@ -23,12 +23,24 @@ object SparkEntry {
   // once per fixture dir, as production would (index build is an offline
   // one-time step; per-query re-training would charge every search ~1.5 s
   // of train cost and is not what the operator costs at scale).
-  private val ivfModels = scala.collection.concurrent.TrieMap.empty[(String, Long), Ivf.Model]
+  // Memoization is keyed by DIR and validated by mtime — a rewritten table
+  // at the same path never serves a stale model, and the superseded entry is
+  // REPLACED (not accreted alongside), so a long-lived session re-pointing
+  // at refreshed fixtures holds one model per dir, not one per mtime.
+  private def memo[M](cache: scala.collection.concurrent.TrieMap[String, (Long, M)],
+      dir: String, mtime: Long)(train: => M): M =
+    cache.get(dir) match {
+      case Some((t, m)) if t == mtime => m
+      case _ =>
+        val m = train
+        cache.put(dir, (mtime, m))
+        m
+    }
+
+  private val ivfModels = scala.collection.concurrent.TrieMap.empty[String, (Long, Ivf.Model)]
   private[graft] def ivfModel(s: SparkSession, dir: String): Ivf.Model = {
-    // cache key includes the fixture's mtime so a rewritten embeddings table
-    // at the same path never serves a stale quantizer within one JVM
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    ivfModels.getOrElseUpdate((dir, mtime),
+    memo(ivfModels, dir, mtime)(
       Ivf.train(ld(s, dir, "embeddings"), "embedding", nlist = 8, iters = 2))
   }
 
@@ -36,17 +48,17 @@ object SparkEntry {
   // once and reused across scoring runs — per-query retraining is not what
   // the scoring operator costs. Deterministic (tie-broken top-V), so
   // memoization cannot change results.
-  private val lmModels = scala.collection.concurrent.TrieMap.empty[(String, Long), UnigramLM.Model]
+  private val lmModels = scala.collection.concurrent.TrieMap.empty[String, (Long, UnigramLM.Model)]
   private def lmModel(s: SparkSession, dir: String): UnigramLM.Model = {
     val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
-    lmModels.getOrElseUpdate((dir, mtime),
+    memo(lmModels, dir, mtime)(
       UnigramLM.train(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", vocabSize = 500))
   }
-  private val bigramModels = scala.collection.concurrent.TrieMap.empty[(String, Long), UnigramLM.BigramModel]
+  private val bigramModels = scala.collection.concurrent.TrieMap.empty[String, (Long, UnigramLM.BigramModel)]
   private def bigramModel(s: SparkSession, dir: String): UnigramLM.BigramModel = {
     val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
-    bigramModels.getOrElseUpdate((dir, mtime),
+    memo(bigramModels, dir, mtime)(
       UnigramLM.trainBigram(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", vocabSize = 500, bigramSize = 1000))
   }
@@ -444,7 +456,17 @@ object SparkEntry {
         .agg(sum("rows").as("rows"), sum("pass").as("pass"), sum("fail").as("fail"))
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  /** Oracle SQL with fixture paths rebased onto the CURRENT fixture scope
+    * (set by Verify from its sfDir argument): the literals below are written
+    * against the unscoped root and rewritten here at dump time, so a Verify
+    * run at one SF can never hand the driver oracle SQL pointing at another
+    * SF's fixtures. */
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) =>
+      k -> v.replace("/root/repo/target/fixtures/", DataGen.fixtureRoot + "/")
+    }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "v_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE NOT (l_quantity >= 1 AND l_quantity <= 30)""",
@@ -1039,7 +1061,8 @@ object SparkEntry {
                   len(regexp_extract_all(text, '(?m)^[^\n]+')) AS n_lines,
                   len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet_lines,
                   len(regexp_extract_all(text, '(?m)(\.{3}|…)[ \t]*$')) AS n_ellipsis_lines,
-                  len(regexp_extract_all(text, '#|\.{3}|…')) AS n_symbols,
+                  len(regexp_extract_all(text, '#')) AS n_hash,
+                  len(regexp_extract_all(text, '\.{3}|…')) AS n_ellipsis,
                   (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
                    + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
                    + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
@@ -1053,7 +1076,8 @@ object SparkEntry {
          SELECT *,
                 (n_words >= 50 AND n_words <= 100000
                  AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
-                 AND n_symbols * 10 <= n_words
+                 AND n_hash * 10 <= n_words
+                 AND n_ellipsis * 10 <= n_words
                  AND n_bullet_lines * 10 <= n_lines * 9
                  AND n_ellipsis_lines * 10 <= n_lines * 3
                  AND n_alpha_words * 10 >= n_words * 8

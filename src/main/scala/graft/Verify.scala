@@ -13,6 +13,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // scope fixtures by the SF they derive from, BEFORE generating them or
+    // dumping oracle SQL — a re-run at another SF can then never compare
+    // query outputs against stale fixtures from a different scale
+    DataGen.fixtureScope = DataGen.scopeFromSfDir(sfDir)
+    DataGen.writeProvenance(sfDir)
     // materialize the synthetic-corpus fixture the seq_* oracle SQL reads
     // (the queries themselves regenerate it in-memory; see DataGen)
     DataGen.writeSeq20kFixture(spark)

@@ -95,16 +95,39 @@ object DataGen {
     SOURCES.map(s => (s, s"corpus source $s")).toDF("source", "description")
   }
 
+  /** Fixture paths are SCOPED by the scale factor they were generated from:
+    * running Verify/bench at different SFs writes to different directories,
+    * so a later oracle re-check can never silently compare query outputs
+    * against fixtures from another SF. Verify sets the scope from its sfDir
+    * argument BEFORE generating fixtures or dumping oracle SQL (`oracleSql`
+    * is a def — the embedded paths interpolate the scope at dump time), and
+    * drops a `_PROVENANCE.json` marker recording the source sfDir. */
+  @volatile var fixtureScope: String = "default"
+  def scopeFromSfDir(sfDir: String): String = {
+    val name = new java.io.File(sfDir).getName
+    if (name.isEmpty) "default" else name
+  }
+  def fixtureRoot: String = s"/root/repo/target/fixtures/$fixtureScope"
+
+  /** Provenance marker: which sfDir produced this scope's fixtures. The
+    * driver-side oracle tooling can cross-check it before comparing. */
+  def writeProvenance(sfDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(fixtureRoot)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("_PROVENANCE.json"),
+      s"""{"sfDir": "$sfDir", "scope": "$fixtureScope", "written_ms": ${System.currentTimeMillis()}}""")
+  }
+
   /** Fixture materialization: the flagship queries generate the synthetic
     * corpus IN-QUERY (pure function of row id — no data dependency), but the
     * driver's DuckDB oracle can only read parquet. Verify writes the exact
     * generator output here so the oracle evaluates the SAME rows; the path
-    * is a compile-time constant because it is embedded in the oracle SQL. */
-  val Seq20kFixturePath = "/root/repo/target/fixtures/seq20k.parquet"
+    * is embedded in the oracle SQL at dump time (scope-interpolated). */
+  def Seq20kFixturePath = s"$fixtureRoot/seq20k.parquet"
   /** The seq_decontaminate benchmark slice (hash-gated in Spark — DuckDB has
     * no xxhash64, so the SLICE is materialized and the overlap itself is
     * re-computed by the oracle over raw token arrays). */
-  val Seq20kBenchFixturePath = "/root/repo/target/fixtures/seq20k_bench.parquet"
+  def Seq20kBenchFixturePath = s"$fixtureRoot/seq20k_bench.parquet"
 
   def writeSeq20kFixture(spark: SparkSession): Unit = {
     val corpus = sequences(spark, 20000, maxLen = 32)
@@ -123,10 +146,10 @@ object DataGen {
     * themselves are covered by unit tests + forced-codegen equality specs.
     * Paths are compile-time constants because they are embedded in oracle
     * SQL; parameters must mirror the corresponding SparkEntry queries. */
-  val MinhashSigFixturePath = "/root/repo/target/fixtures/minhash_sig.parquet"
-  val SimhashSigFixturePath = "/root/repo/target/fixtures/simhash_sig.parquet"
-  val NeardupEdgesFixturePath = "/root/repo/target/fixtures/neardup_edges.parquet"
-  val LshBandsFixturePath = "/root/repo/target/fixtures/lsh_bands.parquet"
+  def MinhashSigFixturePath = s"$fixtureRoot/minhash_sig.parquet"
+  def SimhashSigFixturePath = s"$fixtureRoot/simhash_sig.parquet"
+  def NeardupEdgesFixturePath = s"$fixtureRoot/neardup_edges.parquet"
+  def LshBandsFixturePath = s"$fixtureRoot/lsh_bands.parquet"
 
   def writeLshFixtures(spark: SparkSession, sfDir: String): Unit = {
     import graft.ops.Dedup
@@ -164,15 +187,15 @@ object DataGen {
     * sampling hash gates and the trained quantizer's list assignments /
     * probe sets are materialized so the oracle re-derives the DOWNSTREAM
     * decisions (cut comparisons, probe filters, cosine rank) in SQL. */
-  val SampleGatesFixturePath = "/root/repo/target/fixtures/sample_gates.parquet"
+  def SampleGatesFixturePath = s"$fixtureRoot/sample_gates.parquet"
   /** Written by the j_jsonl QUERY itself (the export half of the round-trip
     * is part of the measured operator); the oracle reads it back with
     * explicit columns= (Spark's JSON writer drops null fields, so column
     * INFERENCE could miss an all-null column entirely). */
-  val DocumentsJsonlFixturePath = "/root/repo/target/fixtures/documents_jsonl"
-  val IvfIndexFixturePath = "/root/repo/target/fixtures/ivf_index.parquet"
-  val IvfProbesSingleFixturePath = "/root/repo/target/fixtures/ivf_probes_single.parquet"
-  val IvfProbesBatchFixturePath = "/root/repo/target/fixtures/ivf_probes_batch.parquet"
+  def DocumentsJsonlFixturePath = s"$fixtureRoot/documents_jsonl"
+  def IvfIndexFixturePath = s"$fixtureRoot/ivf_index.parquet"
+  def IvfProbesSingleFixturePath = s"$fixtureRoot/ivf_probes_single.parquet"
+  def IvfProbesBatchFixturePath = s"$fixtureRoot/ivf_probes_batch.parquet"
 
   def writeSamplingIvfFixtures(spark: SparkSession, sfDir: String): Unit = {
     import graft.ops.{Ivf, Sampling}

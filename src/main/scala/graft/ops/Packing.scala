@@ -34,9 +34,10 @@ final case class PackedSeq(
   * different payloads included), so pack membership is identical at any
   * cluster parallelism and across reruns (the north rule's N vs 4N
   * reproducibility applies to the shaping step too). Pack ids are
-  * content-derived (running hash over the full member list), never
-  * `spark_partition_id`/`monotonically_increasing_id` (both
-  * partitioning-dependent).
+  * content-derived (running hash over the full member list, plus a
+  * deterministic duplicate-membership ordinal so legitimately repeated
+  * packs stay distinct), never `spark_partition_id`/
+  * `monotonically_increasing_id` (both partitioning-dependent).
   */
 object Packing {
 
@@ -91,10 +92,17 @@ object Packing {
       .select(col("id"), col("toks"))
       .as[(String, Seq[Int])]
 
-    // pack id = running hash over ALL member ids + total length: unique even
-    // when duplicate doc ids head different packs (only packs with identical
-    // full membership share an id — and those ARE the same pack)
-    def packIdOf(memberIds: Seq[String], nTok: Int): Long = {
+    // pack id = running hash over ALL member ids + total length, then a
+    // duplicate-membership ordinal mixed in: two DISTINCT packs with
+    // identical membership (fully duplicated rows filling a bucket, or
+    // duplicate over-length rows each emitting a truncated single-doc pack)
+    // are legitimate and must not collide. Identical-membership packs are
+    // always emitted CONSECUTIVELY — the within-partition sort groups
+    // identical rows adjacently and pack membership is a contiguous slice of
+    // the sorted stream — so an O(1) consecutive-duplicate counter (no
+    // per-partition map) makes pack_id a true unique key, deterministically:
+    // the ordinal is a pure function of the sorted stream.
+    def contentHash(memberIds: Seq[String], nTok: Int): Long = {
       var h = 0xcbf29ce484222325L
       memberIds.foreach { id =>
         h = graft.functions.HashMix.mix(h ^ graft.functions.HashMix.hashUtf8(
@@ -108,6 +116,15 @@ object Packing {
         private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
         private val out = scala.collection.mutable.Queue.empty[PackedSeq] // ≤ 2 entries
+        private var lastContentHash = 0L
+        private var dupOrdinal = 0
+        private def packIdOf(memberIds: Seq[String], nTok: Int): Long = {
+          val base = contentHash(memberIds, nTok)
+          if (base == lastContentHash) dupOrdinal += 1
+          else { lastContentHash = base; dupOrdinal = 0 }
+          if (dupOrdinal == 0) base
+          else graft.functions.HashMix.mix(base ^ dupOrdinal)
+        }
         private def closePack(): Unit =
           if (ids.nonEmpty) {
             out.enqueue(PackedSeq(packIdOf(ids.toSeq, buf.length), ids.toSeq,

@@ -162,7 +162,11 @@ object TextAnalysis {
     *    `n_alpha_words` (tokens containing >= 1 ASCII letter)
     *  - `n_bullet_lines` (lines starting `-`/`*`/`•`),
     *    `n_ellipsis_lines` (lines ending `...`/`…`), `n_lines`
-    *  - `n_symbols` (`#`, `...`, `…` occurrences)
+    *  - `n_hash` (`#` occurrences) and `n_ellipsis` (`...`/`…` occurrences)
+    *    — PER-SYMBOL counts, because the published Gopher rule gates each
+    *    symbol-to-word ratio separately (Rae et al. 2021 §A1.1: "symbol-to-
+    *    word ratio greater than 0.1 for either the hash symbol or the
+    *    ellipsis"), not a combined total
     *  - `n_stop_distinct` (how many of 8 common English stopwords appear) */
   def gopherQualityFeatures(text: Column): Seq[(String, Column)] = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -182,22 +186,26 @@ object TextAnalysis {
       "n_lines" -> size(regexp_extract_all(text, lit("(?dm)^[^\\n]+"), lit(0))),
       "n_bullet_lines" -> size(regexp_extract_all(text, lit("(?dm)^[ \\t]*[-*•]"), lit(0))),
       "n_ellipsis_lines" -> size(regexp_extract_all(text, lit("(?dm)(\\.{3}|…)[ \\t]*$"), lit(0))),
-      "n_symbols" -> size(regexp_extract_all(text, lit("#|\\.{3}|…"), lit(0))),
+      "n_hash" -> size(regexp_extract_all(text, lit("#"), lit(0))),
+      "n_ellipsis" -> size(regexp_extract_all(text, lit("\\.{3}|…"), lit(0))),
       "n_stop_distinct" -> stops.map(s =>
         when(lower(text).rlike(s"\\b$s\\b"), 1).otherwise(0)).reduce(_ + _))
   }
 
   /** The published Gopher quality gate in multiply-form: 50-100k words,
-    * mean word length 3-10, symbol ratio <= 0.1, bullet lines <= 90%,
-    * ellipsis lines <= 30%, >= 80% alphabetic words, >= 2 distinct
-    * stopwords. Combine with [[gopherPass]] (the repetition gate) for the
-    * complete MassiveText filter. */
+    * mean word length 3-10, PER-SYMBOL ratio <= 0.1 for `#` and for
+    * ellipses separately (the published rule gates each symbol on its own
+    * ratio, not a combined count), bullet lines <= 90%, ellipsis lines <=
+    * 30%, >= 80% alphabetic words, >= 2 distinct stopwords. Combine with
+    * [[gopherPass]] (the repetition gate) for the complete MassiveText
+    * filter. */
   def gopherQualityPass(text: Column): Column = {
     val f = gopherQualityFeatures(text).toMap
     val (nw, wc) = (f("n_words"), f("word_chars"))
     (nw >= 50) && (nw <= 100000) &&
       (wc >= nw * 3) && (wc <= nw * 10) &&
-      (f("n_symbols") * 10 <= nw) &&
+      (f("n_hash") * 10 <= nw) &&
+      (f("n_ellipsis") * 10 <= nw) &&
       (f("n_bullet_lines") * 10 <= f("n_lines") * 9) &&
       (f("n_ellipsis_lines") * 10 <= f("n_lines") * 3) &&
       (f("n_alpha_words") * 10 >= nw * 8) &&

@@ -58,10 +58,18 @@ object CsvCorpus {
     * NOT used for the valid side: its column pruning skips parsing unneeded
     * fields, so `DROPMALFORMED.count()` counts malformed lines as valid —
     * a mode/pruning interaction that would make the two sides disagree.
-    * With `header=true` the first line of every file is excluded via a
-    * per-file min-line-id broadcast join — never a whole-corpus window
-    * sort. Truly blank / whitespace-only lines are outside the accounting
-    * (the CSV format has no row there). */
+    * With `header=true` the first line of every file is POSITIVELY
+    * detected and excluded in the same single scan — never a whole-corpus
+    * window sort, and no self-join whose two subtrees must split the input
+    * identically (the previous design leaned on
+    * `monotonically_increasing_id` reproducing across two scans of the same
+    * files: true under today's planner, but an undocumented dependency on
+    * split ordering that AQE or input-split drift could break, with the
+    * failure mode of dropping a DATA line). A whitespace-only first line IS
+    * the header (header-drop precedes the blank-line filter) — the header
+    * row is whatever physically occupies line 1. Truly blank /
+    * whitespace-only lines elsewhere are outside the accounting (the CSV
+    * format has no row there). */
   def readSplit(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = false, sep: String = ","): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
@@ -75,17 +83,29 @@ object CsvCorpus {
     val raw = spark.read.text(path).filter(col("value").rlike("\\S"))
     val headerless =
       if (header) {
-        // drop each file's FIRST line: per-file min line id is a tiny
-        // aggregate broadcast back — not a window, which would shuffle and
-        // sort the whole corpus by file. monotonically_increasing_id is
-        // stable here: both branches scan the same files with the same
-        // splits, so ids reproduce across the self-join's two subtrees.
-        val lined = raw.select(col("value"),
-          input_file_name().as("__f"), monotonically_increasing_id().as("__i"))
-        val firsts = lined.groupBy("__f").agg(min("__i").as("__hdr"))
-        lined.join(broadcast(firsts), Seq("__f"))
-          .filter(col("__i") =!= col("__hdr"))
-          .select(col("value"))
+        // a row is its file's first line iff it is the FIRST row of a split
+        // whose byte offset is 0 (`_metadata.file_block_start`) — detected
+        // per-partition by (file, block) transition tracking. FileScanRDD
+        // delivers each split's rows contiguously and in file order within
+        // a task, and a file's offset-0 split exists exactly once, so this
+        // is a property of the DATA, not of planner split ordering. One
+        // scan, no join, no shuffle.
+        import spark.implicits._
+        spark.read.text(path)
+          .select(col("value"), col("_metadata.file_path").as("__f"),
+            col("_metadata.file_block_start").as("__b"))
+          .as[(String, String, Long)]
+          .mapPartitions { it =>
+            var prevFile: String = null
+            var prevBlock = -1L
+            it.flatMap { case (v, f, b) =>
+              val first = b == 0L && (prevFile == null || f != prevFile || b != prevBlock)
+              prevFile = f; prevBlock = b
+              if (first) None else Some(v)
+            }
+          }
+          .toDF("value")
+          .filter(col("value").rlike("\\S"))
       } else raw
     val parsed = headerless.select(col("value"),
       from_csv(col("value"), schema.add(CorruptCol, StringType, nullable = true),

@@ -947,13 +947,14 @@ class Round3Spec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     val l = out("lst")
     // 8 \S+ tokens (35 non-ws chars, 6 with letters — the two bare "-"
-    // don't count); 3 lines; 2 bullet lines; 1 ellipsis-ending line; one
-    // "..." symbol; no stopwords from the list
-    assert((1 to 8).map(l.getInt(_)) === Seq(8, 35, 6, 3, 2, 1, 1, 0))
-    assert(l.getBoolean(9) === false) // <50 words + bullets + no stopwords
+    // don't count); 3 lines; 2 bullet lines; 1 ellipsis-ending line; zero
+    // '#' symbols; one "..." ellipsis (per-symbol counts — the published
+    // rule gates each symbol's ratio separately); no stopwords from the list
+    assert((1 to 9).map(l.getInt(_)) === Seq(8, 35, 6, 3, 2, 1, 0, 1, 0))
+    assert(l.getBoolean(10) === false) // <50 words + bullets + no stopwords
     val c = out("ok")
-    assert(c.getInt(1) === 56 && c.getInt(8) >= 4) // the/and/have/to/with
-    assert(c.getBoolean(9) === true)
+    assert(c.getInt(1) === 56 && c.getInt(9) >= 4) // the/and/have/to/with
+    assert(c.getBoolean(10) === true)
     // engine-parity semantics: \r is NOT a line terminator ((?d) UNIX_LINES,
     // matching RE2's \n-only multiline), \x0B IS whitespace (explicit class)
     val odd = Seq(("cr", "- a\rb\nplain"), ("vt", "x\u000by"))
