@@ -425,10 +425,16 @@ object SparkEntry {
     // ---- multimodal plumbing (meta profile is oracle-exact) ----
     "m_meta" -> ((s, dir) =>
       Multimodal.metaProfile(Multimodal.asBinaryTable(ld(s, dir, "documents"), "doc_id", "text"))),
-    "m_decode" -> ((s, dir) => { // rows-only: stubbed decoder features
-      val feats = Multimodal.decodeFeatures(s,
-        Multimodal.asBinaryTable(ld(s, dir, "documents"), "doc_id", "text"))
-      feats.toDF().select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+    "m_decode" -> ((s, dir) => { // REAL header decode vs generation ground truth
+      // the fixture carries real JDK-encoded images + planted corrupt
+      // payloads; the query decodes ONLY the bytes (MediaCodec header
+      // parse), the oracle reads the generation-time true_* columns —
+      // a genuine cross-implementation check, nothing circular
+      val media = s.read.parquet(DataGen.ensureMediaFixture(s))
+        .select("doc_id", "payload")
+      Multimodal.decodeMeta(s, media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("ok"))
     }),
     // ---- flagship synthetic-corpus validation (rows-only: engine-native) ----
     "seq_validate" -> ((s, dir) => {
@@ -1203,6 +1209,13 @@ object SparkEntry {
                 min(octet_length(encode(text))) AS min_bytes,
                 max(octet_length(encode(text))) AS max_bytes
          FROM documents""",
+    "m_decode" ->
+      // the decoder must reproduce the GENERATION-TIME ground truth from
+      // raw bytes alone (the query never reads the true_* columns)
+      """SELECT doc_id, true_format AS format, true_width AS width,
+                true_height AS height, true_frames AS n_frames,
+                (true_format <> 'unknown') AS ok
+         FROM read_parquet('/root/repo/target/fixtures/media.parquet/*.parquet')""",
     // seq_* oracles read the fixture Verify materializes from the SAME
     // deterministic generator the queries run (DataGen.Seq20kFixturePath) —
     // every standard-suite check re-expressed over the materialized rows

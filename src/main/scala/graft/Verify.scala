@@ -23,6 +23,7 @@ object Verify {
     DataGen.writeSeq20kFixture(spark)
     DataGen.writeLshFixtures(spark, sfDir)
     DataGen.writeSamplingIvfFixtures(spark, sfDir)
+    DataGen.writeMediaFixture(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

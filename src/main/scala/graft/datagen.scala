@@ -227,6 +227,23 @@ object DataGen {
       .write.mode("overwrite").parquet(IvfProbesBatchFixturePath)
   }
 
+  /** Media fixture: 500 REAL encoded images (PNG/GIF/JPEG/BMP via the JDK
+    * writers, deterministic pixels) plus planted corrupt payloads, with
+    * generation-time ground-truth columns for the oracle. The m_decode
+    * query reads ONLY (doc_id, payload); the true_* columns are the
+    * oracle's side of the check. */
+  def MediaFixturePath = s"$fixtureRoot/media.parquet"
+
+  def writeMediaFixture(spark: SparkSession): Unit =
+    MediaGen.mediaTable(spark, 500).write.mode("overwrite").parquet(MediaFixturePath)
+
+  /** Write-if-absent for non-Verify callers (bench, tests): the fixture is
+    * deterministic, so presence is the only question. */
+  def ensureMediaFixture(spark: SparkSession): String = {
+    if (!new java.io.File(MediaFixturePath).exists()) writeMediaFixture(spark)
+    MediaFixturePath
+  }
+
   /** The standard suite for this corpus — every north-rule check. */
   def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
     ConstraintSuite(

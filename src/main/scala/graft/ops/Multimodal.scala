@@ -6,20 +6,37 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata structs; decode / feature-extract
-  * stages run per-partition so a real decoder (JNI/FFI or columnar UDF)
-  * drops in without changing the plan shape.
+  * stages run per-partition so heavier decoders (JNI/FFI, columnar UDF)
+  * drop in without changing the plan shape.
   *
-  * The decode step itself is STUBBED (deterministic fake — no image/audio
-  * libraries exist in this container); everything around it — schema,
-  * batching, partition sizing, null/corrupt handling — is real and tested.
+  * The metadata decode is REAL: [[MediaCodec]] parses PNG/GIF/JPEG/BMP
+  * container headers (dimensions, format, GIF frame count) from the raw
+  * bytes — pure JVM, a few hundred byte reads per payload, scan-speed at
+  * any scale. Pixel-level feature extraction ([[decodeFeatures]]) is also
+  * real (full `javax.imageio` decode of the first frame); only the
+  * embedding MODEL is a deterministic stand-in (channel means + luminance
+  * histogram in place of a learned vision encoder, which cannot exist in
+  * this sandbox).
   */
 object Multimodal {
 
   /** Typed metadata carried next to every payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("media_type", StringType), // "image" | "audio" | "video"
-    StructField("format", StringType), // "png", "wav", …
+    StructField("format", StringType), // "png", "gif", …
     StructField("n_bytes", IntegerType)))
+
+  /** Header-decoded container metadata. `ok = false` rows carry the decode
+    * FAILURE accounting (corrupt/truncated/unsupported payloads are counted
+    * artifacts, never silent drops). */
+  final case class MediaDecoded(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_bytes: Int,
+      ok: Boolean)
 
   final case class MediaFeatures(
       doc_id: Long,
@@ -30,10 +47,11 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Float])
 
-  /** Wrap a text table as a binary-payload table (the sandbox has no real
-    * media; payload = utf-8 bytes, metadata typed as an image). Real
-    * pipelines read payloads via `spark.read.format("binaryFile")` or
-    * parquet binary columns — same schema from here on. */
+  /** Wrap a text table as a binary-payload table (payload = utf-8 bytes,
+    * metadata typed as an image) — the schema-plumbing demo used by the
+    * meta-profile query. Real pipelines read payloads via
+    * `spark.read.format("binaryFile")` or parquet binary columns — same
+    * schema from here on. */
   def asBinaryTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast(LongType).as("doc_id"),
@@ -43,54 +61,89 @@ object Multimodal {
         lit("png").as("format"),
         octet_length(col(textCol)).as("n_bytes")).as("meta"))
 
-  /** STUB decoder: deterministic fake that stands in for an image decode.
-    * Derives "dimensions" and an 8-dim "embedding" from payload bytes.
-    * Replace the body with a real decoder (e.g. TwelveMonkeys/JavaCV) —
-    * signature and batch shape stay identical. */
-  private[ops] def stubDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val n = payload.length
-    val width = (n % 256) + 1
-    val height = ((n / 256) % 256) + 1
-    val nFrames = 1
-    // 8 deterministic pseudo-features from byte sums over 8 strides
-    val feat = Array.tabulate(8) { k =>
-      var s = 0L
-      var i = k
-      while (i < n) { s += (payload(i) & 0xFF); i += 8 }
-      (s % 1000).toFloat / 1000f
-    }
-    (width, height, nFrames, feat)
+  /** REAL metadata decode: sniff format from magic bytes and parse
+    * dimensions + frame count from the container header
+    * ([[MediaCodec.sniff]] — no image library, no full pixel decode).
+    * Unparseable payloads surface as `ok = false` rows with format
+    * "unknown" and zero dims. Narrow typed map — no shuffle; at 100 TB
+    * this runs at scan speed and only the header bytes are touched. */
+  def decodeMeta(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[MediaDecoded] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val nb = if (p == null) 0 else p.length
+        MediaCodec.sniff(p) match {
+          case Some(m) => MediaDecoded(id, m.format, m.width, m.height, m.nFrames, nb, ok = true)
+          case None => MediaDecoded(id, "unknown", 0, 0, 0, nb, ok = false)
+        }
+      }
   }
 
-  /** Per-partition decode + feature extraction. `mapPartitions` (not per-row
-    * UDF) so a real decoder can amortize native init per partition/batch —
-    * the Spark-side analog of `mapInPandas` batch shape. Corrupt/null
-    * payloads are skipped, not fatal. */
-  def decodeFeatures(spark: SparkSession, df: DataFrame): Dataset[MediaFeatures] = {
+  /** Per-partition pixel decode + feature extraction: full `javax.imageio`
+    * decode of the first frame, then a deterministic 8-dim feature (mean
+    * R/G/B in [0,1], 4-bin luminance histogram fractions, aspect ratio
+    * w/(w+h)) standing in for a learned vision embedding. `mapPartitions`
+    * (not per-row UDF) so a real encoder can amortize native init per
+    * partition — the Spark-side analog of `mapInPandas` batch shape.
+    * Corrupt/undecodable payloads are SKIPPED here; run [[decodeMeta]]
+    * first when failure accounting matters (its ok=false rows are the
+    * audit trail). Frame count comes from the header sniff (ImageIO reads
+    * the first frame only). */
+  def decodeFeatures(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[MediaFeatures] = {
     import spark.implicits._
-    df.select(col("doc_id"), col("payload"), col("meta.media_type").as("media_type"),
-      col("meta.n_bytes").as("n_bytes"))
-      .as[(Long, Array[Byte], String, Int)]
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real decoders initialize native context here, once per partition
-        it.flatMap { case (id, payload, mt, nBytes) =>
-          Option(payload).filter(_.nonEmpty).map { p =>
-            val (w, h, f, feat) = stubDecode(p)
-            MediaFeatures(id, mt, nBytes, w, h, f, feat)
+        // heavier decoders initialize native context here, once per partition
+        it.flatMap { case (id, payload) =>
+          for {
+            p <- Option(payload).filter(_.nonEmpty)
+            meta <- MediaCodec.sniff(p)
+            img <- try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+                   catch { case _: Exception => None }
+          } yield {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val lumBins = new Array[Long](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+                sr += r; sg += g; sb += b
+                // integer ITU-R 601 luma approximation
+                val lum = (r * 299 + g * 587 + b * 114) / 1000
+                lumBins(math.min(lum >> 6, 3)) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val feat = Array(
+              sr.toFloat / (255f * n), sg.toFloat / (255f * n), sb.toFloat / (255f * n),
+              lumBins(0).toFloat / n, lumBins(1).toFloat / n,
+              lumBins(2).toFloat / n, lumBins(3).toFloat / n,
+              w.toFloat / (w + h))
+            val mediaType = if (meta.nFrames > 1) "video" else "image"
+            MediaFeatures(id, mediaType, p.length, w, h, meta.nFrames, feat)
           }
         }
       }
   }
 
-  /** Resize/frame-sample stage (stub): deterministic downsample of the fake
-    * feature — demonstrates a second chained per-partition stage. */
+  /** Feature-vector downsample (deterministic post-stage; the plan-shape
+    * slot where a real resize/projection stage runs). */
   def resizeFeatures(ds: Dataset[MediaFeatures], dims: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(m => m.copy(feature = m.feature.take(dims))))
   }
 
-  /** Frame-sample stage (stub): keep every `everyN`-th feature slot and
-    * scale n_frames accordingly — the video analog of resize, deterministic,
+  /** Frame-sample stage: keep every `everyN`-th feature slot and scale
+    * n_frames accordingly — the video analog of resize, deterministic,
     * chained per-partition like a real frame sampler would be. */
   def sampleFrames(ds: Dataset[MediaFeatures], everyN: Int): Dataset[MediaFeatures] = {
     require(everyN > 0, "everyN > 0")
@@ -102,8 +155,8 @@ object Multimodal {
     })
   }
 
-  /** Pure-SQL metadata profile of a binary table — the oracle-checkable part
-    * (byte length, format mix) needs no decode at all and pushes down. */
+  /** Pure-SQL metadata profile of a binary table — byte length and format
+    * mix need no decode at all and push down. */
   def metaProfile(df: DataFrame): DataFrame =
     df.groupBy(col("meta.media_type").as("media_type"), col("meta.format").as("format"))
       .agg(

@@ -143,18 +143,19 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "profile must be a narrow projection")
   }
 
-  test("Multimodal: binary plumbing — decode stub, batch shape, meta profile") {
+  test("Multimodal: binary plumbing — real decode, batch shape, meta profile") {
     val bin = Multimodal.asBinaryTable(docs, "doc_id", "text")
     assert(bin.schema("payload").dataType.typeName === "binary")
-    val feats = Multimodal.decodeFeatures(spark, bin)
-    val n = feats.count()
-    assert(n === docs.count())
+    val prof = Multimodal.metaProfile(bin).collect()
+    assert(prof.length === 1 && prof.head.getAs[Long]("n") === docs.count())
+    // real image payloads -> real decoded features (one row per valid image)
+    val media = MediaGen.mediaTable(spark, 50).toDF()
+    val feats = Multimodal.decodeFeatures(spark, media)
+    assert(feats.count() === 40) // 10 of 50 are planted-corrupt (id % 5 == 4)
     val one = feats.head()
     assert(one.feature.length === 8)
     val resized = Multimodal.resizeFeatures(feats, 4)
     assert(resized.head().feature.length === 4)
-    val prof = Multimodal.metaProfile(bin).collect()
-    assert(prof.length === 1 && prof.head.getAs[Long]("n") === docs.count())
   }
 
   test("Streaming: row-local validation + windowed counts on a rate-less batch-as-stream") {

@@ -444,9 +444,9 @@ class Round2Spec extends SparkSpec {
   }
 
   test("Multimodal.sampleFrames: deterministic frame downsample") {
-    val bin = Multimodal.asBinaryTable(
-      Seq((1L, "some media payload content here")).toDF("doc_id", "text"), "doc_id", "text")
-    val feats = Multimodal.decodeFeatures(spark, bin)
+    // id 1 is an animated GIF in MediaGen's class layout (id % 5 == 1)
+    val media = MediaGen.mediaTable(spark, 2).toDF().filter(col("doc_id") === 1L)
+    val feats = Multimodal.decodeFeatures(spark, media)
     val sampled = Multimodal.sampleFrames(feats, everyN = 2).head()
     val orig = feats.head()
     assert(sampled.feature.length === (orig.feature.length + 1) / 2)

@@ -85,6 +85,86 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Media: real pure-JVM header decode
+  // ---------------------------------------------------------------------
+
+  test("MediaCodec.sniff: golden dims per container format") {
+    import graft.ops.MediaCodec
+    def solid(w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(200, 100, 50)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    assert(MediaCodec.sniff(MediaGen.encode("png", Seq(solid(20, 10))))
+      === Some(MediaCodec.MediaMeta("png", 20, 10, 1)))
+    assert(MediaCodec.sniff(MediaGen.encode("jpeg", Seq(solid(33, 7))))
+      === Some(MediaCodec.MediaMeta("jpeg", 33, 7, 1)))
+    assert(MediaCodec.sniff(MediaGen.encode("bmp", Seq(solid(5, 64))))
+      === Some(MediaCodec.MediaMeta("bmp", 5, 64, 1)))
+    // animated GIF: REAL frame count from walking the block structure
+    assert(MediaCodec.sniff(MediaGen.encode("gif", Seq(solid(9, 9), solid(9, 9), solid(9, 9))))
+      === Some(MediaCodec.MediaMeta("gif", 9, 9, 3)))
+    // corrupt: garbage, truncated PNG signature, null, empty
+    assert(MediaCodec.sniff("definitely not an image".getBytes("UTF-8")) === None)
+    assert(MediaCodec.sniff(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0)) === None)
+    assert(MediaCodec.sniff(null) === None)
+    assert(MediaCodec.sniff(Array.empty[Byte]) === None)
+  }
+
+  test("MediaCodec vs javax.imageio: independent dimension agreement on generated payloads") {
+    import graft.ops.MediaCodec
+    // the hand-rolled parser and the JDK's own readers must agree on every
+    // valid generated payload — a cross-implementation check local to this
+    // test (the oracle's check is vs generation-time ground truth)
+    MediaGen.mediaTable(spark, 40).collect().filter(_.true_format != "unknown").foreach { r =>
+      val meta = MediaCodec.sniff(r.payload)
+        .getOrElse(fail(s"sniff failed for ${r.true_format} id=${r.doc_id}"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(meta.width === img.getWidth && meta.height === img.getHeight,
+        s"id=${r.doc_id} fmt=${r.true_format}")
+      assert(meta.format === r.true_format && meta.width === r.true_width &&
+        meta.height === r.true_height && meta.nFrames === r.true_frames)
+    }
+  }
+
+  test("Multimodal.decodeMeta: failure accounting and end-to-end fixture parity") {
+    import graft.ops.Multimodal
+    val media = MediaGen.mediaTable(spark, 100).toDF()
+    val decoded = Multimodal.decodeMeta(spark, media).collect()
+    assert(decoded.length === 100) // corrupt rows are COUNTED, not dropped
+    val (ok, bad) = decoded.partition(_.ok)
+    assert(bad.length === 20 && bad.forall(d => d.format == "unknown" && d.width == 0))
+    assert(ok.groupBy(_.format).view.mapValues(_.length).toMap
+      === Map("png" -> 20, "gif" -> 20, "jpeg" -> 20, "bmp" -> 20))
+    // decoded meta equals generation ground truth row-by-row
+    val truth = media.select("doc_id", "true_format", "true_width", "true_height", "true_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    decoded.foreach { d =>
+      assert(truth(d.doc_id) === ((d.format, d.width, d.height, d.n_frames)))
+    }
+  }
+
+  test("Multimodal.decodeFeatures: real pixel decode — solid color means are exact") {
+    import graft.ops.Multimodal
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(255, 0, 102)); g.fillRect(0, 0, 16, 8); g.dispose()
+    val payload = MediaGen.encode("png", Seq(img)) // png is lossless
+    val df = Seq((7L, payload)).toDF("doc_id", "payload")
+    val f = Multimodal.decodeFeatures(spark, df).head()
+    assert(f.width === 16 && f.height === 8 && f.n_frames === 1)
+    assert(f.feature(0) === 1.0f) // mean R = 255/255
+    assert(f.feature(1) === 0.0f) // mean G
+    assert(math.abs(f.feature(2) - 102f / 255f) < 1e-6)
+    // luminance = (255*299 + 102*114)/1000 = 87 -> bin 1 holds every pixel
+    assert(f.feature(4) === 1.0f && f.feature(3) === 0.0f)
+    assert(f.feature(7) === 16f / 24f) // aspect
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher: per-symbol ratio gates
   // ---------------------------------------------------------------------
 
