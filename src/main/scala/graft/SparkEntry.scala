@@ -62,6 +62,13 @@ object SparkEntry {
       UnigramLM.trainBigram(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", vocabSize = 500, bigramSize = 1000))
   }
+  private val trigramModels = scala.collection.concurrent.TrieMap.empty[String, (Long, UnigramLM.TrigramModel)]
+  private def trigramModel(s: SparkSession, dir: String): UnigramLM.TrigramModel = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    memo(trigramModels, dir, mtime)(
+      UnigramLM.trainTrigram(ld(s, dir, "documents").filter(col("text").isNotNull),
+        "text", vocabSize = 500, bigramSize = 1000, trigramSize = 2000))
+  }
 
   /** Flagship: full validation suite over the deterministic synthetic corpus
     * — violations frame (planted defects ⇒ rows > 0). */
@@ -364,6 +371,12 @@ object SparkEntry {
     "t_bigram_lp" -> ((s, dir) => { // interpolated-bigram LM likelihood
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
       UnigramLM.scoreBigram(docs, "text", bigramModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
+    "t_trigram_lp" -> ((s, dir) => { // interpolated-trigram LM likelihood
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      UnigramLM.scoreTrigram(docs, "text", trigramModel(s, dir))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
     }),
@@ -1141,6 +1154,54 @@ object SparkEntry {
            LEFT JOIN uni uc ON t.cur = uc.term
            LEFT JOIN uni up ON t.prev = up.term
            LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.bg)
+         SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
+                CAST(count(*) AS BIGINT) AS n_tok
+         FROM lp GROUP BY doc_id""",
+    "t_trigram_lp" ->
+      // Mirrors TrigramLogProbFp: longest-available-context dispatch
+      // (unigram backoff / 0.5*bi+0.5*uni / 0.5*tri+0.25*bi+0.25*uni),
+      // identical left-associated IEEE arithmetic, chr(1)-joined keys,
+      // same (count desc, key asc) tie-breaks at every vocabulary boundary.
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, p, words[p] AS cur,
+                  CASE WHEN p > 1 THEN words[p-1] END AS prev,
+                  CASE WHEN p > 2 THEN words[p-2] END AS prev2
+           FROM d, unnest(range(1, len(words)+1)) AS t(p)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         uni AS (
+           SELECT cur AS term, CAST(count(*) AS BIGINT) AS c FROM toks
+           GROUP BY cur ORDER BY c DESC, term ASC LIMIT 500),
+         big AS (
+           SELECT prev || chr(1) || cur AS bg, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev IS NOT NULL
+           GROUP BY prev || chr(1) || cur ORDER BY c DESC, bg ASC LIMIT 1000),
+         tri AS (
+           SELECT prev2 || chr(1) || prev || chr(1) || cur AS tg,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev2 IS NOT NULL
+           GROUP BY prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, tg ASC LIMIT 2000),
+         lp AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CASE
+                    WHEN t.prev IS NULL OR up.c IS NULL
+                    THEN CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot)
+                    WHEN t.prev2 IS NULL OR b2.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.5 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    ELSE 0.5 * (CAST(coalesce(g.c, 0) AS DOUBLE) / b2.c)
+                       + 0.25 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.25 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    END) * 1e6) AS BIGINT) AS v
+           FROM toks t
+           LEFT JOIN uni uc ON t.cur = uc.term
+           LEFT JOIN uni up ON t.prev = up.term
+           LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.bg
+           LEFT JOIN big b2 ON t.prev2 || chr(1) || t.prev = b2.bg
+           LEFT JOIN tri g ON t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g.tg)
          SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM lp GROUP BY doc_id""",

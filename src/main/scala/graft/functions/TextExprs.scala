@@ -356,6 +356,137 @@ case class BigramLogProbFp(
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Fixed-point INTERPOLATED-TRIGRAM log-likelihood — one rung past
+  * [[BigramLogProbFp]] toward CCNet's 5-gram KenLM. Token i scores by the
+  * LONGEST available context:
+  *  - trigram interpolation `ln(0.5·c3(p2,p1,cur)/c2(p2,p1) +
+  *    0.25·c2(p1,cur)/c1(p1) + 0.25·c1(cur)/N)` when p1 is in-vocab and
+  *    (p2,p1) is a known bigram — every ratio <= 1 (exact counts of kept
+  *    keys, numerator's support nested in denominator's) and the dyadic
+  *    weights sum to 1, so p stays in (0,1];
+  *  - the bigram interpolation `0.5·c2/c1 + 0.5·c1/N` when only p1 is
+  *    known (identical arithmetic to [[BigramLogProbFp]]'s middle path);
+  *  - plain unigram backoff otherwise (first token / OOV predecessor).
+  * Absent bigrams/trigrams count 0; OOV `cur` counts 1. Per-term values
+  * round to the 1e-6 grid and sum as a long — order-independent and
+  * SQL-oracle-reproducible (left-associated `a*x + b*y + c*z` exactly as
+  * written). All maps are BOUNDED driver-side vocabularies shipped once
+  * per executor (nested UTF8String-keyed lookups, no per-token concat);
+  * scoring is a zero-shuffle projection. Constructor n-gram keys join
+  * components with U+0001. Returns struct(logprob_fp, n_tok). */
+case class TrigramLogProbFp(
+    child: Expression, unigrams: Map[String, Long], bigrams: Map[String, Long],
+    trigrams: Map[String, Long], total: Long) extends UnaryExpression {
+  require(total > 0, "total token count must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("logprob_fp", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false)))
+
+  @transient private lazy val uniCnt: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](unigrams.size * 2)
+    unigrams.foreach { case (t, c) =>
+      m.put(UTF8String.fromString(t), java.lang.Long.valueOf(c)) }
+    m
+  }
+  @transient private lazy val uniFp: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](unigrams.size * 2)
+    unigrams.foreach { case (t, c) =>
+      m.put(UTF8String.fromString(t),
+        java.lang.Long.valueOf(math.round(math.log(c.toDouble / total) * 1e6))) }
+    m
+  }
+  @transient private lazy val oovFp: Long =
+    math.round(math.log(1.0 / total) * 1e6)
+  // two-level prev -> cur -> count
+  @transient private lazy val biCnt
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
+    bigrams.foreach { case (k, c) =>
+      val sep = k.indexOf('\u0001')
+      require(sep > 0, s"malformed bigram key: $k")
+      val prev = UTF8String.fromString(k.substring(0, sep))
+      val cur = UTF8String.fromString(k.substring(sep + 1))
+      m.computeIfAbsent(prev, _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+        .put(cur, java.lang.Long.valueOf(c))
+    }
+    m
+  }
+  // three-level p2 -> p1 -> cur -> count
+  @transient private lazy val triCnt: java.util.HashMap[UTF8String,
+      java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]] = {
+    val m = new java.util.HashMap[UTF8String,
+      java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]]()
+    trigrams.foreach { case (k, c) =>
+      val s1 = k.indexOf('\u0001')
+      val s2 = k.indexOf('\u0001', s1 + 1)
+      require(s1 > 0 && s2 > s1, s"malformed trigram key: $k")
+      val p2 = UTF8String.fromString(k.substring(0, s1))
+      val p1 = UTF8String.fromString(k.substring(s1 + 1, s2))
+      val cur = UTF8String.fromString(k.substring(s2 + 1))
+      m.computeIfAbsent(p2,
+          _ => new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]())
+        .computeIfAbsent(p1, _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+        .put(cur, java.lang.Long.valueOf(c))
+    }
+    m
+  }
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = a.numElements()
+    var sum = 0L
+    var scored = 0L
+    var p1: UTF8String = null // previous token
+    var p1Cnt: java.lang.Long = null // its unigram count (null = OOV/none)
+    var p2: UTF8String = null // the token before that
+    var prefCnt: java.lang.Long = null // bigram count of (p2, p1), null = unknown
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val cur = a.getUTF8String(i)
+        val cuBoxed = uniCnt.get(cur)
+        if (p1Cnt == null) {
+          sum += (if (cuBoxed == null) oovFp else uniFp.get(cur).longValue())
+        } else {
+          val cu = if (cuBoxed == null) 1L else cuBoxed.longValue()
+          val curMap = biCnt.get(p1)
+          val cbBoxed = if (curMap == null) null else curMap.get(cur)
+          val cb = if (cbBoxed == null) 0L else cbBoxed.longValue()
+          val p =
+            if (prefCnt == null)
+              0.5 * (cb.toDouble / p1Cnt.longValue()) + 0.5 * (cu.toDouble / total)
+            else {
+              val m1 = triCnt.get(p2)
+              val m2 = if (m1 == null) null else m1.get(p1)
+              val ctBoxed = if (m2 == null) null else m2.get(cur)
+              val ct = if (ctBoxed == null) 0L else ctBoxed.longValue()
+              0.5 * (ct.toDouble / prefCnt.longValue()) +
+                0.25 * (cb.toDouble / p1Cnt.longValue()) + 0.25 * (cu.toDouble / total)
+            }
+          sum += math.round(math.log(p) * 1e6)
+        }
+        scored += 1
+        // shift context: the NEW (p2, p1) is (old p1, cur)
+        prefCnt = {
+          val m = if (p1 == null) null else biCnt.get(p1)
+          if (m == null) null else m.get(cur)
+        }
+        p2 = p1
+        p1 = cur
+        p1Cnt = cuBoxed
+      }
+      i += 1
+    }
+    InternalRow(sum, scored)
+  }
+  override def nullSafeEval(x: Any): Any =
+    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trigramLp", this, classOf[TrigramLogProbFp].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShim
   def repetition_stats(text: Column): Column =
@@ -367,4 +498,8 @@ object TextFunctions {
   def bigram_logprob_fp(tokens: Column, unigrams: Map[String, Long],
       bigrams: Map[String, Long], total: Long): Column =
     GraftShim.column(BigramLogProbFp(GraftShim.expression(tokens), unigrams, bigrams, total))
+  def trigram_logprob_fp(tokens: Column, unigrams: Map[String, Long],
+      bigrams: Map[String, Long], trigrams: Map[String, Long], total: Long): Column =
+    GraftShim.column(TrigramLogProbFp(GraftShim.expression(tokens), unigrams, bigrams,
+      trigrams, total))
 }

@@ -81,24 +81,88 @@ object UnigramLM {
   }
 
   /** Train unigram + bigram vocabularies. Ties at either V boundary break
-    * deterministically by (count desc, key asc). SCALE NOTE: the bigram
-    * count agg shuffles one string per token occurrence — at corpus scale,
-    * train on a REFERENCE SAMPLE (`Sampling.deterministicSample`) the way
-    * CCNet trains its KenLM on Wikipedia, not on the full corpus; the model
-    * only needs stable counts, and scoring (the full-corpus pass) stays a
-    * zero-shuffle projection regardless. */
+    * deterministically by (count desc, key asc).
+    *
+    * `trainFraction` is the SCALE path, not a docstring: the n-gram count
+    * aggs shuffle one string per token occurrence, so at corpus scale train
+    * on a deterministic reference sample (`Sampling.deterministicSample` by
+    * `idCol`) the way CCNet trains its KenLM on Wikipedia — the model only
+    * needs stable counts, and scoring (the full-corpus pass) stays a
+    * zero-shuffle projection regardless. Default 1.0 trains on everything
+    * (small corpora / oracle parity); any fraction < 1.0 requires `idCol`.
+    * The sample is hash-gated: deterministic, parallelism-independent. */
   def trainBigram(df: DataFrame, textCol: String, vocabSize: Int,
-      bigramSize: Int): BigramModel = {
-    val base = train(df, textCol, vocabSize)
-    val bigrams = df.select(explode(bigramsCol(tokens(col(textCol)))).as("bg"))
+      bigramSize: Int, trainFraction: Double = 1.0,
+      idCol: String = ""): BigramModel = {
+    val base0 = trainingSlice(df, trainFraction, idCol)
+    val base = train(base0, textCol, vocabSize)
+    val bigrams = base0.select(explode(bigramsCol(tokens(col(textCol)))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("bg")).limit(bigramSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     BigramModel(base.vocab, bigrams, base.totalTokens)
   }
 
+  private def trainingSlice(df: DataFrame, trainFraction: Double, idCol: String): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0,1]")
+    if (trainFraction >= 1.0) df
+    else {
+      require(idCol.nonEmpty, "idCol required when trainFraction < 1")
+      Sampling.deterministicSample(df, idCol, trainFraction)
+    }
+  }
+
   /** Attach bigram-interpolated `logprob_fp` and `n_tok`. */
   def scoreBigram(df: DataFrame, textCol: String, model: BigramModel): DataFrame = {
+    val st = model.logProbFp(tokens(col(textCol)))
+    df.withColumn("logprob_fp", st("logprob_fp"))
+      .withColumn("n_tok", st("n_tok"))
+  }
+
+  /** Interpolated-TRIGRAM model — the next rung toward CCNet's 5-gram
+    * KenLM. Token i scores, by longest available context:
+    *  - `ln(0.5·c3(p2,p1,cur)/c2(p2,p1) + 0.25·c2(p1,cur)/c1(p1)
+    *       + 0.25·c1(cur)/N)` when p1 is in-vocab AND (p2,p1) is a known
+    *    bigram (every ratio <= 1, dyadic weights summing to 1 ⇒ p in (0,1]);
+    *  - the bigram interpolation `ln(0.5·c2/c1 + 0.5·c1/N)` when only p1 is
+    *    known;
+    *  - the plain unigram when the predecessor is unknown or absent.
+    * All weights dyadic ⇒ the IEEE arithmetic mirrors exactly in SQL. */
+  case class TrigramModel(unigrams: Map[String, Long], bigrams: Map[String, Long],
+      trigrams: Map[String, Long], totalTokens: Long) {
+    require(totalTokens > 0, "empty training corpus")
+    def logProbFp(tokensCol: Column): Column =
+      graft.functions.TextFunctions.trigram_logprob_fp(
+        tokensCol, unigrams, bigrams, trigrams, totalTokens)
+  }
+
+  /** Adjacent-word trigrams as U+0001-joined strings (in-row, like
+    * [[bigramsCol]]). */
+  private def trigramsCol(toks: Column): Column = {
+    val m = greatest(size(toks) - 2, lit(0))
+    zip_with(
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat(a, lit("\u0001"), b)),
+      slice(toks, lit(3), m),
+      (ab, c) => concat(ab, lit("\u0001"), c))
+  }
+
+  /** Train unigram + bigram + trigram vocabularies (same deterministic
+    * tie-breaks; same `trainFraction` scale path as [[trainBigram]]). */
+  def trainTrigram(df: DataFrame, textCol: String, vocabSize: Int,
+      bigramSize: Int, trigramSize: Int, trainFraction: Double = 1.0,
+      idCol: String = ""): TrigramModel = {
+    val base0 = trainingSlice(df, trainFraction, idCol)
+    val bi = trainBigram(base0, textCol, vocabSize, bigramSize)
+    val trigrams = base0.select(explode(trigramsCol(tokens(col(textCol)))).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tg")).limit(trigramSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TrigramModel(bi.unigrams, bi.bigrams, trigrams, bi.totalTokens)
+  }
+
+  /** Attach trigram-interpolated `logprob_fp` and `n_tok`. */
+  def scoreTrigram(df: DataFrame, textCol: String, model: TrigramModel): DataFrame = {
     val st = model.logProbFp(tokens(col(textCol)))
     df.withColumn("logprob_fp", st("logprob_fp"))
       .withColumn("n_tok", st("n_tok"))

@@ -165,6 +165,99 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Trigram LM + sampled training
+  // ---------------------------------------------------------------------
+
+  test("trainTrigram/scoreTrigram: hand-computed interpolation incl. full backoff chain") {
+    import graft.ops.UnigramLM
+    // training: "a b c a b c a b d" -> N=9; uni a:3 b:3 c:2 d:1;
+    // bi (a,b):3 (b,c):2 (c,a):2 (b,d):1; tri (a,b,c):2 (b,c,a):2 (c,a,b):2 (a,b,d):1
+    val trainDf = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val m = UnigramLM.trainTrigram(trainDf, "text", vocabSize = 10,
+      bigramSize = 10, trigramSize = 10)
+    assert(m.totalTokens === 9L)
+    assert(m.unigrams === Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    assert(m.trigrams === Map("a\u0001b\u0001c" -> 2L, "b\u0001c\u0001a" -> 2L,
+      "c\u0001a\u0001b" -> 2L, "a\u0001b\u0001d" -> 1L))
+    // score "a b c a b x c": uni -> bi -> tri -> tri -> tri -> tri(zero
+    // numerators, OOV cur) -> uni (OOV predecessor)
+    def fp(p: Double) = math.round(math.log(p) * 1e6)
+    val expected =
+      fp(3.0 / 9) + // a: first token
+      fp(0.5 * (3.0 / 3) + 0.5 * (3.0 / 9)) + // b after a (no p2 yet)
+      fp(0.5 * (2.0 / 3) + 0.25 * (2.0 / 3) + 0.25 * (2.0 / 9)) + // c after (a,b)
+      fp(0.5 * (2.0 / 2) + 0.25 * (2.0 / 2) + 0.25 * (3.0 / 9)) + // a after (b,c)
+      fp(0.5 * (2.0 / 2) + 0.25 * (3.0 / 3) + 0.25 * (3.0 / 9)) + // b after (c,a)
+      fp(0.5 * (0.0 / 3) + 0.25 * (0.0 / 3) + 0.25 * (1.0 / 9)) + // x OOV after (a,b)
+      fp(2.0 / 9) // c after OOV x: unigram backoff
+    val scored = UnigramLM.scoreTrigram(
+        Seq((7L, "a b c a b x c")).toDF("doc_id", "text"), "text", m)
+      .select("logprob_fp", "n_tok").head()
+    assert(scored.getLong(0) === expected && scored.getLong(1) === 7L)
+  }
+
+  test("trigram scoring: truncated vocabularies back off instead of fabricating context") {
+    import graft.ops.UnigramLM
+    val trainDf = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    // bigramSize=2 keeps (a,b):3 and the (b,c)/(c,a) tie breaks by key asc
+    // -> (b,c) kept, (c,a) truncated; trigramSize=0-like via size 1
+    val m = UnigramLM.trainTrigram(trainDf, "text", vocabSize = 10,
+      bigramSize = 2, trigramSize = 1)
+    assert(m.bigrams === Map("a\u0001b" -> 3L, "b\u0001c" -> 2L))
+    assert(m.trigrams === Map("a\u0001b\u0001c" -> 2L)) // top count, key asc
+    def fp(p: Double) = math.round(math.log(p) * 1e6)
+    // "c a b": uni(c); a after c -> (c,a) truncated FROM BIGRAMS so cb=0 but
+    // still the bigram form (p1 in vocab); b after (c,a) -> prefix bigram
+    // (c,a) unknown -> BIGRAM interpolation, not trigram with a fake denom
+    val expected =
+      fp(2.0 / 9) +
+      fp(0.5 * (0.0 / 2) + 0.5 * (3.0 / 9)) +
+      fp(0.5 * (3.0 / 3) + 0.5 * (3.0 / 9))
+    val scored = UnigramLM.scoreTrigram(
+        Seq((2L, "c a b")).toDF("doc_id", "text"), "text", m)
+      .select("logprob_fp", "n_tok").head()
+    assert(scored.getLong(0) === expected && scored.getLong(1) === 3L)
+  }
+
+  test("TrigramLogProbFp compiles under FORCED codegen, matching interpreted eval") {
+    import graft.ops.UnigramLM
+    val trainDf = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val m = UnigramLM.trainTrigram(trainDf, "text", 10, 10, 10)
+    val df = Seq((1L, "a b c x"), (2L, "d d d")).toDF("doc_id", "text")
+    def eval(mode: String): Seq[(Long, Long)] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try UnigramLM.scoreTrigram(df, "text", m)
+        .select("logprob_fp", "n_tok").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(eval("CODEGEN_ONLY") === eval("NO_CODEGEN"))
+  }
+
+  test("trainBigram(trainFraction): sampled training equals training on the explicit sample") {
+    import graft.ops.{Sampling, UnigramLM}
+    val docs = spark.range(0, 200).selectExpr("id AS doc_id",
+      "concat('common words here plus tok', cast(id % 37 AS STRING)) AS text")
+    val sampled = UnigramLM.trainBigram(docs, "text", 50, 100,
+      trainFraction = 0.3, idCol = "doc_id")
+    val explicit = UnigramLM.trainBigram(
+      Sampling.deterministicSample(docs, "doc_id", 0.3), "text", 50, 100)
+    assert(sampled.unigrams === explicit.unigrams)
+    assert(sampled.bigrams === explicit.bigrams)
+    assert(sampled.totalTokens === explicit.totalTokens)
+    val full = UnigramLM.trainBigram(docs, "text", 50, 100)
+    assert(sampled.totalTokens < full.totalTokens)
+    // fraction < 1 without an id column is a loud error, not silent full train
+    intercept[IllegalArgumentException] {
+      UnigramLM.trainBigram(docs, "text", 50, 100, trainFraction = 0.3)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher: per-symbol ratio gates
   // ---------------------------------------------------------------------
 
