@@ -41,6 +41,17 @@ final case class PackedSeq(
   */
 object Packing {
 
+  /** Membership hash shared by both packers: running hash over all member
+    * ids plus total token length. */
+  private def contentHash(memberIds: Seq[String], nTok: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    memberIds.foreach { id =>
+      h = graft.functions.HashMix.mix(h ^ graft.functions.HashMix.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id)))
+    }
+    graft.functions.HashMix.mix(h ^ nTok)
+  }
+
   /** Split sequences longer than `context` into consecutive ≤`context`
     * chunks: (idCol, chunk_idx, tokens, n_tok). Short sequences pass
     * through as chunk 0. Null/empty token arrays are dropped (nothing to
@@ -68,8 +79,9 @@ object Packing {
     * `buckets` bounds packing locality: rows pack only with rows of their
     * id-hash class (one class per packing partition), so pack membership
     * never depends on cluster parallelism.
-    * Expected waste per pack is O(mean sequence length / 2); callers
-    * wanting tighter packing can sort upstream by length within buckets. */
+    * Expected waste per pack is O(mean sequence length / 2); for tighter
+    * fill use [[packSequencesFFD]] (first-fit-decreasing, same determinism
+    * guarantees, bounded extra memory). */
   def packSequences(df: DataFrame, tokensCol: String, idCol: String,
       context: Int, buckets: Int = 1024, sep: Option[Int] = None): Dataset[PackedSeq] = {
     require(context > 0 && buckets > 0, "context > 0, buckets > 0")
@@ -102,15 +114,6 @@ object Packing {
     // the sorted stream — so an O(1) consecutive-duplicate counter (no
     // per-partition map) makes pack_id a true unique key, deterministically:
     // the ordinal is a pure function of the sorted stream.
-    def contentHash(memberIds: Seq[String], nTok: Int): Long = {
-      var h = 0xcbf29ce484222325L
-      memberIds.foreach { id =>
-        h = graft.functions.HashMix.mix(h ^ graft.functions.HashMix.hashUtf8(
-          org.apache.spark.unsafe.types.UTF8String.fromString(id)))
-      }
-      graft.functions.HashMix.mix(h ^ nTok)
-    }
-
     prepared.mapPartitions { rows =>
       new Iterator[PackedSeq] {
         private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -147,6 +150,99 @@ object Packing {
             }
           }
           if (out.isEmpty && !rows.hasNext) closePack()
+        }
+        override def hasNext: Boolean = { fill(); out.nonEmpty }
+        override def next(): PackedSeq = { fill(); out.dequeue() }
+      }
+    }
+  }
+
+  /** LENGTH-AWARE packing: first-fit-decreasing over a bounded pool of open
+    * bins. Rows sort within each bucket by token length DESC (content-hash
+    * tie-breaks), each row drops into the FIRST open bin it fits (the
+    * big-items-first classic that closes most of greedy's tail waste); when
+    * no bin fits and the pool is at `openBins`, the fullest bin is emitted
+    * to make room. Fill is ≥ the greedy packer's on mixed-length inputs at
+    * the cost of O(openBins · context) ints of state — still streaming,
+    * still O(1) in partition size, and still a pure function of the data:
+    * the sorted stream is content-deterministic, so bin membership and the
+    * per-partition bin birth ordinal (mixed into pack_id — FFD can emit
+    * identical-membership bins non-consecutively, so the greedy packer's
+    * consecutive-duplicate counter would not guarantee uniqueness here)
+    * are identical at any parallelism. Same contract otherwise: over-length
+    * inputs truncate VISIBLY, `sep` costs one token between documents. */
+  def packSequencesFFD(df: DataFrame, tokensCol: String, idCol: String,
+      context: Int, buckets: Int = 1024, sep: Option[Int] = None,
+      openBins: Int = 64): Dataset[PackedSeq] = {
+    require(context > 0 && buckets > 0 && openBins > 0,
+      "context > 0, buckets > 0, openBins > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sepCost = if (sep.isDefined) 1 else 0
+    val prepared = df
+      .select(col(idCol).cast(StringType).as("id"),
+        col(tokensCol).cast(ArrayType(IntegerType)).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0 && col("id").isNotNull)
+      .withColumn("__h", xxhash64(col("id"), col("toks"), lit(0x9ac4L)))
+      .withColumn("__len", size(col("toks")))
+      .repartition(buckets, col("id"))
+      .sortWithinPartitions(desc("__len"), col("__h"), col("id"))
+      .select(col("id"), col("toks"))
+      .as[(String, Seq[Int])]
+
+    prepared.mapPartitions { rows =>
+      final class Bin(val birth: Long) {
+        val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def fits(n: Int): Boolean =
+          buf.length + n + (if (ids.isEmpty) 0 else sepCost) <= context
+        def add(id: String, toks: Seq[Int]): Unit = {
+          if (ids.nonEmpty) sep.foreach(buf += _)
+          ids += id
+          buf ++= toks
+        }
+        def emit(): PackedSeq =
+          PackedSeq(
+            graft.functions.HashMix.mix(contentHash(ids.toSeq, buf.length) ^ birth),
+            ids.toSeq, buf.toSeq, buf.length, ids.length, truncated = false)
+      }
+      new Iterator[PackedSeq] {
+        private val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+        private val out = scala.collection.mutable.Queue.empty[PackedSeq]
+        private var nextBirth = 0L
+        private var flushed = false
+        private def newBin(): Bin = {
+          val b = new Bin(nextBirth); nextBirth += 1; bins += b; b
+        }
+        private def fill(): Unit = {
+          while (out.isEmpty && rows.hasNext) {
+            val (id, toks) = rows.next()
+            if (toks.length > context) {
+              // longest rows arrive first in desc order; truncated packs
+              // also carry a birth ordinal for global uniqueness
+              val birth = nextBirth; nextBirth += 1
+              out.enqueue(PackedSeq(
+                graft.functions.HashMix.mix(contentHash(Seq(id), context) ^ birth),
+                Seq(id), toks.take(context), context, 1, truncated = true))
+            } else {
+              bins.find(_.fits(toks.length)) match {
+                case Some(b) => b.add(id, toks)
+                case None =>
+                  if (bins.length >= openBins) {
+                    // evict the FULLEST bin (ties: lowest index) — it is the
+                    // least likely to accept future (smaller) rows anyway
+                    val idx = bins.indices.maxBy(i => (bins(i).buf.length, -i))
+                    out.enqueue(bins.remove(idx).emit())
+                  }
+                  newBin().add(id, toks)
+              }
+            }
+          }
+          if (out.isEmpty && !rows.hasNext && !flushed) {
+            bins.foreach(b => out.enqueue(b.emit()))
+            bins.clear()
+            flushed = true
+          }
         }
         override def hasNext: Boolean = { fill(); out.nonEmpty }
         override def next(): PackedSeq = { fill(); out.dequeue() }

@@ -165,6 +165,55 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Length-aware packing (first-fit-decreasing)
+  // ---------------------------------------------------------------------
+
+  test("packSequencesFFD: fill >= greedy on mixed lengths, exactly-once, parallelism-stable") {
+    import graft.ops.Packing
+    // adversarial-for-greedy mix: big items interleaved with small ones in
+    // hash order leave greedy bins half-empty; FFD places big items first
+    val df = spark.range(0, 300).selectExpr(
+      "cast(id AS STRING) AS doc_id",
+      // lengths cycle 7,5,3,2,1 — many (7,1)-style pairings for context 8
+      "sequence(1, cast(element_at(array(7,5,3,2,1), cast(id % 5 AS INT) + 1) AS INT)) AS tokens")
+      .selectExpr("doc_id", "transform(tokens, x -> cast(x AS INT)) AS tokens")
+    val greedy = Packing.packSequences(df, "tokens", "doc_id", context = 8, buckets = 4)
+      .collect()
+    val ffd = Packing.packSequencesFFD(df, "tokens", "doc_id", context = 8, buckets = 4)
+      .collect()
+    // exactly-once token accounting on both
+    val totalTokens = 300 / 5 * (7 + 5 + 3 + 2 + 1)
+    assert(greedy.map(_.n_tok).sum === totalTokens)
+    assert(ffd.map(_.n_tok).sum === totalTokens)
+    assert(ffd.forall(_.n_tok <= 8))
+    // FFD fill is at least greedy's (fewer or equal packs for equal tokens)
+    assert(ffd.length <= greedy.length,
+      s"FFD produced ${ffd.length} packs vs greedy ${greedy.length}")
+    // meaningfully better on this mix, not just equal
+    assert(ffd.length < greedy.length)
+    // unique ids, parallelism-stable memberships
+    assert(ffd.map(_.pack_id).distinct.length === ffd.length)
+    val again = Packing.packSequencesFFD(df.repartition(13), "tokens", "doc_id",
+      context = 8, buckets = 4).collect()
+    assert(again.map(p => (p.pack_id, p.doc_ids, p.tokens)).toSet
+      === ffd.map(p => (p.pack_id, p.doc_ids, p.tokens)).toSet)
+  }
+
+  test("packSequencesFFD: over-length truncation visible; bounded pool evicts fullest") {
+    import graft.ops.Packing
+    val big = Seq.tabulate(20)(identity)
+    val df = (Seq(("huge", big)) ++ (1 to 40).map(i => (s"s$i", Seq(1, 2, 3))))
+      .toDF("doc_id", "tokens")
+    val out = Packing.packSequencesFFD(df, "tokens", "doc_id", context = 10,
+      buckets = 2, openBins = 2).collect()
+    val trunc = out.filter(_.truncated)
+    assert(trunc.length === 1 && trunc.head.n_tok === 10 && trunc.head.doc_ids === Seq("huge"))
+    assert(out.map(_.n_tok).sum === 10 + 40 * 3)
+    assert(out.filterNot(_.truncated).forall(_.n_tok <= 10))
+    assert(out.map(_.pack_id).distinct.length === out.length)
+  }
+
+  // ---------------------------------------------------------------------
   // Trigram LM + sampled training
   // ---------------------------------------------------------------------
 
