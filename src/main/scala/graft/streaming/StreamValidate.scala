@@ -126,6 +126,98 @@ object StreamValidate {
       }.toDF()
   }
 
+  /** STREAMING NEAR-DUP CANDIDATES — the ingest-time face of
+    * [[graft.ops.Dedup.minhashLsh]]: each arriving document's MinHash
+    * signature (same codegen'd kernels as the batch op, same band-hash
+    * derivation) is banded, and every band bucket keeps ONE exemplar
+    * (first-seen, min-id within its first batch) in the state store. Later
+    * arrivals in the same bucket — same micro-batch or any later one — emit
+    * [[NearDupCandidate]] events carrying the estimated Jaccard vs the
+    * exemplar's full signature, so a paraphrased near-dup is caught at
+    * ingest, not just an exact copy. Candidates are CANDIDATES: verify
+    * downstream (exact Jaccard / `ngramJaccardFor`) exactly as the batch
+    * pipeline does, and expect one event per agreeing band for a pair
+    * (dedupe on (id_a, id_b) downstream).
+    *
+    * Scale notes: state is one (exemplar id, signature) per occupied band
+    * bucket — `numHashes` longs each, hash-partitioned by the state store;
+    * use RocksDB + `ttl` at ingest scale. A bucket receiving more than
+    * `maxBucket` arrivals in one batch (boilerplate explosion) updates its
+    * exemplar but SKIPS candidate emission for that batch — the bounded-
+    * bucket guard, mirroring the batch op's, with bounded buffering.
+    * Requires OutputMode.Update downstream. */
+  def nearDupCandidatesStream(stream: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 2,
+      maxBucket: Int = 1000, ttl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[NearDupCandidate] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val stEnc: Encoder[BandBucketState] = Encoders.product[BandBucketState]
+    implicit val outEnc: Encoder[NearDupCandidate] = Encoders.product[NearDupCandidate]
+    val sig = stream
+      .select(col(idCol).cast(org.apache.spark.sql.types.StringType).as("id"),
+        graft.ops.Dedup.minhashSignature(
+          graft.ops.Dedup.shingles(col(textCol), shingleK), numHashes).as("sig"))
+      .filter(col("id").isNotNull && size(col("sig")) > 0 &&
+        !exists(col("sig"), _.isNull))
+    // identical band-hash derivation to the batch op: per-band signature
+    // slice joined and hashed (bands is a compile-time constant, unrolled)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+        _.cast(org.apache.spark.sql.types.StringType)), ","))
+    }
+    val banded = sig
+      .select(col("id"), col("sig"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+      .select(col("band"), col("band_hash"), col("id"), col("sig"))
+      .as[(Int, Long, String, Seq[Long])]
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0; var i = 0
+      while (i < numHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes
+    }
+    banded.groupByKey { case (band, bh, _, _) => (band, bh) }
+      .flatMapGroupsWithState[BandBucketState, NearDupCandidate](
+        OutputMode.Update(), timeoutConf) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, String, Seq[Long])],
+         state: GroupState[BandBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // bounded buffer: at most maxBucket+1 arrivals retained
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Long])]
+            var overflow = false
+            rows.foreach { case (_, _, id, s) =>
+              if (buf.length <= maxBucket) buf += ((id, s)) else overflow = true
+            }
+            if (buf.isEmpty) Iterator.empty
+            else {
+              val sorted = buf.sortBy(_._1) // min-id first: deterministic
+              val (exemplar, rest) = state.getOption match {
+                case Some(st) => (st, sorted.toSeq)
+                case None =>
+                  val ex = BandBucketState(sorted.head._1, sorted.head._2)
+                  (ex, sorted.tail.toSeq)
+              }
+              if (!state.exists) state.update(exemplar)
+              ttl.foreach(state.setTimeoutDuration)
+              if (overflow || buf.length > maxBucket) Iterator.empty // guarded bucket
+              else rest.iterator
+                .filter(_._1 != exemplar.exemplarId)
+                .map { case (id, s) =>
+                  NearDupCandidate(exemplar.exemplarId, id, key._1,
+                    estJaccard(exemplar.sig, s))
+                }
+            }
+          }
+      }
+  }
+
   /** CROSS-BATCH uniqueness — the streaming-native form of the north rule's
     * `Unique` check, via `flatMapGroupsWithState` (custom per-key state):
     * state = how many times this key has EVER been seen; every arrival that
@@ -167,6 +259,17 @@ object StreamValidate {
 
 /** Per-key streaming state: total arrivals ever seen for the key. */
 final case class KeySeenState(seen: Long)
+
+/** Per-band-bucket streaming state: the first-seen exemplar document and
+  * its full MinHash signature (for estimated-Jaccard scoring of later
+  * arrivals). */
+final case class BandBucketState(exemplarId: String, sig: Seq[Long])
+
+/** Emitted when a document lands in a band bucket already holding an
+  * exemplar: a NEAR-DUP CANDIDATE pair with the banding evidence and the
+  * signature-estimated Jaccard — verify downstream before dropping. */
+final case class NearDupCandidate(id_a: String, id_b: String, band: Int,
+    est_jaccard: Double)
 
 /** Emitted when a key becomes (more) duplicated: `dup_count` = arrivals
   * beyond the first — the streaming analog of `Unique`'s `count=n` actual. */

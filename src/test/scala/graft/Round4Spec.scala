@@ -307,6 +307,62 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming near-dup candidates at ingest
+  // ---------------------------------------------------------------------
+
+  test("nearDupCandidatesStream: paraphrased near-dup caught ACROSS batches; unrelated text is not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill and the birds sing in the garden"
+    val nearDup = base + " today" // paraphrase: one appended word
+    val unrelated = "completely different subject matter entirely about " +
+      "spacecraft propulsion systems and orbital mechanics calculations"
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val cands = graft.streaming.StreamValidate.nearDupCandidatesStream(
+      stream, "text", "doc_id", numHashes = 64, bands = 16, shingleK = 2)
+    val q = cands.writeStream.format("memory").queryName("near_cands")
+      .outputMode("update").start()
+    try {
+      input.addData(("d1", base), ("d2", unrelated))
+      q.processAllAvailable() // batch 1: exemplars only, no candidates
+      assert(spark.sql("select * from near_cands").count() === 0L)
+      input.addData(("d3", nearDup))
+      q.processAllAvailable() // batch 2: near-dup of d1 collides on bands
+      val got = spark.sql("select id_a, id_b, est_jaccard from near_cands")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(got.nonEmpty)
+      assert(got.forall { case (a, b, _) => a == "d1" && b == "d3" })
+      assert(got.forall(_._3 > 0.5), s"est_jaccard too low: ${got.toSeq}")
+      // unrelated doc never paired
+      assert(!got.exists { case (a, b, _) => a == "d2" || b == "d2" })
+    } finally q.stop()
+  }
+
+  test("nearDupCandidatesStream: within-batch min-id exemplar, exact dup scores 1.0") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "identical content repeated verbatim across multiple documents " +
+      "in the very same ingest micro batch for deterministic exemplar choice"
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamValidate.nearDupCandidatesStream(
+        stream, "text", "doc_id", numHashes = 32, bands = 8, shingleK = 2)
+      .writeStream.format("memory").queryName("near_cands2")
+      .outputMode("update").start()
+    try {
+      input.addData(("z9", text), ("a1", text)) // arrival order vs id order
+      q.processAllAvailable()
+      val got = spark.sql("select id_a, id_b, est_jaccard from near_cands2")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(got.nonEmpty)
+      // min-id a1 is the exemplar even though z9 "arrived" first
+      assert(got.forall { case (a, b, j) => a == "a1" && b == "z9" && j == 1.0 })
+    } finally q.stop()
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher: per-symbol ratio gates
   // ---------------------------------------------------------------------
 
