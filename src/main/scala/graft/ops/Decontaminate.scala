@@ -61,4 +61,19 @@ object Decontaminate {
       n, minOverlap).select(idCol)
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** RESUMABLE [[dropContaminated]]: the flagged-id set — the one stage
+    * that scans the whole corpus — is materialized through `stages`
+    * ([[graft.StageRunner]]); a killed run resumes from the stored set and
+    * pays only the final broadcast anti-join. Identical results to the
+    * non-resumable form (the overlap report is deterministic). */
+  def dropContaminatedResumable(corpus: DataFrame, tokensCol: String, idCol: String,
+      benchmark: DataFrame, benchTokensCol: String, stages: graft.StageRunner,
+      n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val flagged = stages.stage("contaminated_ids") {
+      overlapReport(corpus, tokensCol, idCol, benchmark, benchTokensCol,
+        n, minOverlap).select(idCol)
+    }
+    corpus.join(broadcast(flagged.select(idCol)), Seq(idCol), "left_anti")
+  }
 }

@@ -450,6 +450,45 @@ object Dedup {
     * are the loser ids (one row per dropped duplicate) backing the returned
     * frame — the signature cache, verified pairs, and full label set are all
     * released (OpsSpec asserts it). */
+  /** RESUMABLE [[dropNearDups]]: the two expensive intermediates — the
+    * verified near-dup edge list (LSH + exact-Jaccard, the dominant cost)
+    * and the connected-component labels — are materialized through
+    * `stages` ([[graft.StageRunner]]), so a run killed after either stage
+    * resumes from storage instead of re-running LSH over the corpus.
+    * Survivors are identical to the non-resumable form (every stage is a
+    * deterministic function of the input; the kill-after-stage test
+    * asserts it). The final keep-min anti-join is recomputed on resume —
+    * it is one broadcast join over the loser-id set, not worth a stage. */
+  def dropNearDupsResumable(df: DataFrame, textCol: String, idCol: String,
+      stages: graft.StageRunner,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    // the release handle escapes the compute block so the LSH signature
+    // cache is dropped AFTER the stage write materialized it (if the stage
+    // was already done, compute never runs and this stays a no-op)
+    var releaseLsh: () => Unit = () => ()
+    val verified = stages.stage("verified_pairs") {
+      val (candidates, release) = minhashLshCached(df, textCol, idCol,
+        numHashes, bands, shingleK, threshold, maxBucket)
+      releaseLsh = release
+      ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
+        .select("id_a", "id_b")
+    }
+    releaseLsh() // stage read is storage-backed; no lineage into the cache
+    // same pattern for CC's internal localCheckpoint blocks: the stage write
+    // materializes the labels, so the in-memory copy can be dropped
+    var ccInMem: Option[DataFrame] = None
+    val cc = stages.stage("cc_labels") {
+      val labels = connectedComponents(verified)
+      ccInMem = Some(labels)
+      labels
+    }
+    ccInMem.foreach(freeLocalCheckpoint)
+    val losers = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   private def finishDropById(df: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
     val losers = cc.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol)).localCheckpoint(true)

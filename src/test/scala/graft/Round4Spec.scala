@@ -363,6 +363,96 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Stage-manifest resume for heavy pipelines
+  // ---------------------------------------------------------------------
+
+  test("StageRunner: completed stages skip recompute; missing marker recomputes") {
+    val dir = java.nio.file.Files.createTempDirectory("stages").toString
+    var computes = 0
+    def run(runner: StageRunner) = runner.stage("s1") {
+      computes += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    val r1 = new StageRunner(spark, dir, "run1")
+    assert(run(r1).count() === 2 && computes === 1)
+    // same runner AND a fresh runner over the same (dir, runId): no recompute
+    assert(run(r1).count() === 2 && computes === 1)
+    assert(run(new StageRunner(spark, dir, "run1")).count() === 2 && computes === 1)
+    // a different runId is a different run: recomputes
+    assert(run(new StageRunner(spark, dir, "run2")).count() === 2 && computes === 2)
+    // crash simulation: data present but marker missing -> recompute
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/run1/_done_s1"), false)
+    assert(run(new StageRunner(spark, dir, "run1")).count() === 2 && computes === 3)
+  }
+
+  test("dropNearDupsResumable: kill-after-stage resume reproduces identical survivors") {
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("neardup_resume").toString
+    // near-dup clusters: 30 groups of 3 paraphrases + 60 unique docs
+    val docs = spark.range(0, 150).selectExpr(
+      "cast(id AS STRING) AS doc_id",
+      """CASE WHEN id < 90
+           THEN concat('shared passage number ', cast(cast(id / 3 AS INT) AS STRING),
+                       ' about the quick brown fox and the lazy dog in the garden',
+                       CASE WHEN id % 3 = 1 THEN ' extra' WHEN id % 3 = 2 THEN ' more' ELSE '' END)
+           ELSE concat('entirely unique document body ', cast(id AS STRING),
+                       ' with its own topic ', cast(id * 7 AS STRING), ' nothing shared here at all ',
+                       cast(id * 13 AS STRING))
+         END AS text""")
+    def params = (64, 16, 2, 0.5, 1000) // numHashes, bands, shingleK, threshold, maxBucket
+    val (nh, nb, k, thr, mb) = params
+    val expected = Dedup.dropNearDups(docs, "text", "doc_id", nh, nb, k, thr, mb)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(expected.size < 150) // near-dups actually collapsed
+    // "killed" run: completes ONLY the verified_pairs stage, then dies
+    val killed = new StageRunner(spark, dir, "r1")
+    killed.stage("verified_pairs") {
+      val (cand, rel) = Dedup.minhashLshCached(docs, "text", "doc_id", nh, nb, k, thr, mb)
+      try Dedup.ngramJaccardFor(docs, "text", "doc_id", cand, k, thr).select("id_a", "id_b")
+      finally rel()
+    }
+    assert(killed.isDone("verified_pairs") && !killed.isDone("cc_labels"))
+    val pairsMtime = new java.io.File(s"$dir/r1/verified_pairs").lastModified()
+    // resume with a FRESH runner: stage 1 must come from storage
+    val resumed = Dedup.dropNearDupsResumable(docs, "text", "doc_id",
+      new StageRunner(spark, dir, "r1"), nh, nb, k, thr, mb)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(resumed === expected)
+    assert(new java.io.File(s"$dir/r1/verified_pairs").lastModified() === pairsMtime,
+      "verified_pairs was recomputed on resume")
+    // a second resume after FULL completion recomputes nothing and agrees
+    val ccMtime = new java.io.File(s"$dir/r1/cc_labels").lastModified()
+    val again = Dedup.dropNearDupsResumable(docs, "text", "doc_id",
+      new StageRunner(spark, dir, "r1"), nh, nb, k, thr, mb)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(again === expected)
+    assert(new java.io.File(s"$dir/r1/cc_labels").lastModified() === ccMtime)
+  }
+
+  test("dropContaminatedResumable: resumed flag set matches from-scratch removal") {
+    import graft.ops.Decontaminate
+    val dir = java.nio.file.Files.createTempDirectory("decon_resume").toString
+    val corpus = DataGen.sequences(spark, 3000, maxLen = 32)
+    val bench = corpus.filter(pmod(xxhash64(col("doc_id")), lit(50)) === 0)
+      .select(col("tokens"))
+    val expected = Decontaminate.dropContaminated(
+      corpus.filter(col("n_tok") >= 13), "tokens", "doc_id", bench, "tokens", n = 13)
+      .count()
+    val r = new StageRunner(spark, dir, "d1")
+    val first = Decontaminate.dropContaminatedResumable(
+      corpus.filter(col("n_tok") >= 13), "tokens", "doc_id", bench, "tokens", r, n = 13)
+      .count()
+    val mtime = new java.io.File(s"$dir/d1/contaminated_ids").lastModified()
+    val resumed = Decontaminate.dropContaminatedResumable(
+      corpus.filter(col("n_tok") >= 13), "tokens", "doc_id", bench, "tokens",
+      new StageRunner(spark, dir, "d1"), n = 13)
+      .count()
+    assert(first === expected && resumed === expected)
+    assert(new java.io.File(s"$dir/d1/contaminated_ids").lastModified() === mtime)
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher: per-symbol ratio gates
   // ---------------------------------------------------------------------
 
