@@ -141,6 +141,39 @@ object Smoke {
       packStats.getInt(1) <= 64 && packStats.getLong(2) == nChunks && packStats.getLong(3) == 0,
       s"${packStats.getLong(0)} packs of <=64 tokens from $nChunks chunks, 0 truncated")
 
+    // 7c. REAL media decode: JDK-encoded payloads -> hand-rolled header parse
+    val media = MediaGen.mediaTable(spark, 100).toDF()
+    val decoded = Multimodal.decodeMeta(spark, media).collect()
+    val okDecodes = decoded.count(_.ok)
+    val truth = media.select("doc_id", "true_format", "true_width", "true_height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    val metaMatch = decoded.forall(d => truth(d.doc_id) == ((d.format, d.width, d.height)))
+    val feats = Multimodal.decodeFeatures(spark, media).count()
+    check("media", okDecodes == 80 && decoded.length == 100 && metaMatch && feats == 80,
+      s"$okDecodes/100 payloads decoded (20 planted-corrupt counted), meta==truth, $feats pixel-decoded")
+
+    // 7d. first-fit-decreasing packing beats greedy fill on mixed lengths
+    val mixed = spark.range(0, 500).selectExpr("cast(id AS STRING) AS cid",
+      "transform(sequence(1, cast(element_at(array(44,31,17,9,5), cast(id % 5 AS INT) + 1) AS INT)), x -> cast(x AS INT)) AS tokens")
+    val greedyN = Packing.packSequences(mixed, "tokens", "cid", context = 64, buckets = 4).count()
+    val ffdN = Packing.packSequencesFFD(mixed, "tokens", "cid", context = 64, buckets = 4).count()
+    check("packing-ffd", ffdN <= greedyN,
+      f"FFD $ffdN packs vs greedy $greedyN (fill ${500.0 * (44 + 31 + 17 + 9 + 5) / 5 / (ffdN * 64) * 100}%.1f%%)")
+
+    // 7e. stage-manifest resume: killed-after-stage pipeline resumes to the
+    // same survivors without recomputing the stored stage
+    val stDir = s"$out/stages"
+    val r1 = Dedup.dropNearDupsResumable(docs, "text", "doc_id",
+      new StageRunner(spark, stDir, "smoke"), numHashes = 32, bands = 8,
+      shingleK = 1, threshold = 0.9).count()
+    val pairsM = new java.io.File(s"$stDir/smoke/verified_pairs").lastModified()
+    val r2 = Dedup.dropNearDupsResumable(docs, "text", "doc_id",
+      new StageRunner(spark, stDir, "smoke"), numHashes = 32, bands = 8,
+      shingleK = 1, threshold = 0.9).count()
+    val noRecompute = new java.io.File(s"$stDir/smoke/verified_pairs").lastModified() == pairsM
+    check("stage-resume", r1 == 500 && r2 == 500 && noRecompute,
+      s"survivors $r1==$r2, stages reused=$noRecompute")
+
     // 8. deterministic sampling: disjoint split, stable across partitioning
     val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 0.25)
     val (train2, _) = Sampling.trainTestSplit(docs.repartition(5), "doc_id", 0.25)

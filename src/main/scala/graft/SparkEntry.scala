@@ -449,6 +449,13 @@ object SparkEntry {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"), col("ok"))
     }),
+    "m_audio" -> ((s, dir) => { // REAL WAV/RIFF header decode vs ground truth
+      val audio = s.read.parquet(DataGen.ensureAudioFixture(s))
+        .select("doc_id", "payload")
+      Multimodal.decodeAudioMeta(s, audio).toDF()
+        .select(col("doc_id"), col("format"), col("channels"), col("sample_rate"),
+          col("bits"), col("n_samples"), col("ok"))
+    }),
     // ---- flagship synthetic-corpus validation (rows-only: engine-native) ----
     "seq_validate" -> ((s, dir) => {
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
@@ -1277,6 +1284,11 @@ object SparkEntry {
                 true_height AS height, true_frames AS n_frames,
                 (true_format <> 'unknown') AS ok
          FROM read_parquet('/root/repo/target/fixtures/media.parquet/*.parquet')""",
+    "m_audio" ->
+      """SELECT doc_id, true_format AS format, true_channels AS channels,
+                true_sample_rate AS sample_rate, true_bits AS bits,
+                true_samples AS n_samples, (true_format <> 'unknown') AS ok
+         FROM read_parquet('/root/repo/target/fixtures/audio.parquet/*.parquet')""",
     // seq_* oracles read the fixture Verify materializes from the SAME
     // deterministic generator the queries run (DataGen.Seq20kFixturePath) —
     // every standard-suite check re-expressed over the materialized rows

@@ -24,6 +24,7 @@ object Verify {
     DataGen.writeLshFixtures(spark, sfDir)
     DataGen.writeSamplingIvfFixtures(spark, sfDir)
     DataGen.writeMediaFixture(spark)
+    DataGen.writeAudioFixture(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -244,6 +244,18 @@ object DataGen {
     MediaFixturePath
   }
 
+  /** Audio fixture (JDK-encoded WAV + planted corrupt payloads + ground
+    * truth) — same contract as [[MediaFixturePath]]. */
+  def AudioFixturePath = s"$fixtureRoot/audio.parquet"
+
+  def writeAudioFixture(spark: SparkSession): Unit =
+    MediaGen.audioTable(spark, 400).write.mode("overwrite").parquet(AudioFixturePath)
+
+  def ensureAudioFixture(spark: SparkSession): String = {
+    if (!new java.io.File(AudioFixturePath).exists()) writeAudioFixture(spark)
+    AudioFixturePath
+  }
+
   /** The standard suite for this corpus — every north-rule check. */
   def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
     ConstraintSuite(

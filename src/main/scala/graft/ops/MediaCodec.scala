@@ -22,6 +22,12 @@ object MediaCodec {
     * sandbox's stand-in for video payloads — same plumbing, real frames). */
   final case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
 
+  /** Decoded audio container metadata (WAV/RIFF): channel count, sample
+    * rate, bits per sample, and the frame count derived from the data
+    * chunk's declared size. */
+  final case class AudioMeta(format: String, channels: Int, sampleRate: Int,
+      bitsPerSample: Int, nSamples: Long)
+
   // ---- safe primitive reads (negative result = out of bounds) ----
   @inline private def u8(b: Array[Byte], i: Int): Int =
     if (i < b.length) b(i) & 0xFF else -1
@@ -130,6 +136,37 @@ object MediaCodec {
       }
     }
     None
+  }
+
+  /** WAV/RIFF: "RIFF" <size> "WAVE", then a chunk walk — the "fmt " chunk
+    * (PCM layout: audio format u16le, channels u16le, sample rate u32le,
+    * byte rate, block align, bits per sample) and the "data" chunk, whose
+    * declared byte size / block-align gives the sample (frame) count
+    * WITHOUT reading the audio payload. Chunks are word-aligned (odd sizes
+    * pad one byte). None on truncation, a missing fmt/data chunk, or a
+    * zero block-align. */
+  def sniffAudio(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "WAVE")) return None
+    var pos = 12
+    var channels = -1; var sampleRate = -1; var bits = -1; var blockAlign = -1
+    var dataBytes = -1L
+    while (pos + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
+      val size = i32le(bytes, pos + 4)
+      if (size < 0) return None
+      if (ascii(bytes, pos, "fmt ")) {
+        if (size < 16) return None
+        channels = u16le(bytes, pos + 10)
+        sampleRate = i32le(bytes, pos + 12).toInt
+        blockAlign = u16le(bytes, pos + 20)
+        bits = u16le(bytes, pos + 22)
+      } else if (ascii(bytes, pos, "data")) {
+        dataBytes = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || blockAlign <= 0 || dataBytes < 0) None
+    else Some(AudioMeta("wav", channels, sampleRate, bits, dataBytes / blockAlign))
   }
 
   /** BMP: "BM" file header (14 bytes), then a DIB header whose declared

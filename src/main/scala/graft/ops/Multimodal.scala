@@ -81,6 +81,36 @@ object Multimodal {
       }
   }
 
+  /** Header-decoded audio metadata ([[MediaCodec.sniffAudio]] — WAV/RIFF
+    * chunk walk, sample count from the data chunk's declared size, audio
+    * payload never read). Same accounting contract as [[decodeMeta]]. */
+  final case class AudioDecoded(
+      doc_id: Long,
+      format: String,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      n_bytes: Int,
+      ok: Boolean)
+
+  /** REAL audio metadata decode — the audio face of [[decodeMeta]]. */
+  def decodeAudioMeta(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[AudioDecoded] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val nb = if (p == null) 0 else p.length
+        MediaCodec.sniffAudio(p) match {
+          case Some(a) =>
+            AudioDecoded(id, a.format, a.channels, a.sampleRate, a.bitsPerSample,
+              a.nSamples, nb, ok = true)
+          case None => AudioDecoded(id, "unknown", 0, 0, 0, 0L, nb, ok = false)
+        }
+      }
+  }
+
   /** Per-partition pixel decode + feature extraction: full `javax.imageio`
     * decode of the first frame, then a deterministic 8-dim feature (mean
     * R/G/B in [0,1], 4-bin luminance histogram fractions, aspect ratio

@@ -214,6 +214,48 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Audio: WAV/RIFF header decode
+  // ---------------------------------------------------------------------
+
+  test("MediaCodec.sniffAudio: golden WAV metadata; corrupt RIFF rejected") {
+    import graft.ops.MediaCodec
+    val mono = MediaGen.encodeWav(1, 8000, Array.fill[Short](200)(100))
+    assert(MediaCodec.sniffAudio(mono)
+      === Some(MediaCodec.AudioMeta("wav", 1, 8000, 16, 200L)))
+    val stereo = MediaGen.encodeWav(2, 44100, Array.fill[Short](600)(7)) // 300 frames
+    assert(MediaCodec.sniffAudio(stereo)
+      === Some(MediaCodec.AudioMeta("wav", 2, 44100, 16, 300L)))
+    // independent agreement with the JDK's own reader
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(stereo))
+    assert(fmt.getFormat.getChannels === 2 &&
+      fmt.getFormat.getSampleRate === 44100f && fmt.getFrameLength === 300)
+    assert(MediaCodec.sniffAudio("RIFF    WAV?".getBytes("ISO-8859-1")) === None)
+    assert(MediaCodec.sniffAudio("not audio at all".getBytes("UTF-8")) === None)
+    assert(MediaCodec.sniffAudio(null) === None)
+    // an image payload is not audio and vice versa
+    assert(MediaCodec.sniffAudio(MediaGen.row(0L).payload) === None)
+    assert(MediaCodec.sniff(mono) === None)
+  }
+
+  test("Multimodal.decodeAudioMeta: fixture parity incl. corrupt accounting") {
+    import graft.ops.Multimodal
+    val audio = MediaGen.audioTable(spark, 80).toDF()
+    val decoded = Multimodal.decodeAudioMeta(spark, audio).collect()
+    assert(decoded.length === 80)
+    val (ok, bad) = decoded.partition(_.ok)
+    assert(bad.length === 20 && bad.forall(_.format == "unknown")) // id % 4 == 3
+    val truth = audio.select("doc_id", "true_format", "true_channels",
+        "true_sample_rate", "true_bits", "true_samples")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    decoded.foreach { d =>
+      assert(truth(d.doc_id) === ((d.format, d.channels, d.sample_rate, d.bits, d.n_samples)))
+    }
+    assert(ok.forall(_.bits == 16))
+  }
+
+  // ---------------------------------------------------------------------
   // Trigram LM + sampled training
   // ---------------------------------------------------------------------
 
