@@ -65,7 +65,9 @@ object ProbeSkew {
     import graft.ops.Sampling
 
     def measure(skewed: Boolean): Map[String, Double] = {
-      val path = s"target/skewprobe/${if (skewed) "skewed" else "uniform"}.parquet"
+      // row count in the path: a rerun with a different SPARK_GRAFT_SKEW_ROWS
+      // must regenerate, not silently reuse the stale corpus
+      val path = s"target/skewprobe/${if (skewed) "skewed" else "uniform"}_$n.parquet"
       if (!new java.io.File(path + "/_SUCCESS").exists())
         corpus(spark, n, skewed, parts = 64).write.mode("overwrite").parquet(path)
       val df = spark.read.parquet(path)

@@ -238,9 +238,11 @@ object DataGen {
     MediaGen.mediaTable(spark, 500).write.mode("overwrite").parquet(MediaFixturePath)
 
   /** Write-if-absent for non-Verify callers (bench, tests): the fixture is
-    * deterministic, so presence is the only question. */
+    * deterministic, so COMPLETE presence is the only question — the marker
+    * is `_SUCCESS`, not the bare directory (a crash mid-write leaves a
+    * partial dir that must regenerate, not be silently reused). */
   def ensureMediaFixture(spark: SparkSession): String = {
-    if (!new java.io.File(MediaFixturePath).exists()) writeMediaFixture(spark)
+    if (!new java.io.File(MediaFixturePath + "/_SUCCESS").exists()) writeMediaFixture(spark)
     MediaFixturePath
   }
 
@@ -252,7 +254,7 @@ object DataGen {
     MediaGen.audioTable(spark, 400).write.mode("overwrite").parquet(AudioFixturePath)
 
   def ensureAudioFixture(spark: SparkSession): String = {
-    if (!new java.io.File(AudioFixturePath).exists()) writeAudioFixture(spark)
+    if (!new java.io.File(AudioFixturePath + "/_SUCCESS").exists()) writeAudioFixture(spark)
     AudioFixturePath
   }
 

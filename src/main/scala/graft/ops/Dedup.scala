@@ -444,12 +444,6 @@ object Dedup {
     finishDropById(df, idCol, cc)
   }
 
-  /** Shared tail of the drop pipelines: materialize the (small) loser-id set
-    * eagerly, release the CC label cache, and anti-join. CACHE DISCIPLINE:
-    * after this returns, the ONLY cached blocks the pipeline leaves behind
-    * are the loser ids (one row per dropped duplicate) backing the returned
-    * frame — the signature cache, verified pairs, and full label set are all
-    * released (OpsSpec asserts it). */
   /** RESUMABLE [[dropNearDups]]: the two expensive intermediates — the
     * verified near-dup edge list (LSH + exact-Jaccard, the dominant cost)
     * and the connected-component labels — are materialized through
@@ -489,6 +483,12 @@ object Dedup {
     df.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
+  /** Shared tail of the drop pipelines: materialize the (small) loser-id set
+    * eagerly, release the CC label cache, and anti-join. CACHE DISCIPLINE:
+    * after this returns, the ONLY cached blocks the pipeline leaves behind
+    * are the loser ids (one row per dropped duplicate) backing the returned
+    * frame — the signature cache, verified pairs, and full label set are all
+    * released (OpsSpec asserts it). */
   private def finishDropById(df: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
     val losers = cc.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol)).localCheckpoint(true)

@@ -72,7 +72,10 @@ object MediaCodec {
   /** GIF: logical-screen dims at offset 6/8 (little-endian), then the block
     * stream is WALKED — skipping the global/local color tables, extension
     * sub-blocks, and LZW data blocks — counting image descriptors (0x2C),
-    * which is the REAL frame count of an animated GIF. */
+    * which is the REAL frame count of an animated GIF. STRICT like the
+    * other parsers: truncation or a garbage block tag anywhere before the
+    * trailer returns None (a partial frame count would flip a corrupt
+    * payload to ok=true with silently wrong metadata). */
   private def gif(b: Array[Byte]): Option[MediaMeta] = {
     val w = u16le(b, 6); val h = u16le(b, 8)
     if (w <= 0 || h <= 0) return None
@@ -93,17 +96,16 @@ object MediaCodec {
         case 0x3B => done = true // trailer
         case 0x21 => // extension: label byte + sub-blocks
           pos += 2
-          if (!skipSubBlocks()) return if (frames > 0) Some(MediaMeta("gif", w, h, frames)) else None
+          if (!skipSubBlocks()) return None
         case 0x2C => // image descriptor: 9 bytes + optional LCT + LZW code size + data
           val ip = u8(b, pos + 9)
-          if (ip < 0) return if (frames > 0) Some(MediaMeta("gif", w, h, frames)) else None
+          if (ip < 0) return None
           pos += 10
           if ((ip & 0x80) != 0) pos += 3 * (1 << ((ip & 0x07) + 1)) // local color table
           pos += 1 // LZW minimum code size
-          if (!skipSubBlocks()) return if (frames > 0) Some(MediaMeta("gif", w, h, frames)) else None
+          if (!skipSubBlocks()) return None
           frames += 1
-        case _ => // truncated or garbage block tag
-          return if (frames > 0) Some(MediaMeta("gif", w, h, frames)) else None
+        case _ => return None // truncated or garbage block tag
       }
     }
     if (frames > 0) Some(MediaMeta("gif", w, h, frames)) else None
@@ -153,7 +155,10 @@ object MediaCodec {
     var dataBytes = -1L
     while (pos + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
       val size = i32le(bytes, pos + 4)
-      if (size < 0) return None
+      // a declared chunk size beyond the payload (incl. adversarial u32
+      // values whose Int truncation would make the position step <= 0 and
+      // wedge the loop) is malformed — reject, never spin
+      if (size < 0 || size > bytes.length.toLong) return None
       if (ascii(bytes, pos, "fmt ")) {
         if (size < 16) return None
         channels = u16le(bytes, pos + 10)

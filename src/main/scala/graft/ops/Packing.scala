@@ -42,14 +42,27 @@ final case class PackedSeq(
 object Packing {
 
   /** Membership hash shared by both packers: running hash over all member
-    * ids plus total token length. */
-  private def contentHash(memberIds: Seq[String], nTok: Int): Long = {
-    var h = 0xcbf29ce484222325L
+    * ids plus total token length, FOLDED WITH the members' token contents
+    * (`tokMix`) — duplicate ids with DIFFERENT payloads (chunked docs,
+    * re-crawled versions) are legal input, so an id-only hash would let two
+    * packs with the same ids/length but different tokens collide, and they
+    * need not be emitted consecutively (the consecutive-duplicate ordinal
+    * below only covers packs whose full content is identical — those DO
+    * sort adjacently). */
+  private def contentHash(memberIds: Seq[String], nTok: Int, tokMix: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ tokMix
     memberIds.foreach { id =>
       h = graft.functions.HashMix.mix(h ^ graft.functions.HashMix.hashUtf8(
         org.apache.spark.unsafe.types.UTF8String.fromString(id)))
     }
     graft.functions.HashMix.mix(h ^ nTok)
+  }
+
+  /** Fold a member's token content into a pack's running token hash. */
+  private def foldTokens(h0: Long, toks: Seq[Int]): Long = {
+    var h = graft.functions.HashMix.mix(h0 ^ toks.length)
+    toks.foreach(t => h = graft.functions.HashMix.mix(h ^ t))
+    h
   }
 
   /** Split sequences longer than `context` into consecutive ≤`context`
@@ -104,25 +117,27 @@ object Packing {
       .select(col("id"), col("toks"))
       .as[(String, Seq[Int])]
 
-    // pack id = running hash over ALL member ids + total length, then a
-    // duplicate-membership ordinal mixed in: two DISTINCT packs with
-    // identical membership (fully duplicated rows filling a bucket, or
-    // duplicate over-length rows each emitting a truncated single-doc pack)
-    // are legitimate and must not collide. Identical-membership packs are
-    // always emitted CONSECUTIVELY — the within-partition sort groups
+    // pack id = running hash over member ids + token CONTENTS + total
+    // length, then a duplicate-content ordinal mixed in: two DISTINCT packs
+    // with identical full content (fully duplicated rows filling a bucket,
+    // or duplicate over-length rows each emitting a truncated single-doc
+    // pack) are legitimate and must not collide. Identical-CONTENT packs
+    // are always emitted CONSECUTIVELY — the within-partition sort groups
     // identical rows adjacently and pack membership is a contiguous slice of
     // the sorted stream — so an O(1) consecutive-duplicate counter (no
     // per-partition map) makes pack_id a true unique key, deterministically:
-    // the ordinal is a pure function of the sorted stream.
+    // the ordinal is a pure function of the sorted stream. (Same-id packs
+    // with DIFFERENT payloads can recur non-consecutively — that is why the
+    // token contents are in the hash, not handled by the ordinal.)
     prepared.mapPartitions { rows =>
       new Iterator[PackedSeq] {
         private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
         private val out = scala.collection.mutable.Queue.empty[PackedSeq] // ≤ 2 entries
+        private var tokMix = 0L // running hash of member token CONTENTS
         private var lastContentHash = 0L
         private var dupOrdinal = 0
-        private def packIdOf(memberIds: Seq[String], nTok: Int): Long = {
-          val base = contentHash(memberIds, nTok)
+        private def packIdOf(base: Long): Long = {
           if (base == lastContentHash) dupOrdinal += 1
           else { lastContentHash = base; dupOrdinal = 0 }
           if (dupOrdinal == 0) base
@@ -130,23 +145,26 @@ object Packing {
         }
         private def closePack(): Unit =
           if (ids.nonEmpty) {
-            out.enqueue(PackedSeq(packIdOf(ids.toSeq, buf.length), ids.toSeq,
-              buf.toSeq, buf.length, ids.length, truncated = false))
-            ids.clear(); buf.clear()
+            out.enqueue(PackedSeq(packIdOf(contentHash(ids.toSeq, buf.length, tokMix)),
+              ids.toSeq, buf.toSeq, buf.length, ids.length, truncated = false))
+            ids.clear(); buf.clear(); tokMix = 0L
           }
         private def fill(): Unit = {
           while (out.isEmpty && rows.hasNext) {
             val (id, toks) = rows.next()
             if (toks.length > context) {
               closePack() // emit the open pack first, keep stream order
-              out.enqueue(PackedSeq(packIdOf(Seq(id), context), Seq(id),
-                toks.take(context), context, 1, truncated = true))
+              val clipped = toks.take(context)
+              out.enqueue(PackedSeq(
+                packIdOf(contentHash(Seq(id), context, foldTokens(0L, clipped))),
+                Seq(id), clipped, context, 1, truncated = true))
             } else {
               val cost = toks.length + (if (ids.isEmpty) 0 else sepCost)
               if (buf.length + cost > context) closePack()
               if (ids.nonEmpty) sep.foreach(buf += _)
               ids += id
               buf ++= toks
+              tokMix = foldTokens(tokMix, toks)
             }
           }
           if (out.isEmpty && !rows.hasNext) closePack()
@@ -194,16 +212,18 @@ object Packing {
       final class Bin(val birth: Long) {
         val ids = scala.collection.mutable.ArrayBuffer.empty[String]
         val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var tokMix = 0L
         def fits(n: Int): Boolean =
           buf.length + n + (if (ids.isEmpty) 0 else sepCost) <= context
         def add(id: String, toks: Seq[Int]): Unit = {
           if (ids.nonEmpty) sep.foreach(buf += _)
           ids += id
           buf ++= toks
+          tokMix = foldTokens(tokMix, toks)
         }
         def emit(): PackedSeq =
           PackedSeq(
-            graft.functions.HashMix.mix(contentHash(ids.toSeq, buf.length) ^ birth),
+            graft.functions.HashMix.mix(contentHash(ids.toSeq, buf.length, tokMix) ^ birth),
             ids.toSeq, buf.toSeq, buf.length, ids.length, truncated = false)
       }
       new Iterator[PackedSeq] {
@@ -221,9 +241,11 @@ object Packing {
               // longest rows arrive first in desc order; truncated packs
               // also carry a birth ordinal for global uniqueness
               val birth = nextBirth; nextBirth += 1
+              val clipped = toks.take(context)
               out.enqueue(PackedSeq(
-                graft.functions.HashMix.mix(contentHash(Seq(id), context) ^ birth),
-                Seq(id), toks.take(context), context, 1, truncated = true))
+                graft.functions.HashMix.mix(
+                  contentHash(Seq(id), context, foldTokens(0L, clipped)) ^ birth),
+                Seq(id), clipped, context, 1, truncated = true))
             } else {
               bins.find(_.fits(toks.length)) match {
                 case Some(b) => b.add(id, toks)

@@ -40,7 +40,11 @@ final class StageRunner(
     * the compute lineage (and the write doubles as the persist the
     * non-resumable pipelines do in memory). */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
-    require(name.matches("[A-Za-z0-9_.-]+"), s"unsafe stage name: $name")
+    // the char class alone would still admit the "." / ".." traversal
+    // tokens — "overwrite" on "$dir/$runId/.." would DELETE the whole
+    // stage directory for every run
+    require(name.matches("[A-Za-z0-9_.-]+") && name.exists(_ != '.'),
+      s"unsafe stage name: $name")
     if (!isDone(name)) {
       io.writer(compute, "overwrite").save(stagePath(name))
       fs.create(markerPath(name), true).close()

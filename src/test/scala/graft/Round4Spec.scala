@@ -214,6 +214,59 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Review-pass regressions (round-4 code review)
+  // ---------------------------------------------------------------------
+
+  test("sniffAudio: adversarial u32 chunk size terminates (no spin), returns None") {
+    import graft.ops.MediaCodec
+    // 'RIFF' + size + 'WAVE' + 'JUNK' + 0xFFFFFFF7: the unsigned size
+    // truncated to Int is -9, which once made the position step 0 — the
+    // parse loop must reject oversized declared chunks, not spin forever
+    val evil = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](16, 0, 0, 0) ++
+      "WAVE".getBytes("ISO-8859-1") ++ "JUNK".getBytes("ISO-8859-1") ++
+      Array[Byte](0xF7.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(MediaCodec.sniffAudio(evil) === None)
+    // declared data size beyond the payload = truncated -> None
+    val wav = MediaGen.encodeWav(1, 8000, Array.fill[Short](100)(1))
+    assert(MediaCodec.sniffAudio(wav.take(wav.length / 2)) === None)
+  }
+
+  test("sniff: truncated GIF returns None, never a partial frame count") {
+    import graft.ops.MediaCodec
+    val full = MediaGen.row(1L).payload // id 1 = animated GIF
+    assert(MediaCodec.sniff(full).exists(_.format == "gif"))
+    assert(MediaCodec.sniff(full.dropRight(1)) === None) // trailer gone
+    assert(MediaCodec.sniff(full.take(full.length / 2)) === None)
+  }
+
+  test("packSequences: same-id over-length rows with DIFFERENT payloads never collide on pack_id") {
+    import graft.ops.Packing
+    // ten over-length rows all sharing one id but with distinct token
+    // contents: they sort NON-adjacently (hash includes tokens), so the
+    // consecutive-duplicate ordinal alone cannot disambiguate — the token
+    // contents folded into the hash must
+    val rows = (0 until 10).map(i => ("dup", Seq.tabulate(12)(j => i * 100 + j))) ++
+      (0 until 5).map(i => (s"u$i", Seq(1, 2)))
+    val out = Packing.packSequences(rows.toDF("doc_id", "tokens"),
+      "tokens", "doc_id", context = 8, buckets = 2).collect()
+    assert(out.count(_.truncated) === 10)
+    assert(out.map(_.pack_id).distinct.length === out.length)
+    // FFD path too
+    val ffd = Packing.packSequencesFFD(rows.toDF("doc_id", "tokens"),
+      "tokens", "doc_id", context = 8, buckets = 2).collect()
+    assert(ffd.map(_.pack_id).distinct.length === ffd.length)
+  }
+
+  test("StageRunner rejects path-traversal stage names") {
+    val dir = java.nio.file.Files.createTempDirectory("stages_sec").toString
+    val r = new StageRunner(spark, dir, "r1")
+    intercept[IllegalArgumentException] { r.stage(".")(spark.range(1).toDF()) }
+    intercept[IllegalArgumentException] { r.stage("..")(spark.range(1).toDF()) }
+    intercept[IllegalArgumentException] { r.stage("a/b")(spark.range(1).toDF()) }
+    assert(r.stage("ok.name")(spark.range(1).toDF()).count() === 1)
+  }
+
+  // ---------------------------------------------------------------------
   // Audio: WAV/RIFF header decode
   // ---------------------------------------------------------------------
 
