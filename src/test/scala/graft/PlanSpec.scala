@@ -257,6 +257,15 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
     assert(p.contains("*(1) Project"), p.take(2000))
+    // the trigram scorer keeps the same shape: all three vocabularies ride
+    // inside the expression, nothing shuffles at scoring time
+    val tri = graft.ops.UnigramLM.TrigramModel(
+      Map("the" -> 100L, "a" -> 50L), Map("the\u0001a" -> 10L),
+      Map("a\u0001the\u0001a" -> 3L), 1000L)
+    val p3 = graft.ops.UnigramLM.scoreTrigram(docs, "text", tri)
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange") && !p3.contains("Join"), p3.take(2000))
+    assert(p3.contains("*(1) Project"), p3.take(2000))
   }
 
   test("bucketed table: uniqueness and exact dedup run with ZERO exchange") {

@@ -266,6 +266,34 @@ class Round4Spec extends SparkSpec {
     assert(r.stage("ok.name")(spark.range(1).toDF()).count() === 1)
   }
 
+  test("media parsers: deterministic mutation fuzz — never throw, never hang") {
+    import graft.ops.MediaCodec
+    val rnd = new scala.util.Random(42)
+    val seeds = Seq(MediaGen.row(0L).payload, MediaGen.row(1L).payload,
+      MediaGen.row(2L).payload, MediaGen.row(3L).payload,
+      MediaGen.encodeWav(2, 16000, Array.fill[Short](64)(3)))
+    // random garbage of every small length
+    (0 until 200).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      MediaCodec.sniff(b); MediaCodec.sniffAudio(b) // must return, not throw
+    }
+    // valid payloads with random truncations and byte flips
+    seeds.foreach { p =>
+      (0 until 100).foreach { _ =>
+        val cut = p.take(rnd.nextInt(p.length + 1))
+        MediaCodec.sniff(cut); MediaCodec.sniffAudio(cut)
+        val flipped = p.clone()
+        val at = rnd.nextInt(p.length)
+        flipped(at) = (flipped(at) ^ (1 << rnd.nextInt(8))).toByte
+        MediaCodec.sniff(flipped); MediaCodec.sniffAudio(flipped)
+      }
+    }
+    // a parser that returns at all on every case passes — the assertions
+    // are the absence of exceptions and of non-termination (test timeout)
+    succeed
+  }
+
   // ---------------------------------------------------------------------
   // Audio: WAV/RIFF header decode
   // ---------------------------------------------------------------------
