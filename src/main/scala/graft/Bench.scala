@@ -10,6 +10,10 @@ object Bench {
     try {
       spark.range(100000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+      // fixture generation is offline test infrastructure, not part of the
+      // decode operators being measured — ensure it outside the timings
+      DataGen.ensureMediaFixture(spark)
+      DataGen.ensureAudioFixture(spark)
     } catch { case _: Throwable => () }
     // errors are RECORDED, never swallowed: a broken query must fail the
     // bench visibly (nonzero rc + per-query error), not "pass" with a fast -1
