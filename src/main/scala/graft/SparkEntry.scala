@@ -69,6 +69,15 @@ object SparkEntry {
       UnigramLM.trainTrigram(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", vocabSize = 500, bigramSize = 1000, trigramSize = 2000))
   }
+  private val classifierModels = scala.collection.concurrent.TrieMap.empty[String, (Long, QualityClassifier.Model)]
+  private def classifierModel(s: SparkSession, dir: String): QualityClassifier.Model = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    memo(classifierModels, dir, mtime)(
+      QualityClassifier.train(
+        ld(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("is_en", col("lang") === "en"),
+        "text", "is_en", vocabSize = 300))
+  }
 
   /** Flagship: full validation suite over the deterministic synthetic corpus
     * — violations frame (planted defects ⇒ rows > 0). */
@@ -379,6 +388,12 @@ object SparkEntry {
       UnigramLM.scoreTrigram(docs, "text", trigramModel(s, dir))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
+    "t_classifier" -> ((s, dir) => { // NB log-odds quality classifier (fastText shape)
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      QualityClassifier.score(docs, "text", classifierModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("score_fp"), col("n_tok"))
     }),
     "t_redact" -> ((s, dir) => { // pattern redaction (PII-scrub primitive)
       val t = col("text")
@@ -1164,6 +1179,36 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM lp GROUP BY doc_id""",
+    "t_classifier" ->
+      // Two class-conditional unigram models (lang='en' positive, other
+      // non-null langs negative; null-lang rows train NEITHER side but are
+      // still scored), same vocab/tie-break/fixed-point rules as
+      // t_unigram_lp; score = per-term difference of the two rounded
+      // log-likelihoods, summed (kernel computes sum_pos - sum_neg —
+      // identical by integer linearity).
+      """WITH d AS (
+           SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(words) AS term FROM d),
+         ptoks AS (SELECT unnest(words) AS term FROM d WHERE lang = 'en'),
+         ntoks AS (SELECT unnest(words) AS term FROM d WHERE lang <> 'en'),
+         ptot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ptoks),
+         ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ntoks),
+         pv AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM ptoks
+                GROUP BY term ORDER BY c DESC, term ASC LIMIT 300),
+         nv AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM ntoks
+                GROUP BY term ORDER BY c DESC, term ASC LIMIT 300)
+         SELECT t.doc_id,
+                CAST(sum(
+                  CAST(round(ln(CAST(coalesce(pv.c, 1) AS DOUBLE)
+                      / (SELECT n FROM ptot)) * 1e6) AS BIGINT)
+                  - CAST(round(ln(CAST(coalesce(nv.c, 1) AS DOUBLE)
+                      / (SELECT n FROM ntot)) * 1e6) AS BIGINT)) AS BIGINT) AS score_fp,
+                CAST(count(*) AS BIGINT) AS n_tok
+         FROM toks t
+         LEFT JOIN pv ON t.term = pv.term
+         LEFT JOIN nv ON t.term = nv.term
+         GROUP BY t.doc_id""",
     "t_trigram_lp" ->
       // Mirrors TrigramLogProbFp: longest-available-context dispatch
       // (unigram backoff / 0.5*bi+0.5*uni / 0.5*tri+0.25*bi+0.25*uni),

@@ -576,6 +576,41 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // NB log-odds quality classifier
+  // ---------------------------------------------------------------------
+
+  test("QualityClassifier: hand-computed log-odds; gate keeps positive-like text") {
+    import graft.ops.QualityClassifier
+    // comparable class sizes (the OOV convention contributes the class-size
+    // prior ln(N_neg/N_pos) per unseen token — documented; equal N cancels):
+    // pos: "good clean prose here" x2 -> N_pos=8
+    // neg: "spam spam buy spam click spam now buy" -> N_neg=8
+    val train = Seq(
+      (1L, "good clean prose here", Some(true)),
+      (2L, "good clean prose here", Some(true)),
+      (3L, "spam spam buy spam click spam now buy", Some(false)),
+      (4L, "unlabeled text", Option.empty[Boolean])) // trains NEITHER side
+      .toDF("doc_id", "text", "is_pos")
+    val m = QualityClassifier.train(train, "text", "is_pos", vocabSize = 10)
+    assert(m.pos.vocab === Map("good" -> 2L, "clean" -> 2L, "prose" -> 2L, "here" -> 2L))
+    assert(m.pos.totalTokens === 8L && m.neg.totalTokens === 8L)
+    assert(m.neg.vocab === Map("spam" -> 4L, "buy" -> 2L, "click" -> 1L, "now" -> 1L))
+    def fp(p: Double) = math.round(math.log(p) * 1e6)
+    // "good spam": good = fp(2/8) - fp(1/8 OOV-neg) = +ln2;
+    // spam = fp(1/8 OOV-pos) - fp(4/8) = -ln4
+    val expected = (fp(2.0 / 8) - fp(1.0 / 8)) + (fp(1.0 / 8) - fp(4.0 / 8))
+    val got = QualityClassifier.score(
+        Seq((9L, "good spam")).toDF("doc_id", "text"), "text", m)
+      .select("score_fp", "n_tok").head()
+    assert(got.getLong(0) === expected && got.getLong(1) === 2L)
+    // gate at 0: positive-like text passes, spammy text drops
+    val docs = Seq((1L, "good clean prose"), (2L, "spam spam spam buy")).toDF("doc_id", "text")
+    val kept = QualityClassifier.gate(docs, "text", m, minAvgFp = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher: per-symbol ratio gates
   // ---------------------------------------------------------------------
 
