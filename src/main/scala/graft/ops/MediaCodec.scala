@@ -155,10 +155,11 @@ object MediaCodec {
     var dataBytes = -1L
     while (pos + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
       val size = i32le(bytes, pos + 4)
-      // a declared chunk size beyond the payload (incl. adversarial u32
-      // values whose Int truncation would make the position step <= 0 and
-      // wedge the loop) is malformed — reject, never spin
-      if (size < 0 || size > bytes.length.toLong) return None
+      // a chunk whose declared extent runs past the payload END (truncated
+      // file, or an adversarial u32 size whose Int truncation would make
+      // the position step <= 0 and wedge the loop) is malformed — reject,
+      // never spin, never report metadata for bytes that are not there
+      if (size < 0 || pos.toLong + 8 + size > bytes.length.toLong) return None
       if (ascii(bytes, pos, "fmt ")) {
         if (size < 16) return None
         channels = u16le(bytes, pos + 10)

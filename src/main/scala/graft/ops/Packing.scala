@@ -154,10 +154,14 @@ object Packing {
             val (id, toks) = rows.next()
             if (toks.length > context) {
               closePack() // emit the open pack first, keep stream order
-              val clipped = toks.take(context)
+              // hash the FULL token array, not the clipped prefix: two
+              // same-id over-length rows differing only PAST the truncation
+              // point sort non-adjacently (the sort hash covers all tokens),
+              // so a prefix-only hash would recreate the collision the
+              // content fold exists to prevent
               out.enqueue(PackedSeq(
-                packIdOf(contentHash(Seq(id), context, foldTokens(0L, clipped))),
-                Seq(id), clipped, context, 1, truncated = true))
+                packIdOf(contentHash(Seq(id), context, foldTokens(0L, toks))),
+                Seq(id), toks.take(context), context, 1, truncated = true))
             } else {
               val cost = toks.length + (if (ids.isEmpty) 0 else sepCost)
               if (buf.length + cost > context) closePack()
@@ -241,11 +245,10 @@ object Packing {
               // longest rows arrive first in desc order; truncated packs
               // also carry a birth ordinal for global uniqueness
               val birth = nextBirth; nextBirth += 1
-              val clipped = toks.take(context)
               out.enqueue(PackedSeq(
                 graft.functions.HashMix.mix(
-                  contentHash(Seq(id), context, foldTokens(0L, clipped)) ^ birth),
-                Seq(id), clipped, context, 1, truncated = true))
+                  contentHash(Seq(id), context, foldTokens(0L, toks)) ^ birth),
+                Seq(id), toks.take(context), context, 1, truncated = true))
             } else {
               bins.find(_.fits(toks.length)) match {
                 case Some(b) => b.add(id, toks)

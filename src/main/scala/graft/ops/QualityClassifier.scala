@@ -42,12 +42,7 @@ object QualityClassifier {
     * through the deterministic sampler like the LM trainers. */
   def train(df: DataFrame, textCol: String, labelCol: String, vocabSize: Int,
       trainFraction: Double = 1.0, idCol: String = ""): Model = {
-    val base =
-      if (trainFraction >= 1.0) df
-      else {
-        require(idCol.nonEmpty, "idCol required when trainFraction < 1")
-        Sampling.deterministicSample(df, idCol, trainFraction)
-      }
+    val base = UnigramLM.trainingSlice(df, trainFraction, idCol)
     val pos = UnigramLM.train(base.filter(col(labelCol) === true), textCol, vocabSize)
     val neg = UnigramLM.train(base.filter(col(labelCol) === false), textCol, vocabSize)
     Model(pos, neg)

@@ -103,7 +103,10 @@ object UnigramLM {
     BigramModel(base.vocab, bigrams, base.totalTokens)
   }
 
-  private def trainingSlice(df: DataFrame, trainFraction: Double, idCol: String): DataFrame = {
+  /** Shared sample-gating for every trainer that offers `trainFraction`
+    * (the n-gram trainers here and [[QualityClassifier.train]]) — one
+    * implementation so the validation rules cannot drift. */
+  private[ops] def trainingSlice(df: DataFrame, trainFraction: Double, idCol: String): DataFrame = {
     require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0,1]")
     if (trainFraction >= 1.0) df
     else {

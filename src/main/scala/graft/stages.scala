@@ -25,6 +25,12 @@ final class StageRunner(
     runId: String,
     io: TableIO = TableIO.default) {
 
+  // both interpolated path segments are validated HERE, once — `runId` is
+  // the same public surface as stage names, and "$dir/$runId/…" with
+  // runId ".." plus mode=overwrite would write (and first DELETE) outside
+  // the stage directory entirely
+  require(StageRunner.safeSegment(runId), s"unsafe runId: $runId")
+
   private def fs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def stagePath(name: String) = s"$dir/$runId/$name"
@@ -34,21 +40,26 @@ final class StageRunner(
   /** Has `name` fully completed (data written AND marker present)? */
   def isDone(name: String): Boolean = fs.exists(markerPath(name))
 
+  // (companion below defines safeSegment)
+
   /** Run (or resume) one stage: if its marker exists, read the materialized
     * frame back; otherwise compute, write, then mark. The returned frame is
     * always the STORAGE-backed read, so downstream stages never re-trigger
     * the compute lineage (and the write doubles as the persist the
     * non-resumable pipelines do in memory). */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
-    // the char class alone would still admit the "." / ".." traversal
-    // tokens — "overwrite" on "$dir/$runId/.." would DELETE the whole
-    // stage directory for every run
-    require(name.matches("[A-Za-z0-9_.-]+") && name.exists(_ != '.'),
-      s"unsafe stage name: $name")
+    require(StageRunner.safeSegment(name), s"unsafe stage name: $name")
     if (!isDone(name)) {
       io.writer(compute, "overwrite").save(stagePath(name))
       fs.create(markerPath(name), true).close()
     }
     io.read(spark, stagePath(name))
   }
+}
+
+object StageRunner {
+  /** One interpolated path segment: the safe char class MINUS the "." /
+    * ".." traversal tokens (the class alone admits both). */
+  private[graft] def safeSegment(s: String): Boolean =
+    s.matches("[A-Za-z0-9_.-]+") && s.exists(_ != '.')
 }

@@ -257,13 +257,41 @@ class Round4Spec extends SparkSpec {
     assert(ffd.map(_.pack_id).distinct.length === ffd.length)
   }
 
-  test("StageRunner rejects path-traversal stage names") {
+  test("StageRunner rejects path-traversal stage names AND runIds") {
     val dir = java.nio.file.Files.createTempDirectory("stages_sec").toString
     val r = new StageRunner(spark, dir, "r1")
     intercept[IllegalArgumentException] { r.stage(".")(spark.range(1).toDF()) }
     intercept[IllegalArgumentException] { r.stage("..")(spark.range(1).toDF()) }
     intercept[IllegalArgumentException] { r.stage("a/b")(spark.range(1).toDF()) }
     assert(r.stage("ok.name")(spark.range(1).toDF()).count() === 1)
+    // runId is the same interpolated path surface — validated at construction
+    intercept[IllegalArgumentException] { new StageRunner(spark, dir, "..") }
+    intercept[IllegalArgumentException] { new StageRunner(spark, dir, "") }
+    intercept[IllegalArgumentException] { new StageRunner(spark, dir, "a/b") }
+  }
+
+  test("packSequences: same-id over-length rows differing only PAST truncation stay distinct") {
+    import graft.ops.Packing
+    // payloads share the first 8 (context) tokens and differ only beyond —
+    // the pack id must hash the FULL array or these collide whenever a
+    // third row's sort hash interleaves between them
+    val common = Seq.tabulate(8)(identity)
+    val rows = (0 until 8).map(i => ("dup", common ++ Seq(100 + i))) ++
+      (0 until 6).map(i => (s"u$i", Seq(1, 2, 3)))
+    val out = Packing.packSequences(rows.toDF("doc_id", "tokens"),
+      "tokens", "doc_id", context = 8, buckets = 1).collect()
+    assert(out.count(_.truncated) === 8)
+    assert(out.map(_.pack_id).distinct.length === out.length)
+  }
+
+  test("sniffAudio: a chunk extending past the payload end is truncation -> None") {
+    import graft.ops.MediaCodec
+    val wav = MediaGen.encodeWav(1, 8000, Array.fill[Short](200)(5))
+    assert(MediaCodec.sniffAudio(wav).isDefined)
+    // drop 4 bytes: the data chunk still DECLARES 400 bytes but only 396
+    // remain — previously accepted with an overstated n_samples
+    assert(MediaCodec.sniffAudio(wav.dropRight(4)) === None)
+    assert(MediaCodec.sniffAudio(wav.dropRight(1)) === None)
   }
 
   test("media parsers: deterministic mutation fuzz — never throw, never hang") {
