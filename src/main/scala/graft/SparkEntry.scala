@@ -253,6 +253,20 @@ object SparkEntry {
     "d_dedup_keep" -> ((s, dir) =>
       Dedup.dropExactDups(ld(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"))),
+    "d_dedup_against" -> ((s, dir) => { // incremental: new batch vs stored corpus
+      // deterministic "daily ingest": 20% of the corpus re-crawled verbatim
+      // (re-keyed) + 20% re-crawled with changed text; only the changed
+      // docs survive the against-the-store gate
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" fresh suffix")).as("text"))
+      Dedup.dropExactDupsAgainst(recrawl.union(fresh), "text", "doc_id",
+        Dedup.exactSignatures(docs, "text", "doc_id"))
+        .select("doc_id")
+    }),
     "d_fingerprint" -> ((s, dir) =>
       ld(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -710,6 +724,17 @@ object SparkEntry {
       """SELECT doc_id FROM (
            SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1""",
+    "d_dedup_against" ->
+      // text EQUALITY stands in for the md5 signature match (collision-free
+      // here); NOT EXISTS is the null-safe anti-join form
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         nb AS (
+           SELECT doc_id + 10000 AS doc_id, text FROM d WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 20000 AS doc_id, text || ' fresh suffix' AS text
+           FROM d WHERE doc_id % 5 = 1)
+         SELECT nb.doc_id FROM nb
+         WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.text = nb.text)""",
     "d_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",

@@ -53,6 +53,19 @@ object Dedup {
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     graft.functions.VecFunctions.minhash_sig(shinglesCol, numHashes)
 
+  /** band_hash columns: hash of the signature slice for each band (bands
+    * is a compile-time constant → unrolled, stays inside codegen). The ONE
+    * derivation shared by the batch LSH, the incremental-against ops, and
+    * (by construction, duplicated for the streaming state key) the
+    * streaming near-dup — band keys must never drift between them. */
+  private[graft] def bandHashCols(sigCol: String, numHashes: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = numHashes / bands
+    (0 until bands).map { b =>
+      xxhash64(array_join(transform(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand),
+        _.cast(StringType)), ","))
+    }
+  }
+
   /** MinHash + LSH near-dup candidate pairs.
     *
     * Pipeline: shingle → minhash(numHashes) → split into `bands` bands of
@@ -83,7 +96,6 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
       threshold: Double = 0.8, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // persisted: referenced by band explode AND the two signature re-joins —
     // without it every branch recomputes shingling+hashing from the text
     val sig = df.select(
@@ -92,14 +104,9 @@ object Dedup {
       .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
       .persist()
 
-    // band_hash = hash of the signature slice for each band (bands is a
-    // compile-time constant → unrolled, stays inside codegen)
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-        _.cast(StringType)), ","))
-    }
     val banded = sig.select(col("id"), col("sig"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+      posexplode(array(bandHashCols("sig", numHashes, bands): _*))
+        .as(Seq("band", "band_hash")))
 
     // bucket join: candidates share (band, band_hash); self-join within
     // buckets, bounded by maxBucket. Only (id, band, band_hash) rides the
@@ -442,6 +449,89 @@ object Dedup {
     verified.unpersist()
     releaseLsh()
     finishDropById(df, idCol, cc)
+  }
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL dedup: a new ingest batch vs the stored corpus
+  // ------------------------------------------------------------------
+
+  /** (id, sig) exact-content signature table — build once per corpus (or
+    * maintain append-only as batches land) and store through TableIO;
+    * [[dropExactDupsAgainst]] reads it instead of re-hashing 100 TB per
+    * ingest. Null-text rows carry no signature and are omitted. */
+  def exactSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Drop rows of `newDf` whose exact content already exists in the stored
+    * corpus signature table — the daily-ingest form of [[dropExactDups]]
+    * (compose with it for intra-batch dups; this op only removes
+    * against-the-store copies).
+    *
+    * SCALE SHAPE: the new batch is the SMALL side (a day's ingest vs the
+    * historical store), so its distinct signatures BROADCAST into one
+    * semi-join scan of the store — the store never shuffles and is never
+    * re-hashed — and the colliding-signature set (bounded by the batch)
+    * broadcasts back into the anti-join. Null-text rows pass through (no
+    * signature ⇒ nothing to collide with). */
+  def dropExactDupsAgainst(newDf: DataFrame, textCol: String, idCol: String,
+      corpusSigs: DataFrame, sigCol: String = "sig"): DataFrame = {
+    val newSigs = newDf.select(md5(col(textCol)).as("__nsig"))
+      .filter(col("__nsig").isNotNull).distinct()
+    val hits = corpusSigs.select(col(sigCol).as("__nsig"))
+      .join(broadcast(newSigs), Seq("__nsig"), "left_semi").distinct()
+    newDf.join(broadcast(hits), md5(col(textCol)) === col("__nsig"), "left_anti")
+  }
+
+  /** (id, band, band_hash) MinHash band table — the stored index for
+    * incremental NEAR-dup checks; parameters must match the query side. */
+  def minhashBandTable(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+      .select(col("id"),
+        posexplode(array(bandHashCols("sig", numHashes, bands): _*))
+          .as(Seq("band", "band_hash")))
+  }
+
+  /** Near-dup candidate pairs (new_id, corpus_id) between a new batch and
+    * the stored band table: the batch's band rows broadcast into one join
+    * scan of the store (which stays put, ideally partition-pruned by a
+    * band-partitioned layout). Parameters MUST equal those the band table
+    * was built with. */
+  def nearDupCandidatesAgainst(newDf: DataFrame, textCol: String, idCol: String,
+      corpusBands: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      shingleK: Int = 3): DataFrame = {
+    val newBands = minhashBandTable(newDf, textCol, idCol, numHashes, bands, shingleK)
+      .withColumnRenamed("id", "new_id")
+    corpusBands.join(broadcast(newBands), Seq("band", "band_hash"))
+      .select(col("new_id"), col("id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
+  /** The ingest gate: drop new-batch rows verified (exact n-gram Jaccard ≥
+    * `minJaccard`) as near-dups of stored corpus documents. Verification
+    * joins are candidate-bounded: the candidate set (tiny by construction)
+    * broadcasts into one scan of each side to fetch shingles — the corpus
+    * is scanned, never shuffled. Keeps the batch's schema. */
+  def dropNearDupsAgainst(newDf: DataFrame, textCol: String, idCol: String,
+      corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+      corpusBands: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val cand = nearDupCandidatesAgainst(newDf, textCol, idCol, corpusBands,
+      numHashes, bands, shingleK)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+    val newGrams = newDf.select(col(idCol).as("id_a"),
+      shingles(col(textCol), shingleK).as("g_a"))
+    val corGrams = corpus.select(col(corpusIdCol).as("id_b"),
+      shingles(col(corpusTextCol), shingleK).as("g_b"))
+    val pairs = newGrams.join(broadcast(cand), Seq("id_a"))
+      .join(corGrams, Seq("id_b")) // candidate-bounded; AQE broadcasts the tiny side
+    val flagged = scorePairs(pairs, minJaccard)
+      .select(col("id_a").as("__flag")).distinct()
+    newDf.join(broadcast(flagged), col(idCol) === col("__flag"), "left_anti")
   }
 
   /** RESUMABLE [[dropNearDups]]: the two expensive intermediates — the

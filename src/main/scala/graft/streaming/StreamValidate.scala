@@ -153,7 +153,6 @@ object StreamValidate {
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val spark = stream.sparkSession
     import spark.implicits._
     implicit val stEnc: Encoder[BandBucketState] = Encoders.product[BandBucketState]
@@ -164,15 +163,12 @@ object StreamValidate {
           graft.ops.Dedup.shingles(col(textCol), shingleK), numHashes).as("sig"))
       .filter(col("id").isNotNull && size(col("sig")) > 0 &&
         !exists(col("sig"), _.isNull))
-    // identical band-hash derivation to the batch op: per-band signature
-    // slice joined and hashed (bands is a compile-time constant, unrolled)
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-        _.cast(org.apache.spark.sql.types.StringType)), ","))
-    }
+    // the band-hash derivation is THE shared one (Dedup.bandHashCols) —
+    // stream-side and batch-side band keys can never drift
     val banded = sig
       .select(col("id"), col("sig"),
-        posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+        posexplode(array(graft.ops.Dedup.bandHashCols("sig", numHashes, bands): _*))
+          .as(Seq("band", "band_hash")))
       .select(col("band"), col("band_hash"), col("id"), col("sig"))
       .as[(Int, Long, String, Seq[Long])]
     val timeoutConf =

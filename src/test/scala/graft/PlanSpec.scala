@@ -107,6 +107,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("incremental dedup: the stored-corpus side is scanned, never shuffled") {
+    // the daily-ingest scale claim: the new batch's signatures broadcast
+    // over the store; no ShuffleExchange may sit between the store scan and
+    // either join
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val sigs = graft.ops.Dedup.exactSignatures(corpus, "text", "doc_id")
+      val batch = corpus.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val exec = graft.ops.Dedup.dropExactDupsAgainst(batch, "text", "doc_id", sigs)
+        .queryExecution.executedPlan
+      // the store scan feeds the LeftSemi broadcast join DIRECTLY — no
+      // exchange may sit on its (stream) side. Shuffles elsewhere in the
+      // plan are over batch/collision sets (map-side partial distinct
+      // bounds what crosses the wire) and are fine.
+      val semi = exec.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.toString == "LeftSemi" => j
+      }
+      assert(semi.isDefined, exec.toString.take(3000))
+      val storeSideShuffles = semi.get.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(storeSideShuffles.isEmpty, semi.get.left.toString.take(2000))
+      // and the final gate is a broadcast anti-join on the batch side
+      val anti = exec.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.toString == "LeftAnti" => j
+      }
+      assert(anti.isDefined, exec.toString.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("IVF assignment is one narrow projection — no join, no exchange") {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
     val model = graft.ops.Ivf.Model(Array(Array(0.0, 0.0), Array(1.0, 1.0)))

@@ -604,6 +604,53 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Incremental dedup: new batch vs stored corpus
+  // ---------------------------------------------------------------------
+
+  test("dropExactDupsAgainst: verbatim re-crawls drop, changed docs and null text pass") {
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "alpha content"), (2L, "beta content"), (3L, "gamma content"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.exactSignatures(corpus, "text", "doc_id")
+    val batch = Seq(
+      (101L, Some("alpha content")), // verbatim re-crawl -> drop
+      (102L, Some("beta content")), // verbatim re-crawl -> drop
+      (103L, Some("beta content updated")), // changed -> keep
+      (104L, Some("brand new")), // new -> keep
+      (105L, Option.empty[String])) // null text: no signature -> keep
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDupsAgainst(batch, "text", "doc_id", sigs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(103L, 104L, 105L))
+  }
+
+  test("dropNearDupsAgainst: paraphrased re-crawls verified and dropped, originals kept") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the windowsill and birds sing in the garden all day"
+    val other = "entirely different prose about spacecraft propulsion and " +
+      "orbital mechanics with no overlap in vocabulary whatsoever to speak of"
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val bandTable = Dedup.minhashBandTable(corpus, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 2)
+    val batch = Seq(
+      (101L, base + " today"), // near-dup of 1 -> drop
+      (102L, "completely fresh topic about cooking recipes and baking bread " +
+        "with sourdough starters and wild yeast fermentation methods"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.nearDupCandidatesAgainst(batch, "text", "doc_id", bandTable,
+      numHashes = 64, bands = 16, shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((101L, 1L)))
+    assert(!cand.exists(_._1 == 102L))
+    val kept = Dedup.dropNearDupsAgainst(batch, "text", "doc_id",
+      corpus, "text", "doc_id", bandTable,
+      numHashes = 64, bands = 16, shingleK = 2, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(102L))
+  }
+
+  // ---------------------------------------------------------------------
   // NB log-odds quality classifier
   // ---------------------------------------------------------------------
 
