@@ -174,6 +174,37 @@ object Smoke {
     check("stage-resume", r1 == 500 && r2 == 500 && noRecompute,
       s"survivors $r1==$r2, stages reused=$noRecompute")
 
+    // 7f. incremental dedup: a re-crawl batch against the stored corpus
+    val storeSigs = Dedup.exactSignatures(docs, "text", "doc_id")
+    val ingest = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")) // verbatim re-crawls
+      .union(spark.range(5).select((col("id") + 20000).as("doc_id"),
+        concat(lit("genuinely fresh document "), col("id").cast("string")).as("text")))
+    val keptInc = Dedup.dropExactDupsAgainst(ingest, "text", "doc_id", storeSigs).count()
+    check("dedup-against", keptInc == 5,
+      s"$keptInc of 105 ingest rows survive (100 verbatim re-crawls dropped)")
+
+    // 7g. NB quality classifier: closed-form train, zero-shuffle scoring
+    {
+      import spark.implicits._
+      // classes trained on COMPARABLE token counts (the OOV convention
+      // contributes the class-size prior ln(N_neg/N_pos) per unseen token
+      // — documented on QualityClassifier; equal N makes it vanish)
+      val labeled = Seq(
+        (1L, "the cats and dogs have run to the park with joy and the sun was warm", Some(true)),
+        (2L, "good clean prose flows here with many common words and that is fine", Some(true)),
+        (3L, "buy now click here buy now free offer click buy now winner spam spam buy free", Some(false)),
+        (4L, "click free winner offer now buy free click offer now spam buy spam", Some(false)))
+        .toDF("doc_id", "text", "is_good")
+      val cm = QualityClassifier.train(labeled, "text", "is_good", vocabSize = 50)
+      val kept = QualityClassifier.gate(Seq(
+          (9L, "the dogs run in the park and that is good clean fun"),
+          (10L, "buy now free click offer winner now"))
+          .toDF("doc_id", "text"), "text", cm, minAvgFp = 0L)
+        .select("doc_id").as[Long].collect().toSet
+      check("classifier", kept == Set(9L), s"gate kept $kept (expect Set(9))")
+    }
+
     // 8. deterministic sampling: disjoint split, stable across partitioning
     val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 0.25)
     val (train2, _) = Sampling.trainTestSplit(docs.repartition(5), "doc_id", 0.25)
