@@ -55,9 +55,9 @@ object Dedup {
 
   /** band_hash columns: hash of the signature slice for each band (bands
     * is a compile-time constant → unrolled, stays inside codegen). The ONE
-    * derivation shared by the batch LSH, the incremental-against ops, and
-    * (by construction, duplicated for the streaming state key) the
-    * streaming near-dup — band keys must never drift between them. */
+    * derivation shared by the batch LSH, the incremental-against ops, AND
+    * the streaming near-dup state key (StreamValidate calls this directly)
+    * — band keys can never drift between them. */
   private[graft] def bandHashCols(sigCol: String, numHashes: Int, bands: Int): Seq[Column] = {
     val rowsPerBand = numHashes / bands
     (0 until bands).map { b =>
@@ -497,38 +497,72 @@ object Dedup {
   }
 
   /** Near-dup candidate pairs (new_id, corpus_id) between a new batch and
-    * the stored band table: the batch's band rows broadcast into one join
-    * scan of the store (which stays put, ideally partition-pruned by a
-    * band-partitioned layout). Parameters MUST equal those the band table
-    * was built with. */
+    * the stored band table: the batch's band rows broadcast into join scans
+    * of the store (which never shuffles). `maxBucket` caps the STORE-side
+    * size of any matched band bucket — a boilerplate bucket matched by the
+    * batch would otherwise emit |store bucket| × |batch bucket| pairs (the
+    * same quadratic blow-up the batch LSH guards against); oversized
+    * buckets are dropped and LOGGED, never melted through. Two passes over
+    * the band table per ingest (a count of matched buckets, then the
+    * candidate join) — the band INDEX is a sliver of the corpus, and the
+    * first pass is a pure aggregation. Parameters MUST equal those the
+    * band table was built with. BROADCAST CLIFF: the batch's band rows
+    * (|batch| × bands) ride a broadcast — far under the ~8 GB broadcast
+    * limit for any sane daily batch, but a backfill-sized "batch" should
+    * run the symmetric batch op ([[minhashLsh]] over the union) instead. */
   def nearDupCandidatesAgainst(newDf: DataFrame, textCol: String, idCol: String,
       corpusBands: DataFrame, numHashes: Int = 128, bands: Int = 32,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val newBands = minhashBandTable(newDf, textCol, idCol, numHashes, bands, shingleK)
       .withColumnRenamed("id", "new_id")
-    corpusBands.join(broadcast(newBands), Seq("band", "band_hash"))
+    val batchBuckets = newBands.select("band", "band_hash").distinct()
+    // pass 1: store-side sizes of MATCHED buckets only (map-side combine;
+    // nothing materialized); the oversized set is tiny by construction
+    val oversized = corpusBands
+      .join(broadcast(batchBuckets), Seq("band", "band_hash"), "left_semi")
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select("band", "band_hash")
+      .localCheckpoint(true)
+    val nOversized = oversized.count()
+    if (nOversized > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupCandidatesAgainst: dropped $nOversized band bucket(s) larger than " +
+          s"maxBucket=$maxBucket on the store side (boilerplate guard) — " +
+          "near-dups hiding ONLY in those buckets will not be flagged")
+    // pass 2: the candidate join over surviving buckets
+    corpusBands
+      .join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+      .join(broadcast(newBands), Seq("band", "band_hash"))
       .select(col("new_id"), col("id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
   }
 
   /** The ingest gate: drop new-batch rows verified (exact n-gram Jaccard ≥
-    * `minJaccard`) as near-dups of stored corpus documents. Verification
-    * joins are candidate-bounded: the candidate set (tiny by construction)
-    * broadcasts into one scan of each side to fetch shingles — the corpus
-    * is scanned, never shuffled. Keeps the batch's schema. */
+    * `minJaccard`) as near-dups of stored corpus documents. Verification is
+    * candidate-bounded AND store-cheap: the candidate corpus-id set (tiny)
+    * broadcast-SEMI-filters the corpus first, so shingles are computed only
+    * for the few stored docs that are actually candidates — the store is
+    * scanned once, never shuffled, never bulk re-shingled — and every
+    * verification join carries an explicit broadcast hint (no static-plan
+    * sort-merge fallback). Keeps the batch's schema. */
   def dropNearDupsAgainst(newDf: DataFrame, textCol: String, idCol: String,
       corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
       corpusBands: DataFrame, numHashes: Int = 128, bands: Int = 32,
-      shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+      shingleK: Int = 3, minJaccard: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val cand = nearDupCandidatesAgainst(newDf, textCol, idCol, corpusBands,
-      numHashes, bands, shingleK)
+      numHashes, bands, shingleK, maxBucket)
       .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      .localCheckpoint(true) // referenced three times below; cut the recompute
+    val candIds = cand.select(col("id_b")).distinct()
+    // shingle ONLY candidate corpus docs (semi-filter first, then project)
+    val corGrams = corpus
+      .join(broadcast(candIds), corpus(corpusIdCol) === candIds("id_b"), "left_semi")
+      .select(col(corpusIdCol).as("id_b"), shingles(col(corpusTextCol), shingleK).as("g_b"))
     val newGrams = newDf.select(col(idCol).as("id_a"),
       shingles(col(textCol), shingleK).as("g_a"))
-    val corGrams = corpus.select(col(corpusIdCol).as("id_b"),
-      shingles(col(corpusTextCol), shingleK).as("g_b"))
     val pairs = newGrams.join(broadcast(cand), Seq("id_a"))
-      .join(corGrams, Seq("id_b")) // candidate-bounded; AQE broadcasts the tiny side
+      .join(broadcast(corGrams), Seq("id_b"))
     val flagged = scorePairs(pairs, minJaccard)
       .select(col("id_a").as("__flag")).distinct()
     newDf.join(broadcast(flagged), col(idCol) === col("__flag"), "left_anti")

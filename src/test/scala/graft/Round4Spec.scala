@@ -650,6 +650,32 @@ class Round4Spec extends SparkSpec {
     assert(kept === Set(102L))
   }
 
+  test("nearDupCandidatesAgainst: oversized store buckets are dropped (guard), not joined quadratically") {
+    import graft.ops.Dedup
+    val boiler = "identical boilerplate text repeated across very many stored documents " +
+      "like a cookie banner or legal footer would be in a real crawl"
+    val unique = "a genuinely distinctive stored document about gardening and soil chemistry " +
+      "with vocabulary shared by nothing else in this tiny fixture corpus"
+    // store: 50 copies of the boilerplate + 1 unique doc
+    val corpus = ((1L to 50L).map(i => (i, boiler)) :+ (100L, unique)).toDF("doc_id", "text")
+    val bandTable = Dedup.minhashBandTable(corpus, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 2)
+    val batch = Seq((201L, boiler + " extra"), (202L, unique + " indeed"))
+      .toDF("doc_id", "text")
+    // maxBucket=10 < 50 boilerplate copies: the boilerplate buckets drop,
+    // so 201 pairs with NOTHING while 202 still pairs with the unique doc
+    val cand = Dedup.nearDupCandidatesAgainst(batch, "text", "doc_id", bandTable,
+      numHashes = 64, bands = 16, shingleK = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((202L, 100L)))
+    assert(!cand.exists(_._1 == 201L), s"boilerplate bucket joined: ${cand.toSeq}")
+    // with the guard relaxed the boilerplate candidates come back
+    val cand2 = Dedup.nearDupCandidatesAgainst(batch, "text", "doc_id", bandTable,
+      numHashes = 64, bands = 16, shingleK = 2, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand2.count(_._1 == 201L) === 50)
+  }
+
   // ---------------------------------------------------------------------
   // NB log-odds quality classifier
   // ---------------------------------------------------------------------
