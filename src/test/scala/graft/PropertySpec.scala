@@ -208,4 +208,57 @@ class PropertySpec extends SparkSpec {
       assert(gotWc(i.toLong) === wcModel, s"word-count mismatch on: ${t.take(80)}")
     }
   }
+
+  test("dropExactDupsAgainst matches the naive set-difference model on random corpora") {
+    import graft.ops.Dedup
+    val genWord = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genText = Gen.listOfN(4, genWord).map(_.mkString(" "))
+    val genCase = for {
+      corpusTexts <- Gen.listOfN(12, genText)
+      batchTexts <- Gen.listOfN(10, Gen.oneOf(genText, Gen.oneOf(corpusTexts)))
+      nullSlots <- Gen.listOfN(2, Gen.choose(0, 9))
+    } yield (corpusTexts, batchTexts, nullSlots.toSet)
+    for (((corpusTexts, batchTexts, nullSlots), k) <- samples(genCase, 8).zipWithIndex) {
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) =>
+        (1000L + i, if (nullSlots(i)) None else Some(t))
+      }.toDF("doc_id", "text")
+      val kept = Dedup.dropExactDupsAgainst(batch, "text", "doc_id",
+        Dedup.exactSignatures(corpus, "text", "doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      // model: keep iff text is null OR not present verbatim in the corpus
+      val corpusSet = corpusTexts.toSet
+      val expected = batchTexts.zipWithIndex.collect {
+        case (t, i) if nullSlots(i) || !corpusSet(t) => 1000L + i
+      }.toSet
+      assert(kept === expected, s"case $k")
+    }
+  }
+
+  test("packSequencesFFD invariants hold on random mixed-length corpora") {
+    import graft.ops.Packing
+    val genRows = Gen.listOfN(60, for {
+      id <- Gen.choose(0, 25) // duplicate ids on purpose
+      len <- Gen.frequency(6 -> Gen.choose(1, 7), 3 -> Gen.choose(8, 15), 1 -> Gen.choose(16, 40))
+      seed <- Gen.choose(0, 1000)
+    } yield (s"d$id", Seq.tabulate(len)(j => seed + j)))
+    for ((rows, k) <- samples(genRows, 6).zipWithIndex) {
+      val df = rows.toDF("doc_id", "tokens")
+      val out = Packing.packSequencesFFD(df, "tokens", "doc_id", context = 12, buckets = 3)
+        .collect()
+      // exactly-once accounting: every token lands in exactly one pack,
+      // over-length rows truncated to context
+      val expectedTok = rows.map(r => math.min(r._2.length, 12)).sum
+      assert(out.map(_.n_tok).sum === expectedTok, s"case $k tokens")
+      assert(out.forall(_.n_tok <= 12), s"case $k overflow")
+      assert(out.map(_.pack_id).distinct.length === out.length, s"case $k ids")
+      assert(out.filter(_.truncated).forall(p => p.n_docs == 1 && p.n_tok == 12), s"case $k trunc")
+      // parallelism stability: identical pack set at another input layout
+      val again = Packing.packSequencesFFD(df.repartition(7), "tokens", "doc_id",
+        context = 12, buckets = 3).collect()
+      assert(again.map(p => (p.pack_id, p.doc_ids, p.tokens)).toSet
+        === out.map(p => (p.pack_id, p.doc_ids, p.tokens)).toSet, s"case $k stability")
+    }
+  }
 }
