@@ -130,6 +130,23 @@ object SparkEntry {
         sum((!re.pred).cast(LongType)).as("n_bad_name"),
         count(lit(1)).as("n_rows"))
     }),
+    "v_decimal_range" -> ((s, dir) => {
+      // EXACT decimal bounds beyond double precision: big_id = orderkey
+      // concatenated with 18 zeros plus the line number — 24-digit values
+      // whose +-1 differences vanish in f64. The threshold ends in ...003,
+      // so boundary rows (orderkey 100, lines 4..7) are distinguishable
+      // ONLY in the decimal domain; a double-domain Range would misjudge
+      // them. The oracle reproduces the same DECIMAL(38,0) arithmetic.
+      val bigId = concat(col("l_orderkey").cast(StringType),
+          lit("000000000000000000")).cast(DecimalType(38, 0)) +
+        col("l_linenumber").cast(DecimalType(38, 0))
+      val c = DecimalRange("big_id",
+        max = Some(BigDecimal("100000000000000000003")))
+      ld(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), bigId.as("big_id"))
+        .filter(!c.pred)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
     "v_length" -> ((s, dir) => {
       val c = LengthBounds("text", Some(50), Some(400))
       ld(s, dir, "documents").filter(!c.pred)
@@ -543,6 +560,11 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS VARCHAR) AS key,
                 'count=' || CAST(count(*) AS VARCHAR) AS actual
          FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+    "v_decimal_range" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE CAST(CAST(l_orderkey AS VARCHAR) || '000000000000000000' AS DECIMAL(38,0))
+               + CAST(l_linenumber AS DECIMAL(38,0))
+               > CAST('100000000000000000003' AS DECIMAL(38,0))""",
     "v_length" ->
       """SELECT doc_id, length(text) AS len FROM documents
          WHERE NOT (length(text) >= 50 AND length(text) <= 400)""",

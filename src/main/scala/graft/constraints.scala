@@ -209,6 +209,49 @@ final case class Range(
   protected def actualCol = org.apache.spark.sql.functions.col(col)
 }
 
+/** EXACT-decimal range bounds — parity-PLUS over the reference, whose
+  * numeric comparisons ALL run in f64 (`$value as f64`, macros.rs:251+):
+  * integer/decimal values beyond 2^53 are indistinguishable in the double
+  * domain, so [[Range]] (the reference-faithful form, SURVEY §1.2's
+  * documented i128/u128 loss) cannot see off-by-one violations there.
+  * DecimalRange compares in the DECIMAL domain with BigDecimal bounds —
+  * exact at any magnitude within DECIMAL(38). Restricted to decimal and
+  * integral columns (a float column cannot honor the exactness contract
+  * and is rejected at compile time). Null passes (leaf null-stance). */
+final case class DecimalRange(
+    col: String, min: Option[BigDecimal] = None, max: Option[BigDecimal] = None,
+    exclusiveMin: Boolean = false, exclusiveMax: Boolean = false) extends RowConstraint {
+  val id = s"decimalRange($col)"
+  def selfCheck(s: StructType) = {
+    val typeErr = Constraints.fieldType(s, col) match {
+      case None => List(SuiteError.UnknownColumn(col, id))
+      case Some(_: DecimalType | ByteType | ShortType | IntegerType | LongType) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(col, "decimal or integral", dt, id))
+    }
+    val boundErr = (min, max) match {
+      case (Some(a), Some(b)) if a > b =>
+        List(SuiteError.InvalidBounds(id, a.toDouble, b.toDouble))
+      case _ => Nil
+    }
+    typeErr ++ boundErr
+  }
+  def pred = {
+    val c = org.apache.spark.sql.functions.col(col)
+    val lo = min.map(m => if (exclusiveMin) c > lit(m.bigDecimal) else c >= lit(m.bigDecimal))
+      .getOrElse(lit(true))
+    val hi = max.map(m => if (exclusiveMax) c < lit(m.bigDecimal) else c <= lit(m.bigDecimal))
+      .getOrElse(lit(true))
+    c.isNull || (lo && hi)
+  }
+  protected def pathStr = col
+  protected def boundStr = {
+    val lb = min.map(m => if (exclusiveMin) s"($m" else s"[$m").getOrElse("(-inf")
+    val ub = max.map(m => if (exclusiveMax) s"$m)" else s"$m]").getOrElse("inf)")
+    s"$lb,$ub"
+  }
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
 /** C3 multipleOf (f64 modulo, macros.rs:250-259). The reference silently skips
   * m==0; we reject it at compile time instead (documented deviation). */
 final case class MultipleOf(col: String, m: Double) extends RowConstraint {

@@ -604,6 +604,36 @@ class Round4Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // DecimalRange: exact bounds beyond double precision
+  // ---------------------------------------------------------------------
+
+  test("DecimalRange distinguishes values the double-domain Range cannot") {
+    // 2^60 and 2^60 + 1 collapse to the SAME double (ulp at 2^60 is 256):
+    // the reference-faithful Range passes both against max = 2^60, while
+    // DecimalRange sees the off-by-one violation exactly.
+    val p60 = BigDecimal(2).pow(60) // 1152921504606846976
+    val df = Seq(
+      ("at", new java.math.BigDecimal(p60.bigDecimal.toBigInteger)),
+      ("over", new java.math.BigDecimal(p60.bigDecimal.toBigInteger.add(java.math.BigInteger.ONE))),
+      ("null", null.asInstanceOf[java.math.BigDecimal]))
+      .toDF("doc_id", "v")
+      .select(col("doc_id"), col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("v"))
+    val exact = DecimalRange("v", max = Some(p60))
+    assert(exact.selfCheck(df.schema).isEmpty)
+    val failedExact = df.filter(!exact.pred).select("doc_id").as[String].collect().toSet
+    assert(failedExact === Set("over")) // null passes, 2^60 passes, 2^60+1 fails
+    // the double-domain Range misjudges: both values round to the same f64
+    val doubly = Range("v", max = p60.toDouble)
+    val failedDouble = df.filter(!doubly.pred).select("doc_id").as[String].collect().toSet
+    assert(failedDouble === Set.empty, "f64 cannot see the off-by-one — that is the point")
+    // compile-time contract: float columns are rejected, inverted bounds too
+    val fdf = Seq(1.0f).toDF("v")
+    assert(DecimalRange("v", max = Some(BigDecimal(1))).selfCheck(fdf.schema).nonEmpty)
+    assert(DecimalRange("v", min = Some(BigDecimal(2)), max = Some(BigDecimal(1)))
+      .selfCheck(df.schema).nonEmpty)
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental dedup: new batch vs stored corpus
   // ---------------------------------------------------------------------
 
