@@ -222,7 +222,45 @@ final case class DecimalRange(
     col: String, min: Option[BigDecimal] = None, max: Option[BigDecimal] = None,
     exclusiveMin: Boolean = false, exclusiveMax: Boolean = false) extends RowConstraint {
   val id = s"decimalRange($col)"
+
+  // canonical literal form: negative java scales ("1E+21") carry only
+  // trailing zeros — rescale to 0 EXACTLY so Spark's decimal literal
+  // (which forbids negative scales) can represent the bound
+  private def norm(m: BigDecimal): java.math.BigDecimal = {
+    val b = m.bigDecimal
+    if (b.scale < 0) b.setScale(0) else b
+  }
+
   def selfCheck(s: StructType) = {
+    // every invalid configuration must surface HERE as a SuiteError, never
+    // as a runtime exception from literal construction or — worse — as a
+    // silent overflow-to-null in the comparison's type promotion (ANSI off)
+    // or a mid-scan throw (ANSI on). The promotion of decimal(p, s) vs a
+    // bound (pb, sb) is bounded(max(p-s, pb-sb) + max(s, sb), max(s, sb)),
+    // capped at 38: it loses column digits exactly when the bound's scale
+    // exceeds the column's, or the combined digits exceed 38 — both are
+    // rejected, keeping the comparison provably exact.
+    def boundErrs(m: BigDecimal, which: String): List[SuiteError] = {
+      val b = norm(m)
+      val (pb, sb) = (b.precision, b.scale)
+      if (pb > 38 || sb > 38)
+        List(SuiteError.Unsupported(id, s"$which bound $m exceeds DECIMAL(38) precision"))
+      else Constraints.fieldType(s, col) match {
+        case Some(dt: DecimalType) if sb > dt.scale =>
+          List(SuiteError.Unsupported(id,
+            s"$which bound $m has scale $sb finer than the column's " +
+              s"DECIMAL(${dt.precision},${dt.scale}) — the comparison could not stay exact"))
+        case Some(dt: DecimalType) if (pb - sb) > 38 - dt.scale =>
+          List(SuiteError.Unsupported(id,
+            s"$which bound $m needs ${pb - sb} integral digits; comparing with " +
+              s"DECIMAL(${dt.precision},${dt.scale}) would overflow DECIMAL(38)"))
+        case Some(ByteType | ShortType | IntegerType | LongType)
+            if sb + math.max(20, pb - sb) > 38 =>
+          List(SuiteError.Unsupported(id,
+            s"$which bound $m vs an integral column would overflow DECIMAL(38)"))
+        case _ => Nil
+      }
+    }
     val typeErr = Constraints.fieldType(s, col) match {
       case None => List(SuiteError.UnknownColumn(col, id))
       case Some(_: DecimalType | ByteType | ShortType | IntegerType | LongType) => Nil
@@ -230,16 +268,21 @@ final case class DecimalRange(
     }
     val boundErr = (min, max) match {
       case (Some(a), Some(b)) if a > b =>
-        List(SuiteError.InvalidBounds(id, a.toDouble, b.toDouble))
+        // render the EXACT bounds — a double rendering would collapse the
+        // very >2^53 distinctions this constraint exists for
+        List(SuiteError.Unsupported(id, s"inverted bounds: min $a > max $b"))
       case _ => Nil
     }
-    typeErr ++ boundErr
+    typeErr ++ boundErr ++
+      (if (typeErr.isEmpty)
+        min.toList.flatMap(boundErrs(_, "min")) ++ max.toList.flatMap(boundErrs(_, "max"))
+      else Nil)
   }
   def pred = {
     val c = org.apache.spark.sql.functions.col(col)
-    val lo = min.map(m => if (exclusiveMin) c > lit(m.bigDecimal) else c >= lit(m.bigDecimal))
+    val lo = min.map(m => if (exclusiveMin) c > lit(norm(m)) else c >= lit(norm(m)))
       .getOrElse(lit(true))
-    val hi = max.map(m => if (exclusiveMax) c < lit(m.bigDecimal) else c <= lit(m.bigDecimal))
+    val hi = max.map(m => if (exclusiveMax) c < lit(norm(m)) else c <= lit(norm(m)))
       .getOrElse(lit(true))
     c.isNull || (lo && hi)
   }

@@ -631,6 +631,19 @@ class Round4Spec extends SparkSpec {
     assert(DecimalRange("v", max = Some(BigDecimal(1))).selfCheck(fdf.schema).nonEmpty)
     assert(DecimalRange("v", min = Some(BigDecimal(2)), max = Some(BigDecimal(1)))
       .selfCheck(df.schema).nonEmpty)
+    // scientific-notation bounds (negative java scale) normalize and WORK
+    val sci = DecimalRange("v", max = Some(BigDecimal("1E+21")))
+    assert(sci.selfCheck(df.schema).isEmpty)
+    assert(df.filter(!sci.pred).count() === 0) // 2^60 < 10^21
+    // a bound with finer scale than the column cannot compare exactly —
+    // compile ERROR, never a silent overflow-to-null in type promotion
+    assert(DecimalRange("v", max = Some(BigDecimal("1.5"))).selfCheck(df.schema).nonEmpty)
+    // a bound beyond DECIMAL(38) is a compile error, not a runtime throw
+    assert(DecimalRange("v", max = Some(BigDecimal("1E+40"))).selfCheck(df.schema).nonEmpty)
+    // inverted-bound diagnostics render the EXACT bounds (not f64-collapsed)
+    val inv = DecimalRange("v", min = Some(p60 + 1), max = Some(p60))
+    val msgs = inv.selfCheck(df.schema).map(_.msg).mkString("; ")
+    assert(msgs.contains("1152921504606846977") && msgs.contains("1152921504606846976"), msgs)
   }
 
   // ---------------------------------------------------------------------
