@@ -1,7 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Runtime JSON Schema (draft-07 subset) → [[ConstraintSuite]] loader — the
@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
   * | --- | --- |
   * | type / ["t1","t2"]     | JsonTypeIs (C1, static) / IsNull for "null" (C23) |
   * | required               | NonNull (C21) |
-  * | minimum/maximum/exclusive* | Range (C4-C7; BOTH bounds apply — strictest per side) |
+  * | minimum/maximum/exclusive* | Range (C4-C7; BOTH bounds apply — strictest per side); DecimalRange when the table schema proves the column exact AND a bound would round in f64 |
   * | multipleOf             | MultipleOf (C3) |
   * | pattern                | Regex (C8) |
   * | minLength/maxLength    | LengthBounds (C9/C10) |
@@ -150,6 +150,31 @@ object JsonSchema {
       (minV, minX, maxV, maxX)
     }
 
+    /** [[mergedBounds]] in the EXACT decimal domain (Jackson's decimalValue
+      * preserves every digit of a JSON number) — used to detect and route
+      * bounds that an f64 would silently round. Same independent-bound
+      * merge rule, BigDecimal comparisons. */
+    def exactMergedBounds(n: JsonNode): (Option[java.math.BigDecimal], Boolean,
+        Option[java.math.BigDecimal], Boolean) = {
+      def dec(k: String): Option[java.math.BigDecimal] =
+        Option(n.get(k)).filter(_.isNumber).map(_.decimalValue())
+      val lo = dec("minimum"); val xlo = dec("exclusiveMinimum")
+      val hi = dec("maximum"); val xhi = dec("exclusiveMaximum")
+      val (minV, minX) = (lo, xlo) match {
+        case (Some(a), Some(b)) => if (b.compareTo(a) >= 0) (Some(b), true) else (Some(a), false)
+        case (Some(a), None) => (Some(a), false)
+        case (None, Some(b)) => (Some(b), true)
+        case (None, None) => (None, false)
+      }
+      val (maxV, maxX) = (hi, xhi) match {
+        case (Some(a), Some(b)) => if (b.compareTo(a) <= 0) (Some(b), true) else (Some(a), false)
+        case (Some(a), None) => (Some(a), false)
+        case (None, Some(b)) => (Some(b), true)
+        case (None, None) => (None, false)
+      }
+      (minV, minX, maxV, maxX)
+    }
+
     /** Inclusive-normalized bounds for element-domain constraints (which are
       * inclusive-only): exclusive b ⇒ nextUp/nextDown(b) — exact in the
       * double domain (`x > b ⇔ x ≥ nextUp(b)` for every double x). */
@@ -215,13 +240,45 @@ object JsonSchema {
       if (types == List("null")) out += IsNull(col)
       else if (types.nonEmpty) out += JsonTypeIs(col, types)
 
-      // ---- numeric bounds
+      // ---- numeric bounds. Default is the reference-faithful f64 Range
+      // (the reference compares everything as f64). When the table schema
+      // proves the column exact (integral/decimal) AND a bound loses
+      // precision in the double domain (e.g. 2^60 + 1), route to
+      // DecimalRange instead — a runtime schema's big-integer bound then
+      // checks EXACTLY rather than silently rounding. Float columns and
+      // schema-less parses keep the f64 form (their comparisons are
+      // inherently double-domain; parity with the reference).
       val (minV, minX, maxV, maxX) = mergedBounds(node)
-      if (minV.isDefined || maxV.isDefined)
-        out += Range(col,
-          min = minV.getOrElse(Double.NegativeInfinity),
-          max = maxV.getOrElse(Double.PositiveInfinity),
-          exclusiveMin = minX, exclusiveMax = maxX)
+      if (minV.isDefined || maxV.isDefined) {
+        // the f64 form rounds on BOTH sides: a non-representable BOUND, and
+        // — the subtler one — column VALUES past 2^53, which round across
+        // even a perfectly representable bound (2^60 + 1 collapses onto a
+        // maximum of 2^60). Either condition triggers the exact form.
+        def doubleExact(b: java.math.BigDecimal): Boolean =
+          try new java.math.BigDecimal(b.doubleValue()).compareTo(b) == 0
+          catch { case _: NumberFormatException => false } // infinite double
+        val twoP53 = new java.math.BigDecimal(9007199254740992L)
+        val (eMin, eMinX, eMax, eMaxX) = exactMergedBounds(node)
+        val colIsExact = tableSchema.flatMap(s => Constraints.fieldType(s, col)).exists {
+          case _: DecimalType | ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val lossy = (eMin.toList ++ eMax.toList).exists(b =>
+          !doubleExact(b) || b.abs.compareTo(twoP53) >= 0)
+        val candidate = DecimalRange(col,
+          min = eMin.map(BigDecimal(_)), max = eMax.map(BigDecimal(_)),
+          exclusiveMin = eMinX, exclusiveMax = eMaxX)
+        // pre-flight the exact form's own contract (scale/precision fit);
+        // configurations it cannot check exactly keep the f64 form (parity)
+        if (colIsExact && lossy &&
+            tableSchema.exists(s => candidate.selfCheck(s).isEmpty))
+          out += candidate
+        else
+          out += Range(col,
+            min = minV.getOrElse(Double.NegativeInfinity),
+            max = maxV.getOrElse(Double.PositiveInfinity),
+            exclusiveMin = minX, exclusiveMax = maxX)
+      }
       num(node, "multipleOf").foreach(m => out += MultipleOf(col, m))
       patTxt(node, "pattern").foreach(p => out += Regex(col, p))
       val minL = intOpt(node, "minLength"); val maxL = intOpt(node, "maxLength")

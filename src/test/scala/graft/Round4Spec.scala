@@ -646,6 +646,37 @@ class Round4Spec extends SparkSpec {
     assert(msgs.contains("1152921504606846977") && msgs.contains("1152921504606846976"), msgs)
   }
 
+  test("loader routes beyond-f64 bounds to DecimalRange when the column is exact") {
+    // a runtime schema with maximum = 2^60 on a LONG column: the f64 Range
+    // cannot see 2^60 + 1 > 2^60, DecimalRange can — the loader routes
+    // automatically when the table schema proves the column exact
+    val df = Seq(("a", 1152921504606846976L), ("b", 1152921504606846977L))
+      .toDF("doc_id", "v")
+    val schemaJson =
+      """{"type":"object","properties":{"v":{"maximum":1152921504606846976}}}"""
+    val suite = JsonSchema.parse(schemaJson, "doc_id", tableSchema = Some(df.schema))
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(suite.rowChecks.exists(_.isInstanceOf[DecimalRange]),
+      suite.rowChecks.map(_.getClass.getSimpleName).mkString(","))
+    val compiled = suite.compile(df.schema).toOption.get
+    val failed = compiled.run(df).violations.select("doc_id").as[String].collect().toSet
+    assert(failed === Set("b")) // the off-by-one f64 cannot see
+    // double-representable bounds keep the reference-faithful f64 Range
+    val small = JsonSchema.parse(
+      """{"type":"object","properties":{"v":{"maximum":100}}}""",
+      "doc_id", tableSchema = Some(df.schema)).toOption.get
+    assert(small.rowChecks.exists(_.isInstanceOf[Range]))
+    assert(!small.rowChecks.exists(_.isInstanceOf[DecimalRange]))
+    // schema-less parse keeps f64 Range (column exactness unprovable)
+    val blind = JsonSchema.parse(schemaJson, "doc_id").toOption.get
+    assert(blind.rowChecks.exists(_.isInstanceOf[Range]))
+    assert(!blind.rowChecks.exists(_.isInstanceOf[DecimalRange]))
+    // and a DOUBLE column with the same big bound stays f64 (parity)
+    val ddf = Seq(("a", 1.0)).toDF("doc_id", "v")
+    val dbl = JsonSchema.parse(schemaJson, "doc_id", tableSchema = Some(ddf.schema)).toOption.get
+    assert(!dbl.rowChecks.exists(_.isInstanceOf[DecimalRange]))
+  }
+
   // ---------------------------------------------------------------------
   // Incremental dedup: new batch vs stored corpus
   // ---------------------------------------------------------------------
