@@ -130,19 +130,20 @@ object JsonSchema {
         p
       }
 
-    /** draft-07: minimum AND exclusiveMinimum apply independently — compile
-      * the single strictest effective bound per side (exclusive wins ties). */
-    def mergedBounds(n: JsonNode): (Option[Double], Boolean, Option[Double], Boolean) = {
-      val lo = num(n, "minimum"); val xlo = num(n, "exclusiveMinimum")
-      val hi = num(n, "maximum"); val xhi = num(n, "exclusiveMaximum")
+    /** The ONE draft-07 bound-merge rule (minimum AND exclusiveMinimum apply
+      * independently — keep the single strictest effective bound per side,
+      * exclusive wins ties), parameterized over the comparison domain so
+      * the f64 and exact-decimal forms cannot drift. */
+    def mergeSides[T](lo: Option[T], xlo: Option[T], hi: Option[T], xhi: Option[T])(
+        cmp: (T, T) => Int): (Option[T], Boolean, Option[T], Boolean) = {
       val (minV, minX) = (lo, xlo) match {
-        case (Some(a), Some(b)) => if (b >= a) (Some(b), true) else (Some(a), false)
+        case (Some(a), Some(b)) => if (cmp(b, a) >= 0) (Some(b), true) else (Some(a), false)
         case (Some(a), None) => (Some(a), false)
         case (None, Some(b)) => (Some(b), true)
         case (None, None) => (None, false)
       }
       val (maxV, maxX) = (hi, xhi) match {
-        case (Some(a), Some(b)) => if (b <= a) (Some(b), true) else (Some(a), false)
+        case (Some(a), Some(b)) => if (cmp(b, a) <= 0) (Some(b), true) else (Some(a), false)
         case (Some(a), None) => (Some(a), false)
         case (None, Some(b)) => (Some(b), true)
         case (None, None) => (None, false)
@@ -150,29 +151,19 @@ object JsonSchema {
       (minV, minX, maxV, maxX)
     }
 
+    def mergedBounds(n: JsonNode): (Option[Double], Boolean, Option[Double], Boolean) =
+      mergeSides(num(n, "minimum"), num(n, "exclusiveMinimum"),
+        num(n, "maximum"), num(n, "exclusiveMaximum"))(java.lang.Double.compare)
+
     /** [[mergedBounds]] in the EXACT decimal domain (Jackson's decimalValue
       * preserves every digit of a JSON number) — used to detect and route
-      * bounds that an f64 would silently round. Same independent-bound
-      * merge rule, BigDecimal comparisons. */
+      * bounds that an f64 would silently round. */
     def exactMergedBounds(n: JsonNode): (Option[java.math.BigDecimal], Boolean,
         Option[java.math.BigDecimal], Boolean) = {
       def dec(k: String): Option[java.math.BigDecimal] =
         Option(n.get(k)).filter(_.isNumber).map(_.decimalValue())
-      val lo = dec("minimum"); val xlo = dec("exclusiveMinimum")
-      val hi = dec("maximum"); val xhi = dec("exclusiveMaximum")
-      val (minV, minX) = (lo, xlo) match {
-        case (Some(a), Some(b)) => if (b.compareTo(a) >= 0) (Some(b), true) else (Some(a), false)
-        case (Some(a), None) => (Some(a), false)
-        case (None, Some(b)) => (Some(b), true)
-        case (None, None) => (None, false)
-      }
-      val (maxV, maxX) = (hi, xhi) match {
-        case (Some(a), Some(b)) => if (b.compareTo(a) <= 0) (Some(b), true) else (Some(a), false)
-        case (Some(a), None) => (Some(a), false)
-        case (None, Some(b)) => (Some(b), true)
-        case (None, None) => (None, false)
-      }
-      (minV, minX, maxV, maxX)
+      mergeSides(dec("minimum"), dec("exclusiveMinimum"),
+        dec("maximum"), dec("exclusiveMaximum"))(_.compareTo(_))
     }
 
     /** Inclusive-normalized bounds for element-domain constraints (which are
@@ -250,34 +241,50 @@ object JsonSchema {
       // inherently double-domain; parity with the reference).
       val (minV, minX, maxV, maxX) = mergedBounds(node)
       if (minV.isDefined || maxV.isDefined) {
-        // the f64 form rounds on BOTH sides: a non-representable BOUND, and
-        // — the subtler one — column VALUES past 2^53, which round across
-        // even a perfectly representable bound (2^60 + 1 collapses onto a
-        // maximum of 2^60). Either condition triggers the exact form.
         def doubleExact(b: java.math.BigDecimal): Boolean =
           try new java.math.BigDecimal(b.doubleValue()).compareTo(b) == 0
           catch { case _: NumberFormatException => false } // infinite double
         val twoP53 = new java.math.BigDecimal(9007199254740992L)
         val (eMin, eMinX, eMax, eMaxX) = exactMergedBounds(node)
-        val colIsExact = tableSchema.flatMap(s => Constraints.fieldType(s, col)).exists {
-          case _: DecimalType | ByteType | ShortType | IntegerType | LongType => true
+        // bounds contradictory in the EXACT domain are a LOUD compile error
+        // — an f64-collapsed pair (min 2^60+1 > max 2^60 both round to
+        // 2^60) would otherwise pass Range's own double-domain selfCheck
+        // and admit rows no number can satisfy
+        val inverted = (for (a <- eMin; b <- eMax) yield a.compareTo(b) > 0).getOrElse(false)
+        if (inverted)
+          errors += SuiteError.Unsupported(s"range($col)",
+            s"inverted bounds: minimum ${eMin.get} > maximum ${eMax.get}")
+        // the f64 form rounds on two sides, by COLUMN TYPE:
+        //  - LongType values past 2^53 round across even a representable
+        //    bound (2^60 + 1 collapses onto maximum = 2^60) — route when a
+        //    bound is non-representable or its magnitude reaches 2^53;
+        //  - DecimalType values are not binary fractions at all (0.1 has no
+        //    double), so the exact form is simply correct — route whenever
+        //    its contract fits;
+        //  - Byte/Short/Int values (and any bound that matters to them) are
+        //    always double-exact: the f64 verdicts are provably right, keep
+        //    the cheaper form. Float/double columns and schema-less parses
+        //    stay f64 (parity with the reference's all-f64 comparisons).
+        val wantExact = tableSchema.flatMap(s => Constraints.fieldType(s, col)).exists {
+          case _: DecimalType => true
+          case LongType => (eMin.toList ++ eMax.toList).exists(b =>
+            !doubleExact(b) || b.abs.compareTo(twoP53) >= 0)
           case _ => false
         }
-        val lossy = (eMin.toList ++ eMax.toList).exists(b =>
-          !doubleExact(b) || b.abs.compareTo(twoP53) >= 0)
         val candidate = DecimalRange(col,
           min = eMin.map(BigDecimal(_)), max = eMax.map(BigDecimal(_)),
           exclusiveMin = eMinX, exclusiveMax = eMaxX)
         // pre-flight the exact form's own contract (scale/precision fit);
         // configurations it cannot check exactly keep the f64 form (parity)
-        if (colIsExact && lossy &&
-            tableSchema.exists(s => candidate.selfCheck(s).isEmpty))
-          out += candidate
-        else
-          out += Range(col,
-            min = minV.getOrElse(Double.NegativeInfinity),
-            max = maxV.getOrElse(Double.PositiveInfinity),
-            exclusiveMin = minX, exclusiveMax = maxX)
+        if (!inverted) {
+          if (wantExact && tableSchema.exists(s => candidate.selfCheck(s).isEmpty))
+            out += candidate
+          else
+            out += Range(col,
+              min = minV.getOrElse(Double.NegativeInfinity),
+              max = maxV.getOrElse(Double.PositiveInfinity),
+              exclusiveMin = minX, exclusiveMax = maxX)
+        }
       }
       num(node, "multipleOf").foreach(m => out += MultipleOf(col, m))
       patTxt(node, "pattern").foreach(p => out += Regex(col, p))

@@ -675,6 +675,22 @@ class Round4Spec extends SparkSpec {
     val ddf = Seq(("a", 1.0)).toDF("doc_id", "v")
     val dbl = JsonSchema.parse(schemaJson, "doc_id", tableSchema = Some(ddf.schema)).toOption.get
     assert(!dbl.rowChecks.exists(_.isInstanceOf[DecimalRange]))
+    // DECIMAL columns route even for SMALL bounds: 0.1/0.5 have no binary
+    // representation, so decimal values near the bound would round in f64
+    val decDf = Seq(("a", java.math.BigDecimal.ONE)).toDF("doc_id", "v")
+      .select(col("doc_id"), col("v").cast(org.apache.spark.sql.types.DecimalType(20, 18)).as("v"))
+    val decSuite = JsonSchema.parse(
+      """{"type":"object","properties":{"v":{"maximum":0.5}}}""",
+      "doc_id", tableSchema = Some(decDf.schema)).toOption.get
+    assert(decSuite.rowChecks.exists(_.isInstanceOf[DecimalRange]))
+    // bounds contradictory ONLY in the exact domain (both collapse to 2^60
+    // in f64) are a loud compile error, not a silently satisfiable Range
+    val invErrs = JsonSchema.parse(
+      """{"type":"object","properties":{"v":
+           {"minimum":1152921504606846977,"maximum":1152921504606846976}}}""",
+      "doc_id", tableSchema = Some(df.schema))
+      .fold(identity, _ => fail("expected inverted-bounds compile error"))
+    assert(invErrs.exists(_.msg.contains("1152921504606846977")), invErrs.map(_.msg))
   }
 
   // ---------------------------------------------------------------------
