@@ -27,14 +27,21 @@ object SparkEntry {
   // at the same path never serves a stale model, and the superseded entry is
   // REPLACED (not accreted alongside), so a long-lived session re-pointing
   // at refreshed fixtures holds one model per dir, not one per mtime.
+  // The check-then-train-then-put sequence is atomic (synchronized on the
+  // per-family cache): concurrent queries against the same dir must not each
+  // pay the multi-second training. Cost: two DIFFERENT dirs in one family
+  // serialize their (rare, first-touch-only) training — duplicate work was
+  // the real hazard, cross-dir concurrency is not.
   private def memo[M](cache: scala.collection.concurrent.TrieMap[String, (Long, M)],
       dir: String, mtime: Long)(train: => M): M =
-    cache.get(dir) match {
-      case Some((t, m)) if t == mtime => m
-      case _ =>
-        val m = train
-        cache.put(dir, (mtime, m))
-        m
+    cache.synchronized {
+      cache.get(dir) match {
+        case Some((t, m)) if t == mtime => m
+        case _ =>
+          val m = train
+          cache.put(dir, (mtime, m))
+          m
+      }
     }
 
   private val ivfModels = scala.collection.concurrent.TrieMap.empty[String, (Long, Ivf.Model)]
@@ -68,6 +75,13 @@ object SparkEntry {
     memo(trigramModels, dir, mtime)(
       UnigramLM.trainTrigram(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", vocabSize = 500, bigramSize = 1000, trigramSize = 2000))
+  }
+  private val fivegramModels = scala.collection.concurrent.TrieMap.empty[String, (Long, UnigramLM.NgramModel)]
+  private def fivegramModel(s: SparkSession, dir: String): UnigramLM.NgramModel = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    memo(fivegramModels, dir, mtime)(
+      UnigramLM.trainNgram(ld(s, dir, "documents").filter(col("text").isNotNull),
+        "text", Seq(500, 1000, 2000, 3000, 4000)))
   }
   private val classifierModels = scala.collection.concurrent.TrieMap.empty[String, (Long, QualityClassifier.Model)]
   private def classifierModel(s: SparkSession, dir: String): QualityClassifier.Model = {
@@ -417,6 +431,12 @@ object SparkEntry {
     "t_trigram_lp" -> ((s, dir) => { // interpolated-trigram LM likelihood
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
       UnigramLM.scoreTrigram(docs, "text", trigramModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
+    "t_5gram_lp" -> ((s, dir) => { // order-5 interpolated LM (the CCNet 5-gram filter shape)
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      UnigramLM.scoreNgram(docs, "text", fivegramModel(s, dir))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
     }),
@@ -1301,6 +1321,87 @@ object SparkEntry {
            LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.bg
            LEFT JOIN big b2 ON t.prev2 || chr(1) || t.prev = b2.bg
            LEFT JOIN tri g ON t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g.tg)
+         SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
+                CAST(count(*) AS BIGINT) AS n_tok
+         FROM lp GROUP BY doc_id""",
+    "t_5gram_lp" ->
+      // Mirrors NgramLogProbFp at order 5: longest-available-context
+      // dispatch (unigram backoff up through the full 5-gram interpolation
+      // 0.5/0.25/0.125/0.0625/0.0625 — dyadic weights, unigram term sharing
+      // the lowest), identical left-associated IEEE arithmetic,
+      // chr(1)-joined keys, same (count desc, key asc) tie-breaks at every
+      // vocabulary boundary. A context-chain hole at any level (the
+      // per-level NULL joins) drops dispatch to that level, exactly like
+      // the kernel's trie-count contiguity check.
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, p, words[p] AS cur,
+                  CASE WHEN p > 1 THEN words[p-1] END AS prev,
+                  CASE WHEN p > 2 THEN words[p-2] END AS prev2,
+                  CASE WHEN p > 3 THEN words[p-3] END AS prev3,
+                  CASE WHEN p > 4 THEN words[p-4] END AS prev4
+           FROM d, unnest(range(1, len(words)+1)) AS t(p)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         uni AS (
+           SELECT cur AS term, CAST(count(*) AS BIGINT) AS c FROM toks
+           GROUP BY cur ORDER BY c DESC, term ASC LIMIT 500),
+         big AS (
+           SELECT prev || chr(1) || cur AS g, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev IS NOT NULL
+           GROUP BY prev || chr(1) || cur ORDER BY c DESC, g ASC LIMIT 1000),
+         tri AS (
+           SELECT prev2 || chr(1) || prev || chr(1) || cur AS g,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev2 IS NOT NULL
+           GROUP BY prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, g ASC LIMIT 2000),
+         qua AS (
+           SELECT prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur AS g,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev3 IS NOT NULL
+           GROUP BY prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, g ASC LIMIT 3000),
+         fiv AS (
+           SELECT prev4 || chr(1) || prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur AS g,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev4 IS NOT NULL
+           GROUP BY prev4 || chr(1) || prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, g ASC LIMIT 4000),
+         lp AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CASE
+                    WHEN t.prev IS NULL OR up.c IS NULL
+                    THEN CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot)
+                    WHEN t.prev2 IS NULL OR b2.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.5 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    WHEN t.prev3 IS NULL OR t3.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
+                       + 0.25 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.25 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    WHEN t.prev4 IS NULL OR q4.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(g4.c, 0) AS DOUBLE) / t3.c)
+                       + 0.25 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
+                       + 0.125 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.125 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    ELSE 0.5 * (CAST(coalesce(g5.c, 0) AS DOUBLE) / q4.c)
+                       + 0.25 * (CAST(coalesce(g4.c, 0) AS DOUBLE) / t3.c)
+                       + 0.125 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
+                       + 0.0625 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.0625 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    END) * 1e6) AS BIGINT) AS v
+           FROM toks t
+           LEFT JOIN uni uc ON t.cur = uc.term
+           LEFT JOIN uni up ON t.prev = up.term
+           LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.g
+           LEFT JOIN big b2 ON t.prev2 || chr(1) || t.prev = b2.g
+           LEFT JOIN tri g3 ON t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g3.g
+           LEFT JOIN tri t3 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = t3.g
+           LEFT JOIN qua g4 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g4.g
+           LEFT JOIN qua q4 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = q4.g
+           LEFT JOIN fiv g5 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g5.g)
          SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM lp GROUP BY doc_id""",

@@ -487,6 +487,150 @@ case class TrigramLogProbFp(
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One node of the shared n-gram count trie backing [[NgramLogProbFp]]:
+  * `count` is the exact corpus count of the path's n-gram if that n-gram
+  * was KEPT in its level's bounded vocabulary, or -1 when the node exists
+  * only as the prefix of a longer kept n-gram (its own count fell outside
+  * the top-K — "unknown", which breaks the context chain there exactly the
+  * way a NULL join against that level's vocabulary does in the oracle). */
+private[functions] final class NgramTrieNode {
+  var count: Long = -1L
+  var children: java.util.HashMap[UTF8String, NgramTrieNode] = null
+  def child(k: UTF8String): NgramTrieNode =
+    if (children == null) null else children.get(k)
+  def ensureChild(k: UTF8String): NgramTrieNode = {
+    if (children == null) children = new java.util.HashMap[UTF8String, NgramTrieNode]()
+    var n = children.get(k)
+    if (n == null) { n = new NgramTrieNode; children.put(k, n) }
+    n
+  }
+}
+
+/** Fixed-point interpolated ORDER-N log-likelihood — the parameterized
+  * generalization of [[UnigramLogProbFp]] / [[BigramLogProbFp]] /
+  * [[TrigramLogProbFp]] to any n-gram order (order 5 = the published CCNet
+  * filter shape, a 5-gram KenLM; Wenzek et al. 2020). `grams(j)` holds the
+  * bounded (j+1)-gram vocabulary (U+0001-joined keys -> exact corpus
+  * counts); `order = grams.length`.
+  *
+  * Token scoring dispatches on the LONGEST available context: L = the
+  * largest j such that the context counts c_1(p_1), c_2(p_2,p_1), …,
+  * c_j(p_j..p_1) are ALL known (a truncation hole at any level breaks the
+  * chain there — same contiguity the per-level NULL-join checks give the
+  * SQL oracle). The score is then
+  * `ln( 0.5·r_L + 0.25·r_{L-1} + … + 0.5^L·r_1 + 0.5^L·c_1(cur)/N )`
+  * left-associated highest-context-first, where
+  * `r_j = c_{j+1}(p_j..p_1, cur) / c_j(p_j..p_1)` (absent numerators 0,
+  * OOV `cur` counts 1). Every ratio <= 1 (kept counts are exact and the
+  * numerator's support nests in the denominator's) and the dyadic weights
+  * sum to 1, so p stays in (0,1]; the dyadic weights and fixed left
+  * association make the IEEE arithmetic mirror exactly in SQL. L = 0
+  * (first token / OOV predecessor) scores the plain unigram. Per-term
+  * values round to the 1e-6 grid and sum as a long (order-independent).
+  *
+  * For orders 1-3 this reproduces the dedicated kernels bit-for-bit
+  * (asserted in Round5Spec). All vocabularies live in ONE driver-side trie
+  * shipped once per executor via the codegen reference object; scoring is
+  * a zero-shuffle projection with O(order) pointer-walk lookups per token
+  * and zero per-token allocation (context nodes roll forward — the new
+  * length-j context node is the old length-(j-1) node's `cur` child).
+  * Returns struct(logprob_fp, n_tok). */
+case class NgramLogProbFp(
+    child: Expression, grams: Seq[Map[String, Long]], total: Long)
+    extends UnaryExpression {
+  require(total > 0, "total token count must be positive")
+  require(grams.nonEmpty, "need at least the unigram vocabulary")
+  def order: Int = grams.length
+  override def dataType: DataType = StructType(Seq(
+    StructField("logprob_fp", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false)))
+
+  @transient private lazy val root: NgramTrieNode = {
+    val r = new NgramTrieNode
+    var level = 0
+    while (level < grams.length) {
+      grams(level).foreach { case (k, c) =>
+        val parts = k.split('\u0001')
+        require(parts.length == level + 1,
+          s"level-${level + 1} key with ${parts.length} components: $k")
+        var node = r
+        parts.foreach(p => node = node.ensureChild(UTF8String.fromString(p)))
+        node.count = c
+      }
+      level += 1
+    }
+    r
+  }
+  // precomputed fixed-point unigram scores for the L=0 backoff path
+  @transient private lazy val uniFp: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](grams.head.size * 2)
+    grams.head.foreach { case (t, c) =>
+      m.put(UTF8String.fromString(t),
+        java.lang.Long.valueOf(math.round(math.log(c.toDouble / total) * 1e6))) }
+    m
+  }
+  @transient private lazy val oovFp: Long =
+    math.round(math.log(1.0 / total) * 1e6)
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val t = root // force the lazy trie once
+    val maxCtx = order - 1
+    // ctxNode(j) = trie node of the length-j context (p_j .. p_1); index 0 unused
+    val ctxNode = new Array[NgramTrieNode](maxCtx + 1)
+    var chain = 0 // longest j with ctxNode(1..j) all carrying known counts
+    val n = a.numElements()
+    var sum = 0L
+    var scored = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val cur = a.getUTF8String(i)
+        val curUni = t.child(cur)
+        val curKnown = curUni != null && curUni.count >= 0
+        if (chain == 0) {
+          sum += (if (curKnown) uniFp.get(cur).longValue() else oovFp)
+        } else {
+          val cu = if (curKnown) curUni.count else 1L
+          var w = 0.5
+          var p = 0.0
+          var j = chain
+          while (j >= 1) {
+            val ctx = ctxNode(j)
+            val numNode = ctx.child(cur)
+            val num = if (numNode == null || numNode.count < 0) 0L else numNode.count
+            p += w * (num.toDouble / ctx.count)
+            if (j > 1) w *= 0.5
+            j -= 1
+          }
+          p += w * (cu.toDouble / total)
+          sum += math.round(math.log(p) * 1e6)
+        }
+        scored += 1
+        // roll the context forward: new length-j context ends at cur
+        var j = maxCtx
+        while (j >= 2) {
+          val prev = ctxNode(j - 1)
+          ctxNode(j) = if (prev == null) null else prev.child(cur)
+          j -= 1
+        }
+        if (maxCtx >= 1) ctxNode(1) = curUni
+        chain = 0
+        while (chain < maxCtx && ctxNode(chain + 1) != null &&
+            ctxNode(chain + 1).count >= 0) chain += 1
+      }
+      i += 1
+    }
+    InternalRow(sum, scored)
+  }
+  override def nullSafeEval(x: Any): Any =
+    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramLp", this, classOf[NgramLogProbFp].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShim
   def repetition_stats(text: Column): Column =
@@ -502,4 +646,6 @@ object TextFunctions {
       bigrams: Map[String, Long], trigrams: Map[String, Long], total: Long): Column =
     GraftShim.column(TrigramLogProbFp(GraftShim.expression(tokens), unigrams, bigrams,
       trigrams, total))
+  def ngram_logprob_fp(tokens: Column, grams: Seq[Map[String, Long]], total: Long): Column =
+    GraftShim.column(NgramLogProbFp(GraftShim.expression(tokens), grams, total))
 }

@@ -70,7 +70,8 @@ object Decontaminate {
   def dropContaminatedResumable(corpus: DataFrame, tokensCol: String, idCol: String,
       benchmark: DataFrame, benchTokensCol: String, stages: graft.StageRunner,
       n: Int = 13, minOverlap: Int = 1): DataFrame = {
-    val flagged = stages.stage("contaminated_ids") {
+    val flagged = stages.stage("contaminated_ids",
+        Seq("decontaminate", tokensCol, idCol, benchTokensCol, n, minOverlap)) {
       overlapReport(corpus, tokensCol, idCol, benchmark, benchTokensCol,
         n, minOverlap).select(idCol)
     }

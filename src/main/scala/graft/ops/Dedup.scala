@@ -563,8 +563,13 @@ object Dedup {
       shingles(col(textCol), shingleK).as("g_a"))
     val pairs = newGrams.join(broadcast(cand), Seq("id_a"))
       .join(broadcast(corGrams), Seq("id_b"))
+    // materialize the flagged-id set eagerly so the checkpointed candidate
+    // frame can be FREED here — without this, repeated daily-ingest calls in
+    // a long-lived session accrete one candidate block set per call (same
+    // cache discipline as finishDropById)
     val flagged = scorePairs(pairs, minJaccard)
-      .select(col("id_a").as("__flag")).distinct()
+      .select(col("id_a").as("__flag")).distinct().localCheckpoint(true)
+    freeLocalCheckpoint(cand)
     newDf.join(broadcast(flagged), col(idCol) === col("__flag"), "left_anti")
   }
 
@@ -585,7 +590,8 @@ object Dedup {
     // cache is dropped AFTER the stage write materialized it (if the stage
     // was already done, compute never runs and this stays a no-op)
     var releaseLsh: () => Unit = () => ()
-    val verified = stages.stage("verified_pairs") {
+    val verified = stages.stage("verified_pairs",
+        Seq("lsh_verify", textCol, idCol, numHashes, bands, shingleK, threshold, maxBucket)) {
       val (candidates, release) = minhashLshCached(df, textCol, idCol,
         numHashes, bands, shingleK, threshold, maxBucket)
       releaseLsh = release
@@ -596,7 +602,8 @@ object Dedup {
     // same pattern for CC's internal localCheckpoint blocks: the stage write
     // materializes the labels, so the in-memory copy can be dropped
     var ccInMem: Option[DataFrame] = None
-    val cc = stages.stage("cc_labels") {
+    val cc = stages.stage("cc_labels",
+        Seq("cc", textCol, idCol, numHashes, bands, shingleK, threshold, maxBucket)) {
       val labels = connectedComponents(verified)
       ccInMem = Some(labels)
       labels

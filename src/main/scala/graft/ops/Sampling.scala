@@ -58,7 +58,7 @@ object Sampling {
     * are excluded — rows differing ONLY there hash together (documented
     * residual). Degenerate frames with no hashable column fall back to a
     * constant. */
-  private def rowHash(df: DataFrame, opTag: Long, salt: Long): Column = {
+  private[graft] def rowHash(df: DataFrame, opTag: Long, salt: Long): Column = {
     import org.apache.spark.sql.types._
     def hashable(dt: DataType): Boolean = dt match {
       case _: MapType => false
@@ -86,7 +86,7 @@ object Sampling {
   private val TagWeighted = 5L
   private val TagShuffle = 6L
   private val TagMix = 7L
-  private val TagCapExact = 8L
+  private[graft] val TagCapExact = 8L
 
   /** AUDIT surface: the raw gate value (0 <= g < 1,000,000) a sampling op
     * compares against its cut, keyed exactly as that op keys it. Lets
@@ -240,29 +240,39 @@ object Sampling {
     df.filter(gate(df, keyCol, TagMix, salt) < cut)
   }
 
-  /** EXACT-k per-stratum cap — the sort-based opt-in [[capStrata]]'s
-    * docstring points at: every stratum keeps its `maxRows` LOWEST-gate
-    * rows exactly (ties broken by key), instead of capStrata's binomial
-    * approximation. COST: a per-stratum sort (window) — a hot stratum
-    * serializes into one task's sort, which is precisely why the
-    * approximate variant is the default at 10^12 rows. Deterministic: the
-    * gate is a pure function of (key, salt), and DUPLICATE-key ties at the
-    * cap boundary break by a full-row hash — repartition/rerun-stable, but
-    * (unlike the pure key gate) dependent on the frame's COLUMN SET, so
-    * pass the same projection on every run when keys can repeat. */
+  /** EXACT-k per-stratum cap — the exact opt-in [[capStrata]]'s docstring
+    * points at: every stratum keeps its `maxRows` LOWEST-gate rows exactly
+    * (ties broken by key, then by a full-row hash), instead of capStrata's
+    * binomial approximation.
+    *
+    * TWO-PHASE, no window-sort: a bounded-heap aggregate
+    * ([[graft.functions.BoundedMinRows]], multiset semantics) keeps the k
+    * smallest (gate, key, rowhash) rows per stratum with MAP-SIDE partial
+    * aggregation, so a hot stratum contributes O(partitions · k) rows to
+    * its reducer instead of serializing the entire stratum into one task's
+    * sort (the round-4 perf-weak this retires; ProbeSkew measures the
+    * hostile-stratum ratio). Output is the identical multiset to the
+    * row_number() formulation, including boundary-tie behavior (fully
+    * identical duplicate rows are interchangeable at the cap boundary).
+    * MEMORY contract: k · row-size per stratum per task must fit on an
+    * executor — `maxRows` is an Int by design; for caps where k · rows is
+    * itself cluster-scale, use the approximate [[capStrata]].
+    * Deterministic: the gate is a pure function of (key, salt), and
+    * DUPLICATE-key ties at the cap boundary break by a full-row hash —
+    * repartition/rerun-stable, but (unlike the pure key gate) dependent on
+    * the frame's COLUMN SET, so pass the same projection on every run when
+    * keys can repeat. */
   def capStrataExact(df: DataFrame, strataCol: String, keyCol: String,
       maxRows: Int, salt: Long = 0L): DataFrame = {
     require(maxRows > 0, "maxRows > 0")
     val g = gate(df, keyCol, TagCapExact, salt)
-    // full-row hash as the FINAL tie-break: (gate, key) ties on duplicate
-    // keys would otherwise rank by shuffle arrival order (the repo's
-    // documented duplicate-key trap — DataGen plants duplicate ids).
-    // Fully identical duplicate rows still tie, interchangeably: either
-    // copy at the boundary yields the same output multiset.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol)
-      .orderBy(g.asc, col(keyCol).asc, rowHash(df, TagCapExact, salt).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxRows).drop("__rn")
+    val sortKey = struct(g.as("g"), col(keyCol).as("k"),
+      rowHash(df, TagCapExact, salt).as("h"))
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(col(strataCol))
+      .agg(graft.functions.BoundedMinRows.bounded_min_rows(sortKey, payload, maxRows)
+        .as("__kept"))
+      .select(explode(col("__kept")).as("__row"))
+      .select(col("__row.*"))
   }
 }

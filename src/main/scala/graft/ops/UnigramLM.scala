@@ -171,6 +171,58 @@ object UnigramLM {
       .withColumn("n_tok", st("n_tok"))
   }
 
+  /** ORDER-N interpolated model — the full generalization of the ladder
+    * (order 5 = the published CCNet filter shape, a 5-gram KenLM).
+    * `grams(j)` holds the bounded (j+1)-gram vocabulary; scoring dispatches
+    * on the longest available context with dyadic weights
+    * `0.5, 0.25, …, 0.5^L` (the unigram term sharing the lowest weight) —
+    * see [[graft.functions.NgramLogProbFp]] for the exact arithmetic.
+    * Orders 1-3 reproduce [[Model]]/[[BigramModel]]/[[TrigramModel]]
+    * bit-for-bit (Round5Spec asserts it). */
+  case class NgramModel(grams: Seq[Map[String, Long]], totalTokens: Long) {
+    require(totalTokens > 0, "empty training corpus")
+    def order: Int = grams.length
+    def logProbFp(tokensCol: Column): Column =
+      graft.functions.TextFunctions.ngram_logprob_fp(tokensCol, grams, totalTokens)
+  }
+
+  /** Adjacent-word k-grams as U+0001-joined strings (in-row; generalizes
+    * [[bigramsCol]]/[[trigramsCol]]). */
+  private def ngramsCol(toks: Column, k: Int): Column = {
+    val m = greatest(size(toks) - (k - 1), lit(0))
+    (2 to k).foldLeft(slice(toks, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat(a, lit("\u0001"), b))
+    }
+  }
+
+  /** Train bounded vocabularies for every order 1..`sizes.length` in one
+    * call — `sizes(j)` caps the (j+1)-gram vocabulary, ties at every
+    * boundary break deterministically by (count desc, key asc); same
+    * `trainFraction` scale path as [[trainBigram]]. Each level is its own
+    * explode→count agg (map-side combine; the only shuffle is on n-gram
+    * keys) — independent levels, so on a real cluster they can even be
+    * submitted concurrently; the driver holds only the top-K maps. */
+  def trainNgram(df: DataFrame, textCol: String, sizes: Seq[Int],
+      trainFraction: Double = 1.0, idCol: String = ""): NgramModel = {
+    require(sizes.nonEmpty, "need at least a unigram vocabulary size")
+    val base0 = trainingSlice(df, trainFraction, idCol)
+    val uni = train(base0, textCol, sizes.head)
+    val higher = (2 to sizes.length).map { k =>
+      base0.select(explode(ngramsCol(tokens(col(textCol)), k)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("g")).limit(sizes(k - 1))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    NgramModel(uni.vocab +: higher, uni.totalTokens)
+  }
+
+  /** Attach order-N interpolated `logprob_fp` and `n_tok`. */
+  def scoreNgram(df: DataFrame, textCol: String, model: NgramModel): DataFrame = {
+    val st = model.logProbFp(tokens(col(textCol)))
+    df.withColumn("logprob_fp", st("logprob_fp"))
+      .withColumn("n_tok", st("n_tok"))
+  }
+
   /** Keep rows whose AVERAGE per-token log-likelihood is at least
     * `minAvgFp` (fixed-point, e.g. -9_000_000 = avg ln-prob >= -9.0), in
     * multiply-form so no division enters the plan. Tokenless rows drop. */

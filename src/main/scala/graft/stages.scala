@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Crash safety: a failure mid-write leaves stage data without its marker,
   * so the stage recomputes (mode=overwrite) on resume — never a partial
-  * read. Markers are per-stage zero-byte files; storage is whatever
-  * `TableIO` points at (Parquet here, Iceberg on a real cluster).
+  * read. Markers are per-stage files carrying the stage's parameter
+  * fingerprint (see [[stage]]); storage is whatever `TableIO` points at
+  * (Parquet here, Iceberg on a real cluster).
   * Determinism: every stage this engine persists is a deterministic
   * function of its inputs, so resumed and from-scratch runs produce
   * identical results — asserted by the kill-after-stage tests.
@@ -46,14 +47,47 @@ final class StageRunner(
     * frame back; otherwise compute, write, then mark. The returned frame is
     * always the STORAGE-backed read, so downstream stages never re-trigger
     * the compute lineage (and the write doubles as the persist the
-    * non-resumable pipelines do in memory). */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    * non-resumable pipelines do in memory).
+    *
+    * `params` is the stage's parameter fingerprint input: everything the
+    * compute's OUTPUT depends on besides the run identity (thresholds,
+    * numHashes, shingle size, input-table identifiers…). Its hash is
+    * recorded inside the DONE marker; resuming the same `(dir, runId,
+    * name)` with DIFFERENT params fails LOUDLY instead of silently serving
+    * the stale stage output computed under the old parameters — re-running
+    * with changed params needs a new runId (stage mixing across parameter
+    * sets within one run is never coherent). Markers written before this
+    * contract (empty) are treated as matching, preserving old runs. */
+  def stage(name: String, params: Seq[Any] = Nil)(compute: => DataFrame): DataFrame = {
     require(StageRunner.safeSegment(name), s"unsafe stage name: $name")
-    if (!isDone(name)) {
+    val fp = StageRunner.fingerprint(params)
+    val mp = markerPath(name)
+    if (isDone(name)) {
+      val recorded = readFully(mp)
+      if (recorded.nonEmpty && recorded != fp)
+        throw new IllegalStateException(
+          s"stage '$name' of run '$runId' under $dir was completed with a different " +
+            s"parameter fingerprint ($recorded; this call: $fp) — resuming would serve " +
+            "output computed under the OLD parameters. Use a fresh runId (or delete " +
+            s"$mp to force recompute) when parameters change.")
+    } else {
       io.writer(compute, "overwrite").save(stagePath(name))
-      fs.create(markerPath(name), true).close()
+      val out = fs.create(mp, true)
+      out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
     }
     io.read(spark, stagePath(name))
+  }
+
+  private def readFully(p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 }
 
@@ -62,4 +96,15 @@ object StageRunner {
     * ".." traversal tokens (the class alone admits both). */
   private[graft] def safeSegment(s: String): Boolean =
     s.matches("[A-Za-z0-9_.-]+") && s.exists(_ != '.')
+
+  /** Parameter fingerprint recorded in the DONE marker. NUL-joined toString
+    * under md5 — collisions here would need adversarial parameter strings,
+    * and the cost of one is a loud spurious mismatch, never a stale read. */
+  private[graft] def fingerprint(params: Seq[Any]): String =
+    if (params.isEmpty) "" else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val joined = params.map(String.valueOf(_: Any)).mkString("\u0000")
+      md.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    }
 }
