@@ -28,6 +28,8 @@ object Bench {
     // be visible, not silently charged to the first timed m_decode query.
     DataGen.ensureMediaFixture(spark)
     DataGen.ensureAudioFixture(spark)
+    DataGen.ensureCodecAudioFixture(spark)
+    DataGen.ensureVideoFixture(spark)
     // JIT/codegen warmup so the first measured query isn't charged for
     // first-stage compilation and scan-path initialization
     try {

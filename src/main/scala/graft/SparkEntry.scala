@@ -522,6 +522,20 @@ object SparkEntry {
         .select(col("doc_id"), col("format"), col("channels"), col("sample_rate"),
           col("bits"), col("n_samples"), col("ok"))
     }),
+    "m_codec_audio" -> ((s, dir) => { // hand-parsed MP3 + FLAC headers vs ground truth
+      val audio = s.read.parquet(DataGen.ensureCodecAudioFixture(s))
+        .select("doc_id", "payload")
+      Multimodal.decodeAudioMeta(s, audio).toDF()
+        .select(col("doc_id"), col("format"), col("channels"), col("sample_rate"),
+          col("bits"), col("n_samples"), col("ok"))
+    }),
+    "m_video" -> ((s, dir) => { // MP4 moov/mvhd/tkhd box walk vs ground truth
+      val video = s.read.parquet(DataGen.ensureVideoFixture(s))
+        .select("doc_id", "payload")
+      Multimodal.decodeVideoMeta(s, video).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("ok"))
+    }),
     // ---- flagship synthetic-corpus validation (rows-only: engine-native) ----
     "seq_validate" -> ((s, dir) => {
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
@@ -1482,6 +1496,16 @@ object SparkEntry {
                 true_sample_rate AS sample_rate, true_bits AS bits,
                 true_samples AS n_samples, (true_format <> 'unknown') AS ok
          FROM read_parquet('/root/repo/target/fixtures/audio.parquet/*.parquet')""",
+    "m_codec_audio" ->
+      """SELECT doc_id, true_format AS format, true_channels AS channels,
+                true_sample_rate AS sample_rate, true_bits AS bits,
+                true_samples AS n_samples, (true_format <> 'unknown') AS ok
+         FROM read_parquet('/root/repo/target/fixtures/codec_audio.parquet/*.parquet')""",
+    "m_video" ->
+      """SELECT doc_id, true_format AS format, true_width AS width,
+                true_height AS height, true_duration_ms AS duration_ms,
+                (true_format <> 'unknown') AS ok
+         FROM read_parquet('/root/repo/target/fixtures/video.parquet/*.parquet')""",
     // seq_* oracles read the fixture Verify materializes from the SAME
     // deterministic generator the queries run (DataGen.Seq20kFixturePath) —
     // every standard-suite check re-expressed over the materialized rows

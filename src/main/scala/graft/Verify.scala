@@ -25,6 +25,8 @@ object Verify {
     DataGen.writeSamplingIvfFixtures(spark, sfDir)
     DataGen.writeMediaFixture(spark)
     DataGen.writeAudioFixture(spark)
+    DataGen.writeCodecAudioFixture(spark)
+    DataGen.writeVideoFixture(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

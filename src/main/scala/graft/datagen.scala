@@ -258,6 +258,33 @@ object DataGen {
     AudioFixturePath
   }
 
+  /** Codec-audio fixture: hand-assembled MP3 + FLAC containers (the JDK
+    * writes neither) + planted corrupt payloads + ground truth — same
+    * contract as [[AudioFixturePath]]; generator and parser share no
+    * code. */
+  def CodecAudioFixturePath = s"$fixtureRoot/codec_audio.parquet"
+
+  def writeCodecAudioFixture(spark: SparkSession): Unit =
+    MediaGen.codecAudioTable(spark, 400).write.mode("overwrite").parquet(CodecAudioFixturePath)
+
+  def ensureCodecAudioFixture(spark: SparkSession): String = {
+    if (!new java.io.File(CodecAudioFixturePath + "/_SUCCESS").exists())
+      writeCodecAudioFixture(spark)
+    CodecAudioFixturePath
+  }
+
+  /** Video fixture: hand-assembled minimal MP4 containers + planted
+    * corrupt payloads + ground truth. */
+  def VideoFixturePath = s"$fixtureRoot/video.parquet"
+
+  def writeVideoFixture(spark: SparkSession): Unit =
+    MediaGen.videoTable(spark, 400).write.mode("overwrite").parquet(VideoFixturePath)
+
+  def ensureVideoFixture(spark: SparkSession): String = {
+    if (!new java.io.File(VideoFixturePath + "/_SUCCESS").exists()) writeVideoFixture(spark)
+    VideoFixturePath
+  }
+
   /** The standard suite for this corpus — every north-rule check. */
   def standardSuite(spark: SparkSession, maxLen: Int = 64): ConstraintSuite =
     ConstraintSuite(

@@ -81,9 +81,14 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
-    minhashLshCached(df, textCol, idCol, numHashes, bands, shingleK,
-      threshold, maxBucket)._1
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    // handle-less form: the internal signature cache self-releases after
+    // the first materializing action (see graft.AutoRelease); multi-pass
+    // consumers should use the Cached variant and release explicitly
+    val (pairs, release) = minhashLshCached(df, textCol, idCol, numHashes,
+      bands, shingleK, threshold, maxBucket)
+    graft.AutoRelease.onFirstMaterialize(pairs, release)
+  }
 
   /** [[minhashLsh]] plus a RELEASE handle for its internal signature cache —
     * the composed-pipeline form. The signature frame must be persisted (the

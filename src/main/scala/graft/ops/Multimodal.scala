@@ -111,23 +111,94 @@ object Multimodal {
       }
   }
 
-  /** Per-partition pixel decode + feature extraction: full `javax.imageio`
-    * decode of the first frame, then a deterministic 8-dim feature (mean
+  /** Header-decoded video metadata ([[MediaCodec.sniffVideo]] — MP4 box
+    * walk; `mdat` never read). Same accounting contract as
+    * [[decodeMeta]]. */
+  final case class VideoDecoded(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      n_bytes: Int,
+      ok: Boolean)
+
+  /** REAL video metadata decode — the video face of [[decodeMeta]]. */
+  def decodeVideoMeta(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[VideoDecoded] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val nb = if (p == null) 0 else p.length
+        MediaCodec.sniffVideo(p) match {
+          case Some(v) =>
+            VideoDecoded(id, v.format, v.width, v.height, v.durationMs, nb, ok = true)
+          case None => VideoDecoded(id, "unknown", 0, 0, 0L, nb, ok = false)
+        }
+      }
+  }
+
+  /** The pluggable vision-featurizer seam: `init` runs ONCE per partition
+    * (load a model, open a native/FFI context) and its handle feeds every
+    * `featurize` call in that partition — the Spark-side analog of
+    * `mapInPandas`'s batch-amortized model loading. Swapping a real
+    * learned encoder in is a one-liner at the [[decodeFeatures]] call
+    * site; the operator's plumbing (decode, accounting, ordering,
+    * determinism) never changes. */
+  final case class Featurizer[F](
+      init: () => F,
+      featurize: (F, java.awt.image.BufferedImage) => Array[Float])
+
+  /** The default stand-in featurizer: a deterministic 8-dim feature (mean
     * R/G/B in [0,1], 4-bin luminance histogram fractions, aspect ratio
-    * w/(w+h)) standing in for a learned vision embedding. `mapPartitions`
-    * (not per-row UDF) so a real encoder can amortize native init per
-    * partition — the Spark-side analog of `mapInPandas` batch shape.
+    * w/(w+h)) in place of a learned vision embedding, which cannot exist
+    * in this sandbox. Stateless, so `init` yields Unit. */
+  val defaultFeaturizer: Featurizer[Unit] = Featurizer[Unit](
+    init = () => (),
+    featurize = (_, img) => {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val lumBins = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          // integer ITU-R 601 luma approximation
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          lumBins(math.min(lum >> 6, 3)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(
+        sr.toFloat / (255f * n), sg.toFloat / (255f * n), sb.toFloat / (255f * n),
+        lumBins(0).toFloat / n, lumBins(1).toFloat / n,
+        lumBins(2).toFloat / n, lumBins(3).toFloat / n,
+        w.toFloat / (w + h))
+    })
+
+  /** Per-partition pixel decode + feature extraction: full `javax.imageio`
+    * decode of the first frame, then `featurizer` maps pixels to the
+    * embedding ([[defaultFeaturizer]] unless a real encoder is plugged
+    * in). `mapPartitions` (not per-row UDF) with the once-per-partition
+    * `init` contract so a heavy encoder amortizes its load.
     * Corrupt/undecodable payloads are SKIPPED here; run [[decodeMeta]]
     * first when failure accounting matters (its ok=false rows are the
     * audit trail). Frame count comes from the header sniff (ImageIO reads
     * the first frame only). */
-  def decodeFeatures(spark: SparkSession, df: DataFrame,
-      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[MediaFeatures] = {
+  def decodeFeatures[F](spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload",
+      featurizer: Featurizer[F] = defaultFeaturizer): Dataset[MediaFeatures] = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // heavier decoders initialize native context here, once per partition
+        val handle = featurizer.init() // once per partition
         it.flatMap { case (id, payload) =>
           for {
             p <- Option(payload).filter(_.nonEmpty)
@@ -136,28 +207,7 @@ object Multimodal {
                    catch { case _: Exception => None }
           } yield {
             val w = img.getWidth; val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            val lumBins = new Array[Long](4)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
-                sr += r; sg += g; sb += b
-                // integer ITU-R 601 luma approximation
-                val lum = (r * 299 + g * 587 + b * 114) / 1000
-                lumBins(math.min(lum >> 6, 3)) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
-            val feat = Array(
-              sr.toFloat / (255f * n), sg.toFloat / (255f * n), sb.toFloat / (255f * n),
-              lumBins(0).toFloat / n, lumBins(1).toFloat / n,
-              lumBins(2).toFloat / n, lumBins(3).toFloat / n,
-              w.toFloat / (w + h))
+            val feat = featurizer.featurize(handle, img)
             val mediaType = if (meta.nFrames > 1) "video" else "image"
             MediaFeatures(id, mediaType, p.length, w, h, meta.nFrames, feat)
           }

@@ -96,8 +96,13 @@ object Similarity {
     * reducer go quadratic. */
   def cosineLshPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
-      maxBucket: Int = 4096): DataFrame =
-    cosineLshPairsCached(df, vecCol, idCol, threshold, bands, planesPerBand, maxBucket)._1
+      maxBucket: Int = 4096): DataFrame = {
+    // handle-less form: internal cache self-releases after the first
+    // materializing action (see graft.AutoRelease)
+    val (pairs, release) =
+      cosineLshPairsCached(df, vecCol, idCol, threshold, bands, planesPerBand, maxBucket)
+    graft.AutoRelease.onFirstMaterialize(pairs, release)
+  }
 
   /** [[cosineLshPairs]] plus a RELEASE handle for the internal
     * (id, vec, norm) cache — call it once the returned pairs are fully

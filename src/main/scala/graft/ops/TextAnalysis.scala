@@ -223,12 +223,15 @@ object TextAnalysis {
     * broadcasts small df tables), and the per-doc top-k window is bounded
     * by document vocabulary size. One driver-side count() for N (the
     * corpus-size scalar every idf needs). */
-  /** Convenience form that persists its internal token frame with NO owner —
-    * one-shot sessions only; long-lived / multi-pass pipelines should use
-    * [[tfidfTopTermsCached]] and call the release handle (the same trade as
-    * `Dedup.minhashLsh` vs `minhashLshCached`). */
-  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    tfidfTopTermsCached(df, textCol, idCol, k)._1
+  /** Convenience form: the internal token cache self-releases after the
+    * first materializing action (see `graft.AutoRelease`); long-lived /
+    * multi-pass pipelines should use [[tfidfTopTermsCached]] and release
+    * explicitly (the same trade as `Dedup.minhashLsh` vs
+    * `minhashLshCached`). */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val (out, release) = tfidfTopTermsCached(df, textCol, idCol, k)
+    graft.AutoRelease.onFirstMaterialize(out, release)
+  }
 
   /** [[tfidfTopTerms]] plus a RELEASE handle for the internal (id, term,
     * tf) cache — the tokenized frame feeds BOTH the df aggregation and the

@@ -63,7 +63,7 @@ final class StageRunner(
     val fp = StageRunner.fingerprint(params)
     val mp = markerPath(name)
     if (isDone(name)) {
-      val recorded = readFully(mp)
+      val recorded = StageRunner.readFully(fs, mp)
       if (recorded.nonEmpty && recorded != fp)
         throw new IllegalStateException(
           s"stage '$name' of run '$runId' under $dir was completed with a different " +
@@ -79,7 +79,16 @@ final class StageRunner(
     io.read(spark, stagePath(name))
   }
 
-  private def readFully(p: org.apache.hadoop.fs.Path): String = {
+}
+
+object StageRunner {
+  /** One interpolated path segment: the safe char class MINUS the "." /
+    * ".." traversal tokens (the class alone admits both). */
+  private[graft] def safeSegment(s: String): Boolean =
+    s.matches("[A-Za-z0-9_.-]+") && s.exists(_ != '.')
+
+  private[graft] def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -89,13 +98,13 @@ final class StageRunner(
       new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
-}
 
-object StageRunner {
-  /** One interpolated path segment: the safe char class MINUS the "." /
-    * ".." traversal tokens (the class alone admits both). */
-  private[graft] def safeSegment(s: String): Boolean =
-    s.matches("[A-Za-z0-9_.-]+") && s.exists(_ != '.')
+  private[graft] def writeFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
 
   /** Parameter fingerprint recorded in the DONE marker. NUL-joined toString
     * under md5 — collisions here would need adversarial parameter strings,
