@@ -86,6 +86,13 @@ object ProbeSkew {
         timed("balance_mix") {
           Sampling.balanceToMix(df.select("doc_id", "source"), "source", "doc_id",
             targets).count()
+        },
+        // round 5: the EXACT per-stratum cap, now two-phase (BoundedMinRows
+        // partial top-k) — under the old window-sort the 90% stratum
+        // serialized into ONE task's sort; the bar is the same ≤1.5× ratio
+        timed("cap_exact") {
+          Sampling.capStrataExact(df.select("doc_id", "source"), "source", "doc_id",
+            maxRows = 100000).count()
         })
       runs.map { case (l, t, _) => l -> t }.toMap
     }
@@ -99,7 +106,7 @@ object ProbeSkew {
     measure(skewed = false); measure(skewed = true)
     val uni = measure(skewed = false)
     val skw = measure(skewed = true)
-    val ops = Seq("unique_salted", "cap_strata", "balance_mix")
+    val ops = Seq("unique_salted", "cap_strata", "balance_mix", "cap_exact")
     val fields = ops.flatMap { op =>
       Seq(
         f""""${op}_uniform_sec":${uni(op)}%.2f""",

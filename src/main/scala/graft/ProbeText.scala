@@ -62,6 +62,22 @@ object ProbeText {
         .agg(sum(col("logprob_fp")), sum(col("n_tok"))).head()
       s""""bigrams":${model.bigrams.size},"avg_fp":${r.getLong(0) / r.getLong(1)}"""
     }
+    timed("5gram-lm train+score") {
+      // the order-5 generalized kernel (CCNet's published filter shape):
+      // training pays five explode->count aggs (the trainFraction path cuts
+      // that at corpus scale); SCORING stays a zero-shuffle projection with
+      // O(order) trie lookups per token — the number that matters at 100 TB.
+      // Model SIZE budget: the maps ship inside the expression and the trie
+      // rebuilds per task, so total entries stay ~250 k here (an 850 k-entry
+      // probe run GC-froze the driver for 10+ minutes — the documented
+      // driver-embedded-vocabulary ceiling, see NgramLogProbFp scaladoc)
+      val model = ops.UnigramLM.trainNgram(docs, "text",
+        Seq(50000, 50000, 50000, 50000, 50000), trainFraction = 0.05,
+        idCol = "doc_id")
+      val r = ops.UnigramLM.scoreNgram(docs, "text", model)
+        .agg(sum(col("logprob_fp")), sum(col("n_tok"))).head()
+      s""""grams5":${model.grams(4).size},"avg_fp":${r.getLong(0) / r.getLong(1)}"""
+    }
     timed("tfidf-top3 (quarter corpus)") {
       // tf-idf is the one op here with an inherent term shuffle (df agg +
       // idf join + per-doc window) — probe at rows/4 to keep the join

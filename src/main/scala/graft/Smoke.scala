@@ -66,7 +66,10 @@ object Smoke {
     check("dedup", dups.count() == 500, s"${dups.count()} exact-dup groups (expect 500)")
     val mh = Dedup.minhashLsh(docs, "text", "doc_id", numHashes = 32, bands = 8,
       shingleK = 1, threshold = 0.9)
-    check("minhash", mh.count() >= 500, s"${mh.count()} near-dup pairs")
+    // count ONCE: the bare wrapper auto-releases its internal cache after
+    // the first action, so a second count would recompute the whole LSH
+    val mhPairs = mh.count()
+    check("minhash", mhPairs >= 500, s"$mhPairs near-dup pairs")
 
     // 4b. quality filters: repetition gate, unigram likelihood, PII redaction
     {
@@ -99,7 +102,8 @@ object Smoke {
         i => (pmod(xxhash64(col("id") % 100, i), lit(1000)).cast("float") / 1000f)).as("embedding"))
     val pairs = Similarity.cosineLshPairs(embs, "embedding", "vec_id",
       threshold = 0.999, bands = 4, planesPerBand = 4)
-    check("ann", pairs.count() >= 1000, s"${pairs.count()} high-cos pairs (planted clones)")
+    val nPairs = pairs.count() // once — bare wrapper auto-releases after this
+    check("ann", nPairs >= 1000, s"$nPairs high-cos pairs (planted clones)")
 
     // 6. IVF index + probed search (100 identical-content groups -> tight clusters)
     val ivfModel = Ivf.train(embs, "embedding", nlist = 8, iters = 2)
@@ -203,6 +207,40 @@ object Smoke {
           .toDF("doc_id", "text"), "text", cm, minAvgFp = 0L)
         .select("doc_id").as[Long].collect().toSet
       check("classifier", kept == Set(9L), s"gate kept $kept (expect Set(9))")
+    }
+
+    // 7h. incremental-index lifecycle: append day-1, gate day-2 against it
+    {
+      import spark.implicits._
+      val idxRoot = s"$out/dedup_index"
+      val day1 = Seq(
+        ("a1", "the quick brown fox jumps over the lazy dog in the garden today"),
+        ("a2", "a wholly different passage about distributed execution engines"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendSignatures(day1, "text", "doc_id", s"$idxRoot/sigs", "day1")
+      val day2 = Seq(
+        ("b1", "the quick brown fox jumps over the lazy dog in the garden today"),
+        ("b2", "fresh second day content that matches nothing stored before"))
+        .toDF("doc_id", "text")
+      val kept2 = Dedup.dropExactDupsAgainst(day2, "text", "doc_id",
+          DedupIndex.readIndex(spark, s"$idxRoot/sigs"))
+        .select("doc_id").as[String].collect().toSet
+      val again = DedupIndex.appendSignatures(day1, "text", "doc_id", s"$idxRoot/sigs", "day1")
+      check("dedup-index", kept2 == Set("b2") && !again,
+        s"day-2 kept $kept2 (expect Set(b2)); re-append no-op=${!again}")
+    }
+
+    // 7i. hand-parsed containers the JDK cannot write: MP3 / FLAC / MP4
+    {
+      val mp3 = MediaCodec.sniffMp3(
+        MediaGen.encodeMp3(1L, 4, 9, 0, mono = false, id3 = true))
+      val fl = MediaCodec.sniffAudio(MediaGen.encodeFlac(44100, 2, 16, 12345L))
+      val mp4 = MediaCodec.sniffVideo(MediaGen.encodeMp4(640, 360, 90000, 450000L))
+      check("codec-parsers",
+        mp3.exists(m => m.bitrateKbps == 128 && m.nFrames == 4) &&
+          fl.contains(MediaCodec.AudioMeta("flac", 2, 44100, 16, 12345L)) &&
+          mp4.contains(MediaCodec.VideoMeta("mp4", 640, 360, 5000L)),
+        s"mp3=$mp3 flac=$fl mp4=$mp4")
     }
 
     // 8. deterministic sampling: disjoint split, stable across partitioning

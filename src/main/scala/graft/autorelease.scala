@@ -18,14 +18,25 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * Best-effort by design: an action that bypasses the SQL execution path
   * (e.g. consuming `result.rdd` directly) never fires a
-  * QueryExecutionListener, and a result that is never materialized keeps
-  * its cache until session end — exactly the pre-existing behavior.
-  * Multi-pass consumers should use the `*Cached` variants and release
-  * explicitly (after the first action the internal cache is gone and later
-  * passes recompute from source). Listener callbacks run on the listener
-  * bus AFTER the action returns, so release is asynchronous — tests poll.
+  * QueryExecutionListener; a result that is never materialized has its
+  * cache released anyway after [[AutoRelease.MaxUnmatchedScans]] unrelated
+  * queries complete (the internal frames are `persist()`ed, never
+  * lineage-truncated, so a later action simply recomputes — strictly
+  * better than the pre-existing leak-until-session-end). Two CONCURRENT
+  * bare calls with identical arguments have `sameResult` plans, so the
+  * first one materialized can release both caches — the second recomputes
+  * uncached (correct, slower). Multi-pass or concurrent-identical
+  * consumers should use the `*Cached` variants and release explicitly.
+  * Listener callbacks run on the listener bus AFTER the action returns,
+  * so release is asynchronous — tests poll.
   */
 private[graft] object AutoRelease {
+
+  /** After this many completed queries NONE of which materialized the
+    * wrapped result, release the cache and unregister anyway — bounds both
+    * the leaked cache and the per-query sameResult scan of a result that
+    * was built and abandoned. */
+  private val MaxUnmatchedScans = 200
 
   /** Return `result` unchanged, releasing `release` after the first
     * completed (or failed) action that materializes it. */
@@ -33,12 +44,14 @@ private[graft] object AutoRelease {
     val session = result.sparkSession
     val target = result.queryExecution.analyzed
     val fired = new AtomicBoolean(false)
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     lazy val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybe(qe: QueryExecution): Unit = {
         val hit =
           try qe.analyzed.exists(p => p.sameResult(target))
           catch { case _: Throwable => false }
-        if (hit && fired.compareAndSet(false, true)) {
+        val abandoned = !hit && misses.incrementAndGet() >= MaxUnmatchedScans
+        if ((hit || abandoned) && fired.compareAndSet(false, true)) {
           try release()
           finally {
             try session.listenerManager.unregister(listener)

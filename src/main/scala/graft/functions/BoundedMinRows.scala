@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
   * columns ride along fine. Output: array of payload structs, ascending by
   * sort key. State per group: O(k · row size) — the caller's documented
   * memory contract for the exact variant. Null sort keys are skipped
-  * (callers build keys from non-null gate/hash columns).
+  * (callers build keys from non-null gate/hash columns); a null PAYLOAD
+  * keeps its slot (its key exists) and surfaces as a null array element.
   */
 case class BoundedMinRows(
     left: Expression, // sort key struct
@@ -45,7 +46,9 @@ case class BoundedMinRows(
   private def keyType: StructType = left.dataType.asInstanceOf[StructType]
   private def payloadType: StructType = right.dataType.asInstanceOf[StructType]
 
-  override def dataType: DataType = ArrayType(payloadType, containsNull = false)
+  // containsNull: a row whose PAYLOAD struct evaluates to null still
+  // occupies its slot (its sort key exists) and surfaces as a null element
+  override def dataType: DataType = ArrayType(payloadType, containsNull = true)
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -76,12 +79,15 @@ case class BoundedMinRows(
       // compare BEFORE copying: a full buffer whose worst key is <= this
       // key cannot admit it — the hot-group fast path pays zero allocation
       if (buf.size < k || keyOrdering.compare(keyRow, buf.peek()._1) < 0) {
+        // a null payload stays null (serialized as a flag, emitted as a
+        // null array element) — substituting an empty row would crash the
+        // UnsafeProjection and corrupt the declared element type
         val payloadV = right.eval(input)
         val payloadRow =
-          if (payloadV == null) InternalRow.empty
-          else payloadV.asInstanceOf[InternalRow]
-        // COPY both rows: eval results point into reused operator buffers
-        buf.add((keyRow.copy(), payloadRow.copy()))
+          if (payloadV == null) null
+          else payloadV.asInstanceOf[InternalRow].copy()
+        // COPY rows: eval results point into reused operator buffers
+        buf.add((keyRow.copy(), payloadRow))
         if (buf.size > k) buf.poll()
       }
     }
@@ -122,8 +128,11 @@ case class BoundedMinRows(
       val (kr, pr) = it.next()
       val kb = keyProj.apply(kr).getBytes
       out.writeInt(kb.length); out.write(kb)
-      val pb = payloadProj.apply(pr).getBytes
-      out.writeInt(pb.length); out.write(pb)
+      if (pr == null) out.writeInt(-1) // null payload flag
+      else {
+        val pb = payloadProj.apply(pr).getBytes
+        out.writeInt(pb.length); out.write(pb)
+      }
     }
     out.flush()
     bos.toByteArray
@@ -138,9 +147,15 @@ case class BoundedMinRows(
       val kb = new Array[Byte](in.readInt()); in.readFully(kb)
       val kr = new UnsafeRow(keyType.size)
       kr.pointTo(kb, kb.length)
-      val pb = new Array[Byte](in.readInt()); in.readFully(pb)
-      val pr = new UnsafeRow(payloadType.size)
-      pr.pointTo(pb, pb.length)
+      val plen = in.readInt()
+      val pr =
+        if (plen < 0) null
+        else {
+          val pb = new Array[Byte](plen); in.readFully(pb)
+          val r = new UnsafeRow(payloadType.size)
+          r.pointTo(pb, pb.length)
+          r
+        }
       buf.add((kr, pr))
       i += 1
     }

@@ -529,12 +529,22 @@ private[functions] final class NgramTrieNode {
   * values round to the 1e-6 grid and sum as a long (order-independent).
   *
   * For orders 1-3 this reproduces the dedicated kernels bit-for-bit
-  * (asserted in Round5Spec). All vocabularies live in ONE driver-side trie
-  * shipped once per executor via the codegen reference object; scoring is
-  * a zero-shuffle projection with O(order) pointer-walk lookups per token
-  * and zero per-token allocation (context nodes roll forward — the new
-  * length-j context node is the old length-(j-1) node's `cur` child).
-  * Returns struct(logprob_fp, n_tok). */
+  * (asserted in Round5Spec). All vocabularies live in ONE trie built
+  * lazily from the expression's maps; scoring is a zero-shuffle
+  * projection with O(order) pointer-walk lookups per token and zero
+  * per-token allocation (context nodes roll forward — the new length-j
+  * context node is the old length-(j-1) node's `cur` child).
+  *
+  * MODEL-SIZE budget: the maps serialize inside the expression and the
+  * transient trie rebuilds per deserialized task instance, so total
+  * entries across levels should stay in the low hundreds of thousands
+  * (measured: ~250 k entries is comfortable; an 850 k-entry model
+  * GC-froze a 16-core driver). A KenLM-scale model (tens of millions of
+  * n-grams) needs an executor-shared representation — a broadcast
+  * variable with a JVM-level cache, or an off-heap/file-backed store —
+  * behind the same scoring contract; the bounded-vocabulary form here is
+  * the CCNet-style filter at the sizes its published pipeline uses for
+  * per-language reference models. Returns struct(logprob_fp, n_tok). */
 case class NgramLogProbFp(
     child: Expression, grams: Seq[Map[String, Long]], total: Long)
     extends UnaryExpression {

@@ -528,6 +528,9 @@ object Dedup {
       .groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
       .select("band", "band_hash")
+      // bounded residual: one row per dropped boilerplate bucket; cannot be
+      // auto-freed (the returned frame's anti-join lineage reads it, and a
+      // truncated-lineage checkpoint cannot recompute after unpersist)
       .localCheckpoint(true)
     val nOversized = oversized.count()
     if (nOversized > 0)
@@ -570,8 +573,11 @@ object Dedup {
       .join(broadcast(corGrams), Seq("id_b"))
     // materialize the flagged-id set eagerly so the checkpointed candidate
     // frame can be FREED here — without this, repeated daily-ingest calls in
-    // a long-lived session accrete one candidate block set per call (same
-    // cache discipline as finishDropById)
+    // a long-lived session accrete one candidate block set per call. The
+    // flagged checkpoint itself CANNOT be auto-freed (localCheckpoint
+    // truncates lineage — freeing it would break any later action on the
+    // returned frame), but it is one row per dropped near-dup: the same
+    // bounded pay-per-defect residual finishDropById's contract documents.
     val flagged = scorePairs(pairs, minJaccard)
       .select(col("id_a").as("__flag")).distinct().localCheckpoint(true)
     freeLocalCheckpoint(cand)

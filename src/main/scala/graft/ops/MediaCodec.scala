@@ -348,12 +348,16 @@ object MediaCodec {
 
     for {
       (moovStart, moovEnd) <- find("moov", 0, bytes.length)
-      (mvhdStart, _) <- find("mvhd", moovStart, moovEnd)
+      (mvhdStart, mvhdEnd) <- find("mvhd", moovStart, moovEnd)
       meta <- {
+        // every field read is bounded by the DECLARED box extent — a box
+        // whose declared size is walk-valid but too small for its version's
+        // layout must reject, not read the next sibling's bytes as metadata
         val ver = u8(bytes, mvhdStart)
         val (timescale, duration) =
-          if (ver == 0) (i32be(bytes, mvhdStart + 12), i32be(bytes, mvhdStart + 16))
-          else if (ver == 1) {
+          if (ver == 0 && mvhdStart + 20 <= mvhdEnd)
+            (i32be(bytes, mvhdStart + 12), i32be(bytes, mvhdStart + 16))
+          else if (ver == 1 && mvhdStart + 32 <= mvhdEnd) {
             val hi = i32be(bytes, mvhdStart + 24); val lo = i32be(bytes, mvhdStart + 28)
             (i32be(bytes, mvhdStart + 20),
               if (hi < 0 || lo < 0) -1L else (hi << 32) | lo)
@@ -367,10 +371,12 @@ object MediaCodec {
             find("trak", searchFrom, moovEnd) match {
               case None => dims = Some((0, 0)) // no more traks
               case Some((trakStart, trakEnd)) =>
-                find("tkhd", trakStart, trakEnd).foreach { case (tk, _) =>
+                find("tkhd", trakStart, trakEnd).foreach { case (tk, tkEnd) =>
                   val off = if (u8(bytes, tk) == 1) 88 else 76
-                  val w = i32be(bytes, tk + off); val h = i32be(bytes, tk + off + 4)
-                  if (w > 0 && h > 0) dims = Some(((w >> 16).toInt, (h >> 16).toInt))
+                  if (tk + off + 8 <= tkEnd) { // dims inside the declared box
+                    val w = i32be(bytes, tk + off); val h = i32be(bytes, tk + off + 4)
+                    if (w > 0 && h > 0) dims = Some(((w >> 16).toInt, (h >> 16).toInt))
+                  }
                 }
                 searchFrom = trakEnd
             }

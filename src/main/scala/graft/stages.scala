@@ -72,9 +72,7 @@ final class StageRunner(
             s"$mp to force recompute) when parameters change.")
     } else {
       io.writer(compute, "overwrite").save(stagePath(name))
-      val out = fs.create(mp, true)
-      out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
+      StageRunner.writeFully(fs, mp, fp)
     }
     io.read(spark, stagePath(name))
   }

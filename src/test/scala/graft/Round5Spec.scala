@@ -235,6 +235,42 @@ class Round5Spec extends SparkSpec {
     assert(MediaCodec.sniffVideo(b.take(24)).isEmpty)
   }
 
+  test("MP4: a walk-valid box too small for its layout rejects (no sibling-byte reads)") {
+    import graft.ops.MediaCodec
+    val b = MediaGen.encodeMp4(640, 360, 1000, 5000L)
+    def boxSizeOffset(name: String): Int = {
+      val pat = name.getBytes("ISO-8859-1")
+      (0 until b.length - 4).find(i => pat.indices.forall(k => b(i + k) == pat(k))).get - 4
+    }
+    // shrink tkhd's DECLARED size below the v0 dims offset (needs 8+84):
+    // the walk still accepts the box, but the dims must not be read from
+    // the bytes that now belong to the next sibling
+    val shrunkTkhd = b.clone()
+    val tk = boxSizeOffset("tkhd")
+    shrunkTkhd(tk) = 0; shrunkTkhd(tk + 1) = 0; shrunkTkhd(tk + 2) = 0
+    shrunkTkhd(tk + 3) = 84.toByte // 8 header + 76 < dims extent
+    assert(MediaCodec.sniffVideo(shrunkTkhd).isEmpty)
+    // same for mvhd (v0 needs 8+20 of data for timescale+duration)
+    val shrunkMvhd = b.clone()
+    val mv = boxSizeOffset("mvhd")
+    shrunkMvhd(mv) = 0; shrunkMvhd(mv + 1) = 0; shrunkMvhd(mv + 2) = 0
+    shrunkMvhd(mv + 3) = 24.toByte
+    assert(MediaCodec.sniffVideo(shrunkMvhd).isEmpty)
+  }
+
+  test("BoundedMinRows: null payload structs keep their slot as null elements") {
+    import graft.functions.BoundedMinRows.bounded_min_rows
+    val df = spark.range(0, 10, 1, 4).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN named_struct('v', id) END AS p")
+    val arr = df.groupBy()
+      .agg(bounded_min_rows(struct(col("id")), col("p"), 5).as("kept"))
+      .head().getSeq[Any](0)
+    // smallest 5 keys = ids 0..4; payload defined only for 0 and 3
+    assert(arr.length === 5)
+    assert(Seq(0, 3).forall(i => arr(i) != null) &&
+      Seq(1, 2, 4).forall(i => arr(i) == null))
+  }
+
   test("new container parsers: deterministic mutation fuzz — never throw, never hang") {
     import graft.ops.MediaCodec
     val rnd = new scala.util.Random(1234)
