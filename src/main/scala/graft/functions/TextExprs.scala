@@ -555,7 +555,57 @@ case class NgramLogProbFp(
     StructField("logprob_fp", LongType, nullable = false),
     StructField("n_tok", LongType, nullable = false)))
 
-  @transient private lazy val root: NgramTrieNode = {
+  @transient private lazy val scorer = new NgramScorer(grams, total)
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow =
+    scorer.score(a)
+  override def nullSafeEval(x: Any): Any =
+    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramLp", this, classOf[NgramLogProbFp].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** EXECUTOR-SHARED form of [[NgramLogProbFp]] — identical arithmetic, but
+  * the vocabulary maps ride a Spark BROADCAST (shipped once per executor,
+  * torrent-distributed) and the scoring trie builds ONCE PER EXECUTOR JVM
+  * (soft-referenced cache keyed by broadcast id) instead of once per task.
+  * This lifts the embedded form's measured model-size ceiling (~250 k
+  * entries; an 850 k-entry embedded model GC-froze a 16-core driver) to
+  * KenLM-class sizes bounded only by executor memory — the form a real
+  * CCNet-scale reference model deploys with. Scoring is still a
+  * zero-shuffle codegen'd projection. */
+case class NgramLogProbFpBroadcast(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[(Seq[Map[String, Long]], Long)])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("logprob_fp", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false)))
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow =
+    NgramScorer.cached(model).score(a)
+  override def nullSafeEval(x: Any): Any =
+    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramLpBc", this, classOf[NgramLogProbFpBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The order-N scoring core shared by the embedded and broadcast kernels:
+  * trie + precomputed unigram backoff scores + the longest-context
+  * dispatch loop. Built eagerly at construction; never serialized (each
+  * kernel decides how the MAPS travel and when to build). */
+private[functions] final class NgramScorer(grams: Seq[Map[String, Long]], total: Long) {
+  require(total > 0, "total token count must be positive")
+  require(grams.nonEmpty, "need at least the unigram vocabulary")
+  val order: Int = grams.length
+
+  private val root: NgramTrieNode = {
     val r = new NgramTrieNode
     var level = 0
     while (level < grams.length) {
@@ -572,18 +622,17 @@ case class NgramLogProbFp(
     r
   }
   // precomputed fixed-point unigram scores for the L=0 backoff path
-  @transient private lazy val uniFp: java.util.HashMap[UTF8String, java.lang.Long] = {
+  private val uniFp: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long](grams.head.size * 2)
     grams.head.foreach { case (t, c) =>
       m.put(UTF8String.fromString(t),
         java.lang.Long.valueOf(math.round(math.log(c.toDouble / total) * 1e6))) }
     m
   }
-  @transient private lazy val oovFp: Long =
+  private val oovFp: Long =
     math.round(math.log(1.0 / total) * 1e6)
 
-  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
-    val t = root // force the lazy trie once
+  def score(a: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
     val maxCtx = order - 1
     // ctxNode(j) = trie node of the length-j context (p_j .. p_1); index 0 unused
     val ctxNode = new Array[NgramTrieNode](maxCtx + 1)
@@ -595,7 +644,7 @@ case class NgramLogProbFp(
     while (i < n) {
       if (!a.isNullAt(i)) {
         val cur = a.getUTF8String(i)
-        val curUni = t.child(cur)
+        val curUni = root.child(cur)
         val curKnown = curUni != null && curUni.count >= 0
         if (chain == 0) {
           sum += (if (curKnown) uniFp.get(cur).longValue() else oovFp)
@@ -632,13 +681,33 @@ case class NgramLogProbFp(
     }
     InternalRow(sum, scored)
   }
-  override def nullSafeEval(x: Any): Any =
-    compute(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ngramLp", this, classOf[NgramLogProbFp].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+}
+
+private[graft] object NgramScorer {
+  // once-per-JVM scorer per broadcast model: soft refs so an executor under
+  // memory pressure can shed an idle model and rebuild on next use
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[NgramScorer]]()
+  /** Build count — test observability for the once-per-JVM contract. */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def cached(
+      bc: org.apache.spark.broadcast.Broadcast[(Seq[Map[String, Long]], Long)]): NgramScorer = {
+    val ref = cache.get(bc.id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else cache.synchronized {
+      val again = { val r = cache.get(bc.id); if (r == null) null else r.get() }
+      if (again != null) again
+      else {
+        val (grams, total) = bc.value
+        val s = new NgramScorer(grams, total)
+        builds.incrementAndGet()
+        cache.put(bc.id, new java.lang.ref.SoftReference(s))
+        s
+      }
+    }
   }
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 object TextFunctions {
@@ -658,4 +727,7 @@ object TextFunctions {
       trigrams, total))
   def ngram_logprob_fp(tokens: Column, grams: Seq[Map[String, Long]], total: Long): Column =
     GraftShim.column(NgramLogProbFp(GraftShim.expression(tokens), grams, total))
+  def ngram_logprob_fp_broadcast(tokens: Column,
+      model: org.apache.spark.broadcast.Broadcast[(Seq[Map[String, Long]], Long)]): Column =
+    GraftShim.column(NgramLogProbFpBroadcast(GraftShim.expression(tokens), model))
 }

@@ -223,6 +223,35 @@ object UnigramLM {
       .withColumn("n_tok", st("n_tok"))
   }
 
+  /** EXECUTOR-SHARED order-N model: the vocabulary maps ride a Spark
+    * broadcast and the scoring trie builds once per executor JVM — same
+    * arithmetic as [[NgramModel]], but the model-size ceiling moves from
+    * the embedded form's measured ~250 k entries (maps serialized into the
+    * expression, trie rebuilt per task) to KenLM-class sizes bounded only
+    * by executor memory. Use for reference models above a few hundred
+    * thousand n-grams; the embedded form stays simpler for small ones. */
+  final case class BroadcastNgramModel(
+      bc: org.apache.spark.broadcast.Broadcast[(Seq[Map[String, Long]], Long)]) {
+    def logProbFp(tokensCol: Column): Column =
+      graft.functions.TextFunctions.ngram_logprob_fp_broadcast(tokensCol, bc)
+    /** Release the broadcast blocks on every executor (call when the model
+      * is retired; scoring after this fails — rebroadcast instead). */
+    def destroy(): Unit = bc.destroy()
+  }
+
+  /** Broadcast a trained model for executor-shared scoring. */
+  def broadcastModel(spark: org.apache.spark.sql.SparkSession,
+      model: NgramModel): BroadcastNgramModel =
+    BroadcastNgramModel(spark.sparkContext.broadcast((model.grams, model.totalTokens)))
+
+  /** [[scoreNgram]] over the executor-shared model form. */
+  def scoreNgramBroadcast(df: DataFrame, textCol: String,
+      model: BroadcastNgramModel): DataFrame = {
+    val st = model.logProbFp(tokens(col(textCol)))
+    df.withColumn("logprob_fp", st("logprob_fp"))
+      .withColumn("n_tok", st("n_tok"))
+  }
+
   /** Keep rows whose AVERAGE per-token log-likelihood is at least
     * `minAvgFp` (fixed-point, e.g. -9_000_000 = avg ln-prob >= -9.0), in
     * multiply-form so no division enters the plan. Tokenless rows drop. */

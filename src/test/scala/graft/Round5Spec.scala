@@ -117,6 +117,37 @@ class Round5Spec extends SparkSpec {
     assert(eval("CODEGEN_ONLY") === eval("NO_CODEGEN"))
   }
 
+  test("BroadcastNgramModel: identical scores, trie built once per JVM, codegen-safe") {
+    import graft.ops.UnigramLM
+    val docs = spark.range(0, 500, 1, 8).selectExpr("id AS doc_id",
+      """concat('the quick tok', cast(id % 23 AS STRING),
+                ' jumps over tok', cast(id % 7 AS STRING),
+                ' and tok', cast(id % 3 AS STRING)) AS text""")
+    val m = UnigramLM.trainNgram(docs, "text", Seq(40, 60, 80, 90, 100))
+    val bm = UnigramLM.broadcastModel(spark, m)
+    def scores(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("doc_id", "logprob_fp", "n_tok").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val buildsBefore = graft.functions.NgramScorer.builds.get()
+    val bcScores = scores(UnigramLM.scoreNgramBroadcast(docs, "text", bm))
+    // identical arithmetic to the embedded kernel…
+    assert(bcScores === scores(UnigramLM.scoreNgram(docs, "text", m)))
+    // …and the scorer built ONCE for all 8 partitions, not once per task
+    assert(graft.functions.NgramScorer.builds.get() === buildsBefore + 1)
+    // a second scoring pass reuses the cached scorer (zero new builds)
+    UnigramLM.scoreNgramBroadcast(docs, "text", bm).count()
+    assert(graft.functions.NgramScorer.builds.get() === buildsBefore + 1)
+    // forced codegen path agrees
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(scores(UnigramLM.scoreNgramBroadcast(docs, "text", bm)) === bcScores)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    bm.destroy()
+  }
+
   test("trainNgram(trainFraction) routes through the deterministic sample") {
     import graft.ops.{Sampling, UnigramLM}
     val docs = spark.range(0, 200).selectExpr("id AS doc_id",
