@@ -94,6 +94,17 @@ object Smoke {
         gates(1L) && !gates(2L) && lmScores(1L) > lmScores(2L) &&
           redacted == "reach <EMAIL> or <PHONE>",
         s"gopher=${gates(1L)}/${gates(2L)} lm=${lmScores(1L)}>${lmScores(2L)} '$redacted'")
+      // executor-shared (broadcast) order-N form: identical scores to the
+      // embedded kernel over the same trained model
+      val ng = UnigramLM.trainNgram(docs, "text", Seq(100, 200, 300))
+      val scoreDocs = docs.filter(col("doc_id") < 200)
+      def sums(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum("logprob_fp"), sum("n_tok")).head()
+      val emb = sums(UnigramLM.scoreNgram(scoreDocs, "text", ng))
+      val bm = UnigramLM.broadcastModel(spark, ng)
+      val bcs = sums(UnigramLM.scoreNgramBroadcast(scoreDocs, "text", bm))
+      bm.destroy()
+      check("lm-broadcast", emb == bcs, s"embedded $emb == broadcast $bcs")
     }
 
     // 5. ANN over synthetic embeddings

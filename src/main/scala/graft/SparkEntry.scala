@@ -83,6 +83,19 @@ object SparkEntry {
       UnigramLM.trainNgram(ld(s, dir, "documents").filter(col("text").isNotNull),
         "text", Seq(500, 1000, 2000, 3000, 4000)))
   }
+  // Executor-shared form of the SAME 5-gram model: the broadcast handle is
+  // memoized per dir alongside the embedded model, so repeated queries ship
+  // the maps once. A handle for a refreshed dir is dropped (not destroyed —
+  // in-flight queries may still hold it; the driver-side reference goes
+  // away and the blocks age out with the context).
+  private val fivegramBcModels =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, UnigramLM.BroadcastNgramModel)]
+  private def fivegramBcModel(s: SparkSession, dir: String): UnigramLM.BroadcastNgramModel = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    memo(fivegramBcModels, dir, mtime)(
+      UnigramLM.broadcastModel(s, fivegramModel(s, dir)))
+  }
+
   private val classifierModels = scala.collection.concurrent.TrieMap.empty[String, (Long, QualityClassifier.Model)]
   private def classifierModel(s: SparkSession, dir: String): QualityClassifier.Model = {
     val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
@@ -440,6 +453,12 @@ object SparkEntry {
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
     }),
+    "t_5gram_lp_bc" -> ((s, dir) => { // same 5-gram model, executor-shared broadcast form
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      UnigramLM.scoreNgramBroadcast(docs, "text", fivegramBcModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
     "t_classifier" -> ((s, dir) => { // NB log-odds quality classifier (fastText shape)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
       QualityClassifier.score(docs, "text", classifierModel(s, dir))
@@ -567,10 +586,15 @@ object SparkEntry {
     * against the unscoped root and rewritten here at dump time, so a Verify
     * run at one SF can never hand the driver oracle SQL pointing at another
     * SF's fixtures. */
-  def oracleSql: Map[String, String] =
-    oracleSqlRaw.map { case (k, v) =>
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlRaw.map { case (k, v) =>
       k -> v.replace("/root/repo/target/fixtures/", DataGen.fixtureRoot + "/")
     }
+    // The broadcast-form 5-gram query scores the SAME model with the same
+    // arithmetic through a different transport — one SQL mirror serves both
+    // (both must be oracle-exact independently).
+    m + ("t_5gram_lp_bc" -> m("t_5gram_lp"))
+  }
 
   private def oracleSqlRaw: Map[String, String] = Map(
     "v_range" ->
