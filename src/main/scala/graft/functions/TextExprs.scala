@@ -685,25 +685,38 @@ private[functions] final class NgramScorer(grams: Seq[Map[String, Long]], total:
 
 private[graft] object NgramScorer {
   // once-per-JVM scorer per broadcast model: soft refs so an executor under
-  // memory pressure can shed an idle model and rebuild on next use
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[NgramScorer]]()
+  // memory pressure can shed an idle model and rebuild on next use.
+  // Keyed by (application id, broadcast id), NOT broadcast id alone:
+  // broadcast ids are a per-SparkContext counter, so in a long-lived JVM
+  // that restarts its session (notebook, test harness) a new context's
+  // broadcast N would otherwise hit the old context's cached scorer and
+  // silently score with the wrong model. (The Broadcast INSTANCE can't be
+  // the key — each task deserializes its own wrapper, which would rebuild
+  // per task and defeat the cache.)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.lang.ref.SoftReference[NgramScorer]]()
   /** Build count — test observability for the once-per-JVM contract. */
   private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  private def appId(): String = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) "" else env.conf.getAppId
+  }
+
   def cached(
       bc: org.apache.spark.broadcast.Broadcast[(Seq[Map[String, Long]], Long)]): NgramScorer = {
-    val ref = cache.get(bc.id)
+    val key = (appId(), bc.id)
+    val ref = cache.get(key)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) hit
     else cache.synchronized {
-      val again = { val r = cache.get(bc.id); if (r == null) null else r.get() }
+      val again = { val r = cache.get(key); if (r == null) null else r.get() }
       if (again != null) again
       else {
         val (grams, total) = bc.value
         val s = new NgramScorer(grams, total)
         builds.incrementAndGet()
-        cache.put(bc.id, new java.lang.ref.SoftReference(s))
+        cache.put(key, new java.lang.ref.SoftReference(s))
         s
       }
     }

@@ -52,23 +52,34 @@ object DedupIndex {
   def appendSignatures(accepted: DataFrame, textCol: String, idCol: String,
       dir: String, batchId: String, io: TableIO = TableIO.default): Boolean =
     appendBatch(Dedup.exactSignatures(accepted, textCol, idCol), dir, batchId,
-      Seq("exact_sigs_md5"), io)
+      Seq("exact_sigs_md5", textCol, idCol), io)
 
   /** Append the accepted batch's MinHash band rows. Parameters MUST equal
-    * those of every prior append to this index (verified via `_params`).
-    * Returns true if written, false if this batch already landed. */
+    * those of every prior append to this index (verified via `_params` —
+    * including the SOURCE columns: band rows built over different document
+    * representations are as mutually meaningless as different hash counts). */
   def appendBands(accepted: DataFrame, textCol: String, idCol: String,
       dir: String, batchId: String, numHashes: Int = 128, bands: Int = 32,
       shingleK: Int = 3, io: TableIO = TableIO.default): Boolean =
     appendBatch(
       Dedup.minhashBandTable(accepted, textCol, idCol, numHashes, bands, shingleK),
-      dir, batchId, Seq("minhash_bands", numHashes, bands, shingleK), io)
+      dir, batchId,
+      Seq("minhash_bands", textCol, idCol, numHashes, bands, shingleK), io)
 
-  /** Read the whole index (every appended batch) — feed this to
-    * [[Dedup.dropExactDupsAgainst]] / [[Dedup.dropNearDupsAgainst]]. */
+  /** Read the index's COMPLETED batches — feed this to
+    * [[Dedup.dropExactDupsAgainst]] / [[Dedup.dropNearDupsAgainst]]. Reads
+    * are MARKER-GATED: only `batch=` directories whose `_appended_` marker
+    * landed are listed, so a crashed append's partially-committed data is
+    * invisible until its retry overwrites and commits it (the same
+    * discipline the write side promises, now enforced on read). */
   def readIndex(spark: SparkSession, dir: String,
-      io: TableIO = TableIO.default): DataFrame =
-    io.read(spark, dir)
+      io: TableIO = TableIO.default): DataFrame = {
+    val fs = hfs(spark, dir)
+    val completed = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_appended_")).map(_.stripPrefix("_appended_")).sorted
+    require(completed.nonEmpty, s"no completed batches in the index at $dir")
+    io.readUnder(spark, dir, completed.toSeq.map(b => s"$dir/batch=$b"))
+  }
 
   /** Has any batch completed here? (False for a brand-new index dir — the
     * day-0 bootstrap case, where the gates have nothing to check against.) */

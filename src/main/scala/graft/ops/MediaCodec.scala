@@ -241,7 +241,11 @@ object MediaCodec {
       // syncsafe u28: 4 bytes of 7 bits each (high bit must be clear)
       val s = Seq(6, 7, 8, 9).map(u8(b, _))
       if (s.exists(v => v < 0 || (v & 0x80) != 0)) return None
-      pos = 10 + ((s(0) << 21) | (s(1) << 14) | (s(2) << 7) | s(3))
+      // ID3v2.4 footer flag (0x10): the tag carries a 10-byte trailer copy
+      // of the header, NOT counted in the syncsafe size — skip it too or
+      // the walk reads '3DI…' where it expects frame sync
+      val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+      pos = 10 + ((s(0) << 21) | (s(1) << 14) | (s(2) << 7) | s(3)) + footer
       if (pos >= b.length) return None
     }
     var version: String = null

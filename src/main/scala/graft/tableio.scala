@@ -13,6 +13,13 @@ final case class TableIO(format: String = TableIO.defaultFormat) {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(format).load(path)
 
+  /** Read an explicit subset of a partitioned table's directories, keeping
+    * the partition columns (via `basePath`). Lets marker-gated readers
+    * serve only committed partitions — uncommitted directories are never
+    * listed, so even footerless partial files can't break the read. */
+  def readUnder(spark: SparkSession, basePath: String, paths: Seq[String]): DataFrame =
+    spark.read.format(format).option("basePath", basePath).load(paths: _*)
+
   def writer(df: DataFrame, mode: String = "append"): DataFrameWriter[Row] =
     df.write.format(format).mode(mode)
 

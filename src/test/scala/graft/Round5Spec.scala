@@ -236,6 +236,16 @@ class Round5Spec extends SparkSpec {
     // free-format bitrate (index 0) is unsupported, never guessed
     val ff = b.clone(); ff(2) = (ff(2) & 0x0F).toByte
     assert(MediaCodec.sniffMp3(ff).isEmpty)
+    // ID3v2.4 with the FOOTER flag (0x10): tag occupies 10 + size + 10
+    // bytes — the 10-byte trailer is NOT in the syncsafe size and must be
+    // skipped too (hand-assembled; the generator never writes footers)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 24))
+    out.write(new Array[Byte](24)) // tag payload (syncsafe size = 24)
+    out.write(Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 24)) // footer
+    out.write(b)
+    val foot = MediaCodec.sniffMp3(out.toByteArray).get
+    assert(foot === m) // same stream, tag fully skipped
   }
 
   test("FLAC: STREAMINFO bit unpacking round-trips the generator's packing") {
@@ -417,6 +427,21 @@ class Round5Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DedupIndex.appendSignatures(day1, "text", "doc_id", sigDir, "..")
     }
+    // SOURCE columns are part of the fingerprint: same hash params over a
+    // different text column is just as mutually meaningless
+    val renamed = day2.withColumnRenamed("text", "title")
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.appendBands(renamed, "title", "doc_id", bandDir, "day2", nh, nb, k)
+    }
+    assert(e2.getMessage.contains("fingerprint"))
+    // reads are MARKER-GATED: a crashed append (data landed, marker didn't)
+    // is invisible until its retry commits — simulate by writing a batch
+    // directory directly with no _appended_ marker
+    TableIO.default.writer(
+      graft.ops.Dedup.exactSignatures(day3, "text", "doc_id"), "overwrite")
+      .save(s"$sigDir/batch=crashed")
+    assert(DedupIndex.readIndex(spark, sigDir).count() === 5L) // still 5, not 7
+    assert(!DedupIndex.exists(spark, sigDir, "crashed"))
   }
 
   // ---------------------------------------------------------------------
