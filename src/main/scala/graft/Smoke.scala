@@ -141,6 +141,39 @@ object Smoke {
     check("neardup-pipeline", kept.count() == 500,
       s"${kept.count()} survivors of 2000 docs in 500 content groups")
 
+    // 7a. SemDeDup shape: the same pipeline over the EMBEDDING column — embs
+    // has 100 identical-content groups of 10, so exactly the min id of each
+    // group survives
+    val embKept = Dedup.dropNearDupsByEmbedding(embs, "embedding", "vec_id",
+      threshold = 0.999, bands = 4, planesPerBand = 4)
+    val embKeptIds = embKept.select("vec_id").collect().map(_.getLong(0)).toSet
+    check("neardup-embed", embKeptIds == (0L until 100L).toSet,
+      s"${embKeptIds.size} survivors of 1000 embeddings in 100 clone groups")
+
+    // 7a'. CCNet perplexity tertiles over the LM scores: three value-
+    // contiguous buckets that partition the scored corpus
+    val pplScored = UnigramLM.score(docs, "text", UnigramLM.train(docs, "text", 200))
+      .filter(col("n_tok") > 0)
+      .withColumn("ppl_fp", UnigramLM.perplexityFp(col("logprob_fp"), col("n_tok")))
+    val bucketed = UnigramLM.perplexityBucketsExact(pplScored, "doc_id", "ppl_fp",
+      sampleFraction = 0.5)
+    // contract: buckets PARTITION the corpus and are value-contiguous (ties
+    // keep the lower bucket, so a heavily-tied corpus may leave an upper
+    // bucket empty — this smoke corpus has only 500 distinct texts)
+    val bStats = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("ppl_fp").as("lo"), max("ppl_fp").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val bOrder = Seq("head", "middle", "tail").filter(bStats.contains)
+    val contiguous = bOrder.sliding(2).forall {
+      case Seq(a, b) => bStats(a)._3 < bStats(b)._2
+      case _ => true
+    }
+    check("ppl-buckets",
+      bStats.contains("head") && bStats.values.map(_._1).sum == pplScored.count() &&
+        contiguous,
+      s"buckets ${bStats.map { case (k, v) => s"$k=${v._1}" }.mkString(",")} " +
+        s"over ${pplScored.count()} scored docs, contiguous=$contiguous")
+
     // 7b. chunk + pack: training-context shaping over the synthetic corpus
     val seqs = DataGen.sequences(spark, 5000, maxLen = 32)
       .filter(col("doc_id").isNotNull)

@@ -337,6 +337,11 @@ object SparkEntry {
         "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
         threshold = 0.7, maxBucket = 500)
         .select(col("doc_id"))),
+    "d_neardup_embed" -> ((s, dir) => // SemDeDup shape; oracle via embed_edges fixture
+      Dedup.dropNearDupsByEmbedding(DataGen.embedNearDupCorpus(s, dir),
+        "embedding", "vec_id", threshold = 0.95, bands = 8, planesPerBand = 4,
+        maxBucket = 500)
+        .select(col("vec_id"))),
     // ---- similarity search ----
     "s_ann_quantized" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -458,6 +463,16 @@ object SparkEntry {
       UnigramLM.scoreNgramBroadcast(docs, "text", fivegramBcModel(s, dir))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+    }),
+    "t_ppl_buckets" -> ((s, dir) => { // CCNet head/middle/tail perplexity split
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      val scored = UnigramLM.scoreNgram(docs, "text", fivegramModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("logprob_fp"), col("n_tok"))
+        .withColumn("ppl_fp", UnigramLM.perplexityFp(col("logprob_fp"), col("n_tok")))
+      UnigramLM.perplexityBucketsExact(scored, "doc_id", "ppl_fp",
+          sampleFraction = 0.5)
+        .select(col("doc_id"), col("ppl_fp"), col("bucket"))
     }),
     "t_classifier" -> ((s, dir) => { // NB log-odds quality classifier (fastText shape)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
@@ -595,6 +610,83 @@ object SparkEntry {
     // (both must be oracle-exact independently).
     m + ("t_5gram_lp_bc" -> m("t_5gram_lp"))
   }
+
+  /** Shared CTE chain of the order-5 LM oracles: tokenize, mirror all
+    * five training levels (same vocabulary sizes and tie-breaks as the
+    * memoized fivegramModel), and emit the per-token fixed-point
+    * log-prob column `v` in CTE `lp`. t_5gram_lp (and its broadcast
+    * twin) aggregate it per document; t_ppl_buckets additionally
+    * derives the perplexity proxy and sampled tertile thresholds. */
+  private val fiveGramLpCtes: String =
+    """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, p, words[p] AS cur,
+                  CASE WHEN p > 1 THEN words[p-1] END AS prev,
+                  CASE WHEN p > 2 THEN words[p-2] END AS prev2,
+                  CASE WHEN p > 3 THEN words[p-3] END AS prev3,
+                  CASE WHEN p > 4 THEN words[p-4] END AS prev4
+           FROM d, unnest(range(1, len(words)+1)) AS t(p)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         uni AS (
+           SELECT cur AS term, CAST(count(*) AS BIGINT) AS c FROM toks
+           GROUP BY cur ORDER BY c DESC, term ASC LIMIT 500),
+         big AS (
+           SELECT prev || chr(1) || cur AS g, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev IS NOT NULL
+           GROUP BY prev || chr(1) || cur ORDER BY c DESC, g ASC LIMIT 1000),
+         tri AS (
+           SELECT prev2 || chr(1) || prev || chr(1) || cur AS g,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev2 IS NOT NULL
+           GROUP BY prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, g ASC LIMIT 2000),
+         qua AS (
+           SELECT prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur AS g,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev3 IS NOT NULL
+           GROUP BY prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, g ASC LIMIT 3000),
+         fiv AS (
+           SELECT prev4 || chr(1) || prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur AS g,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE prev4 IS NOT NULL
+           GROUP BY prev4 || chr(1) || prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur
+           ORDER BY c DESC, g ASC LIMIT 4000),
+         lp AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CASE
+                    WHEN t.prev IS NULL OR up.c IS NULL
+                    THEN CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot)
+                    WHEN t.prev2 IS NULL OR b2.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.5 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    WHEN t.prev3 IS NULL OR t3.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
+                       + 0.25 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.25 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    WHEN t.prev4 IS NULL OR q4.c IS NULL
+                    THEN 0.5 * (CAST(coalesce(g4.c, 0) AS DOUBLE) / t3.c)
+                       + 0.25 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
+                       + 0.125 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.125 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    ELSE 0.5 * (CAST(coalesce(g5.c, 0) AS DOUBLE) / q4.c)
+                       + 0.25 * (CAST(coalesce(g4.c, 0) AS DOUBLE) / t3.c)
+                       + 0.125 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
+                       + 0.0625 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
+                       + 0.0625 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
+                    END) * 1e6) AS BIGINT) AS v
+           FROM toks t
+           LEFT JOIN uni uc ON t.cur = uc.term
+           LEFT JOIN uni up ON t.prev = up.term
+           LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.g
+           LEFT JOIN big b2 ON t.prev2 || chr(1) || t.prev = b2.g
+           LEFT JOIN tri g3 ON t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g3.g
+           LEFT JOIN tri t3 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = t3.g
+           LEFT JOIN qua g4 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g4.g
+           LEFT JOIN qua q4 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = q4.g
+           LEFT JOIN fiv g5 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g5.g)"""
 
   private def oracleSqlRaw: Map[String, String] = Map(
     "v_range" ->
@@ -881,6 +973,27 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id < 2000
            AND d.doc_id NOT IN (SELECT id FROM comp WHERE component < id)""",
+    "d_neardup_embed" ->
+      // Edge-fixture oracle (embed_edges = the sign-LSH -> exact-cosine
+      // verified pairs over the planted-dup corpus); DuckDB rebuilds the
+      // same corpus arithmetically (ids only — the vectors never matter
+      // past the fixture), recomputes the transitive closure, keep-min,
+      // and the anti-join tail.
+      """WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM read_parquet('/root/repo/target/fixtures/embed_edges.parquet/*.parquet')),
+         corpus AS (
+           SELECT vec_id FROM embeddings
+           UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 7 = 0
+           UNION ALL SELECT vec_id + 2000000 FROM embeddings WHERE vec_id % 14 = 0),
+         nodes AS (SELECT id_a AS id FROM e UNION SELECT id_b FROM e),
+         sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT id AS root, id AS node FROM nodes
+           UNION
+           SELECT r.root, s.v FROM reach r JOIN sym s ON r.node = s.u),
+         comp AS (SELECT root AS id, min(node) AS component FROM reach GROUP BY root)
+         SELECT c.vec_id FROM corpus c
+         WHERE c.vec_id NOT IN (SELECT id FROM comp WHERE component < id)""",
     "s_ann_cosine" ->
       // Direct oracle: double-accumulated cosine matches VecDot/VecNorm
       // (both fold the array in index order; the 1e-9 canon grid absorbs
@@ -1363,86 +1476,41 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM lp GROUP BY doc_id""",
     "t_5gram_lp" ->
-      // Mirrors NgramLogProbFp at order 5: longest-available-context
-      // dispatch (unigram backoff up through the full 5-gram interpolation
-      // 0.5/0.25/0.125/0.0625/0.0625 — dyadic weights, unigram term sharing
-      // the lowest), identical left-associated IEEE arithmetic,
-      // chr(1)-joined keys, same (count desc, key asc) tie-breaks at every
-      // vocabulary boundary. A context-chain hole at any level (the
-      // per-level NULL joins) drops dispatch to that level, exactly like
-      // the kernel's trie-count contiguity check.
-      """WITH d AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
-           FROM documents WHERE text IS NOT NULL),
-         toks AS (
-           SELECT doc_id, p, words[p] AS cur,
-                  CASE WHEN p > 1 THEN words[p-1] END AS prev,
-                  CASE WHEN p > 2 THEN words[p-2] END AS prev2,
-                  CASE WHEN p > 3 THEN words[p-3] END AS prev3,
-                  CASE WHEN p > 4 THEN words[p-4] END AS prev4
-           FROM d, unnest(range(1, len(words)+1)) AS t(p)),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
-         uni AS (
-           SELECT cur AS term, CAST(count(*) AS BIGINT) AS c FROM toks
-           GROUP BY cur ORDER BY c DESC, term ASC LIMIT 500),
-         big AS (
-           SELECT prev || chr(1) || cur AS g, CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE prev IS NOT NULL
-           GROUP BY prev || chr(1) || cur ORDER BY c DESC, g ASC LIMIT 1000),
-         tri AS (
-           SELECT prev2 || chr(1) || prev || chr(1) || cur AS g,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE prev2 IS NOT NULL
-           GROUP BY prev2 || chr(1) || prev || chr(1) || cur
-           ORDER BY c DESC, g ASC LIMIT 2000),
-         qua AS (
-           SELECT prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur AS g,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE prev3 IS NOT NULL
-           GROUP BY prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur
-           ORDER BY c DESC, g ASC LIMIT 3000),
-         fiv AS (
-           SELECT prev4 || chr(1) || prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur AS g,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE prev4 IS NOT NULL
-           GROUP BY prev4 || chr(1) || prev3 || chr(1) || prev2 || chr(1) || prev || chr(1) || cur
-           ORDER BY c DESC, g ASC LIMIT 4000),
-         lp AS (
-           SELECT t.doc_id,
-                  CAST(round(ln(CASE
-                    WHEN t.prev IS NULL OR up.c IS NULL
-                    THEN CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot)
-                    WHEN t.prev2 IS NULL OR b2.c IS NULL
-                    THEN 0.5 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
-                       + 0.5 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
-                    WHEN t.prev3 IS NULL OR t3.c IS NULL
-                    THEN 0.5 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
-                       + 0.25 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
-                       + 0.25 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
-                    WHEN t.prev4 IS NULL OR q4.c IS NULL
-                    THEN 0.5 * (CAST(coalesce(g4.c, 0) AS DOUBLE) / t3.c)
-                       + 0.25 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
-                       + 0.125 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
-                       + 0.125 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
-                    ELSE 0.5 * (CAST(coalesce(g5.c, 0) AS DOUBLE) / q4.c)
-                       + 0.25 * (CAST(coalesce(g4.c, 0) AS DOUBLE) / t3.c)
-                       + 0.125 * (CAST(coalesce(g3.c, 0) AS DOUBLE) / b2.c)
-                       + 0.0625 * (CAST(coalesce(b.c, 0) AS DOUBLE) / up.c)
-                       + 0.0625 * (CAST(coalesce(uc.c, 1) AS DOUBLE) / (SELECT n FROM tot))
-                    END) * 1e6) AS BIGINT) AS v
-           FROM toks t
-           LEFT JOIN uni uc ON t.cur = uc.term
-           LEFT JOIN uni up ON t.prev = up.term
-           LEFT JOIN big b ON t.prev || chr(1) || t.cur = b.g
-           LEFT JOIN big b2 ON t.prev2 || chr(1) || t.prev = b2.g
-           LEFT JOIN tri g3 ON t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g3.g
-           LEFT JOIN tri t3 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = t3.g
-           LEFT JOIN qua g4 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g4.g
-           LEFT JOIN qua q4 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = q4.g
-           LEFT JOIN fiv g5 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g5.g)
+      // Mirrors NgramLogProbFp at order 5 (shared CTE chain, see
+      // fiveGramLpCtes): longest-available-context dispatch, dyadic
+      // weights, identical IEEE arithmetic, chr(1)-joined keys, identical
+      // vocabulary tie-breaks, per-level NULL joins = trie contiguity.
+      s"""$fiveGramLpCtes
          SELECT doc_id, CAST(sum(v) AS BIGINT) AS logprob_fp,
                 CAST(count(*) AS BIGINT) AS n_tok
          FROM lp GROUP BY doc_id""",
+    "t_ppl_buckets" ->
+      // CCNet tertile split on the 5-gram scores: ppl_fp = (-lp) // n_tok
+      // (floor == truncation on non-negatives, matching Spark's integral
+      // divide), thresholds = the ceil(n/3)-th / ceil(2n/3)-th smallest
+      // sampled ppl (sample = the materialized "sample"-op hash gate at
+      // cut 500000 == fraction 0.5), ties keep the lower bucket — the
+      // exact contract of UnigramLM.perplexityBucketsExact.
+      s"""$fiveGramLpCtes,
+         score AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS lp,
+                  CAST(count(*) AS BIGINT) AS nt
+           FROM lp GROUP BY doc_id),
+         ppl AS (SELECT doc_id, (-lp) // nt AS ppl_fp FROM score WHERE nt > 0),
+         g AS (
+           SELECT doc_id, g_ppl FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
+         samp AS (
+           SELECT p.ppl_fp FROM ppl p JOIN g USING (doc_id)
+           WHERE g.g_ppl < 500000),
+         r AS (SELECT ppl_fp, row_number() OVER (ORDER BY ppl_fp) AS rn FROM samp),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM samp),
+         t1 AS (SELECT max(ppl_fp) AS v FROM r WHERE rn <= (SELECT (c + 2) // 3 FROM nn)),
+         t2 AS (SELECT max(ppl_fp) AS v FROM r WHERE rn <= (SELECT (2 * c + 2) // 3 FROM nn))
+         SELECT doc_id, ppl_fp,
+                CASE WHEN ppl_fp <= (SELECT v FROM t1) THEN 'head'
+                     WHEN ppl_fp <= (SELECT v FROM t2) THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM ppl""",
     "t_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),

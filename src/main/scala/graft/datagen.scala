@@ -150,6 +150,26 @@ object DataGen {
   def SimhashSigFixturePath = s"$fixtureRoot/simhash_sig.parquet"
   def NeardupEdgesFixturePath = s"$fixtureRoot/neardup_edges.parquet"
   def LshBandsFixturePath = s"$fixtureRoot/lsh_bands.parquet"
+  def EmbedEdgesFixturePath = s"$fixtureRoot/embed_edges.parquet"
+
+  /** The d_neardup_embed corpus: the embeddings table plus PLANTED exact
+    * near-duplicates — every vec_id % 7 == 0 row again at id+1,000,000
+    * scaled ×2, every vec_id % 14 == 0 row a THIRD time at id+2,000,000
+    * scaled ×0.5 (a 3-node cluster that only transitive closure collapses).
+    * Power-of-two scaling is exact in IEEE float/double, so the planted
+    * pairs have cosine 1.0 to the ulp AND identical sign-LSH signatures —
+    * candidate generation must find them in every band. Shared by the
+    * SparkEntry query and the edge-fixture writer so the two can never
+    * drift. */
+  def embedNearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def scaled(mod: Int, offset: Long, factor: Float) =
+      e.filter(col("vec_id") % mod === 0)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(factor)).as("embedding"))
+    e.union(scaled(7, 1000000L, 2.0f)).union(scaled(14, 2000000L, 0.5f))
+  }
 
   def writeLshFixtures(spark: SparkSession, sfDir: String): Unit = {
     import graft.ops.Dedup
@@ -181,6 +201,16 @@ object DataGen {
         posexplode(graft.functions.VecFunctions.sign_lsh_bands(col("embedding"), 8, 4))
           .as(Seq("band", "band_val")))
       .write.mode("overwrite").parquet(LshBandsFixturePath)
+    // d_neardup_embed: the sign-LSH -> exact-cosine verified edge list over
+    // the planted-dup corpus (CC + keep-min + anti-join is what the oracle
+    // recomputes); params mirror the SparkEntry query
+    val embCorpus = embedNearDupCorpus(spark, sfDir)
+    val (embPairs, releaseEmb) = graft.ops.Similarity.cosineLshPairsCached(
+      embCorpus, "embedding", "vec_id",
+      threshold = 0.95, bands = 8, planesPerBand = 4, maxBucket = 500)
+    embPairs.select("id_a", "id_b")
+      .write.mode("overwrite").parquet(EmbedEdgesFixturePath)
+    releaseEmb()
   }
 
   /** Gate/probe fixtures for p_sample and the IVF probe-path queries: the
@@ -205,7 +235,10 @@ object DataGen {
         Sampling.auditGate(docs, "doc_id", "stratified").as("g_strat"),
         Sampling.auditGate(docs, "doc_id", "mix").as("g_mix"),
         Sampling.auditGate(docs, "doc_id", "cap_exact").as("g_capx"),
-        Sampling.auditGate(docs, "doc_id", "weighted").as("g_weighted"))
+        Sampling.auditGate(docs, "doc_id", "weighted").as("g_weighted"),
+        // t_ppl_buckets: the threshold-sample gate (op "sample", salt 0 —
+        // exactly how perplexityBucketsExact keys its deterministicSample)
+        Sampling.auditGate(docs, "doc_id", "sample").as("g_ppl"))
       .write.mode("overwrite").parquet(SampleGatesFixturePath)
     // the SAME memoized quantizer instance the s_ann_ivf* queries use — one
     // training per (dir, mtime) and one source of truth for nlist/iters

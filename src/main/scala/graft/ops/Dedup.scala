@@ -456,6 +456,32 @@ object Dedup {
     finishDropById(df, idCol, cc)
   }
 
+  /** SemDeDup-shaped near-duplicate removal over an EMBEDDING column
+    * (Abbas et al. 2023: semantically near-identical documents collapse to
+    * one exemplar by embedding cosine): sign-LSH bucketing generates
+    * candidates, exact cosine verifies them at `threshold`, connected
+    * components closes a~b~c chains, and the smallest id per cluster
+    * survives. Returns the surviving rows of `df` (schema preserved).
+    *
+    * Scale shape: identical to [[dropNearDups]] with the MinHash stages
+    * swapped for [[Similarity.cosineLshPairs]]' — candidate generation
+    * shuffles (id, band, band_val) only (never the vectors), oversized
+    * buckets are dropped via the broadcast guard, verification re-attaches
+    * vectors to the deduped candidate set, and CC is the O(log n)
+    * large-star/small-star loop. No all-pairs join at any stage. */
+  def dropNearDupsByEmbedding(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    val (pairs, releaseLsh) = Similarity.cosineLshPairsCached(df, vecCol, idCol,
+      threshold, bands, planesPerBand, maxBucket)
+    // persisted: CC reads the verified pairs twice per round (see dropNearDups)
+    val verified = pairs.select("id_a", "id_b").persist()
+    val cc = connectedComponents(verified)
+    verified.unpersist()
+    releaseLsh()
+    finishDropById(df, idCol, cc)
+  }
+
   // ------------------------------------------------------------------
   // INCREMENTAL dedup: a new ingest batch vs the stored corpus
   // ------------------------------------------------------------------

@@ -262,4 +262,75 @@ object UnigramLM {
         col("logprob_fp") >= lit(minAvgFp) * col("n_tok"))
       .drop("logprob_fp", "n_tok")
   }
+
+  // ------------------------------------------------------------------
+  // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3:
+  // documents are split into equal thirds by reference-LM perplexity, and
+  // downstream training selects or weights the buckets)
+
+  /** Fixed-point perplexity proxy: `(-logprob_fp) div n_tok` — the negated
+    * average per-token log-likelihood in the same 1e6 fixed-point scale as
+    * the scoring kernels (lower = more fluent). TRUE integral division
+    * (both operands are non-negative, so truncation == floor == DuckDB
+    * `//`), not a double round-trip — a quotient within 1 ulp of an
+    * integer must not flip a bucket between engines. Rows with
+    * `n_tok = 0` yield null (filter them before bucketing). */
+  def perplexityFp(logprobFpCol: Column, nTokCol: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftShim.column(new IntegralDivide(
+      GraftShim.expression(-logprobFpCol), GraftShim.expression(nTokCol)))
+  }
+
+  private def bucketize(scored: DataFrame, pplCol: String,
+      tHead: Long, tMid: Long): DataFrame =
+    scored.withColumn("bucket",
+      when(col(pplCol) <= tHead, lit("head"))
+        .when(col(pplCol) <= tMid, lit("middle"))
+        .otherwise(lit("tail")))
+
+  /** Thresholds as EXACT order statistics of a deterministic hash-sample:
+    * `t_head` = the ceil(n/3)-th smallest sampled perplexity, `t_mid` = the
+    * ceil(2n/3)-th (1-indexed; ties on the value keep every equal doc in
+    * the lower bucket, so buckets are value-contiguous and reproducible at
+    * any parallelism). The sample (not the corpus) is collected to the
+    * driver — CCNet's own cutoffs come from a sampled histogram — and
+    * `maxSample` fails loudly before the collect can grow unbounded; above
+    * it, lower `sampleFraction` or use [[perplexityBuckets]] (sketch-based,
+    * never collects values). */
+  def perplexityBucketsExact(scored: DataFrame, idCol: String, pplCol: String,
+      sampleFraction: Double = 0.3, salt: Long = 0L,
+      maxSample: Int = 2000000): DataFrame = {
+    val samp = Sampling.deterministicSample(
+      scored.select(col(idCol), col(pplCol)), idCol, sampleFraction, salt)
+    val vals = samp.select(col(pplCol).cast("long"))
+      .limit(maxSample + 1).collect().map(_.getLong(0))
+    require(vals.nonEmpty, "perplexityBucketsExact: empty threshold sample")
+    require(vals.length <= maxSample,
+      s"perplexityBucketsExact: threshold sample exceeds maxSample=$maxSample — " +
+        "lower sampleFraction or use the sketch-based perplexityBuckets")
+    val sorted = vals.sorted
+    val n = sorted.length
+    // ceil(k·n/3) via integer arithmetic — mirrored by the SQL oracle
+    val tHead = sorted((n + 2) / 3 - 1)
+    val tMid = sorted((2 * n + 2) / 3 - 1)
+    bucketize(scored, pplCol, tHead, tMid)
+  }
+
+  /** Sketch-based thresholds for the 100 TB path: `approx_percentile` over
+    * the same deterministic hash-sample — the driver receives exactly two
+    * numbers, never the sample. Bucket EDGES are approximate (bounded by
+    * the sketch accuracy); bucket semantics (value-contiguous, lower
+    * bucket keeps ties) are identical to the exact form. */
+  def perplexityBuckets(scored: DataFrame, idCol: String, pplCol: String,
+      sampleFraction: Double = 0.3, salt: Long = 0L,
+      accuracy: Int = 10000): DataFrame = {
+    val samp = Sampling.deterministicSample(
+      scored.select(col(idCol), col(pplCol)), idCol, sampleFraction, salt)
+    val r = samp.select(percentile_approx(col(pplCol),
+      array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("t")).head()
+    require(!r.isNullAt(0), "perplexityBuckets: empty threshold sample")
+    val ts = r.getSeq[Long](0)
+    bucketize(scored, pplCol, ts(0), ts(1))
+  }
 }

@@ -629,4 +629,78 @@ class Round5Spec extends SparkSpec {
     assert(new StageRunner(spark, dir, "run1")
       .stage("s1", Seq("anything", 1))(d).count() === 10L)
   }
+
+  // ---------------------------------------------------------------------
+  // CCNet perplexity bucketing + SemDeDup embedding near-dup removal
+  // ---------------------------------------------------------------------
+
+  test("perplexityFp: true integral division, not a double round-trip") {
+    import graft.ops.UnigramLM
+    // -lp = 7, n_tok = 2 -> 3 (floor); a quotient 1 ulp under an integer
+    // must not round up: -lp = 3_000_000_000_000_000_001, n = 3
+    val d = Seq((-7L, 2L), (-3000000000000000001L, 3L)).toDF("lp", "nt")
+    val out = d.select(UnigramLM.perplexityFp(col("lp"), col("nt")).as("p"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(3L, 1000000000000000000L))
+  }
+
+  test("perplexityBucketsExact: ceil(n/3) order-statistic thresholds, ties keep lower bucket") {
+    import graft.ops.UnigramLM
+    val d = (1L to 9L).map(i => (i, i * 10L)).toDF("doc_id", "ppl_fp")
+    val out = UnigramLM.perplexityBucketsExact(d, "doc_id", "ppl_fp",
+        sampleFraction = 1.0)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 3L).forall(out(_) == "head"))
+    assert((4L to 6L).forall(out(_) == "middle"))
+    assert((7L to 9L).forall(out(_) == "tail"))
+    // all-equal values: everything is <= t_head -> one bucket, no crash
+    val flat = (1L to 5L).map(i => (i, 42L)).toDF("doc_id", "ppl_fp")
+    val fo = UnigramLM.perplexityBucketsExact(flat, "doc_id", "ppl_fp",
+        sampleFraction = 1.0)
+      .select("bucket").distinct().collect().map(_.getString(0))
+    assert(fo.toSeq === Seq("head"))
+  }
+
+  test("perplexityBucketsExact: maxSample guard fails loudly before collecting the world") {
+    import graft.ops.UnigramLM
+    val d = (1L to 100L).map(i => (i, i)).toDF("doc_id", "ppl_fp")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLM.perplexityBucketsExact(d, "doc_id", "ppl_fp",
+        sampleFraction = 1.0, maxSample = 10)
+    }
+    assert(e.getMessage.contains("maxSample"))
+  }
+
+  test("perplexityBuckets (sketch): value-contiguous buckets, same semantics as exact") {
+    import graft.ops.UnigramLM
+    val d = (1L to 300L).map(i => (i, i)).toDF("doc_id", "ppl_fp")
+    val out = UnigramLM.perplexityBuckets(d, "doc_id", "ppl_fp",
+        sampleFraction = 1.0)
+      .groupBy("bucket").agg(min("ppl_fp").as("lo"), max("ppl_fp").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set("head", "middle", "tail"))
+    assert(out("head")._2 < out("middle")._1)
+    assert(out("middle")._2 < out("tail")._1)
+    // at exact-percentile inputs the sketch lands on the true tertiles
+    assert(out("head")._1 === 1L && out("tail")._2 === 300L)
+  }
+
+  test("dropNearDupsByEmbedding: scaled copies collapse transitively, distinct rows survive") {
+    import graft.ops.Dedup
+    val v1 = Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.2f)
+    val v2 = Array(0f, 1.0f, 0.3f, 0f, 0f, 0.1f, 0f, 0f)
+    val v3 = Array(0f, 0f, 0f, 1.0f, 0f, 0f, 0.4f, 0f)
+    def times(v: Array[Float], f: Float) = v.map(_ * f)
+    val corpus = Seq(
+      1L -> v1, 2L -> v2, 3L -> v3,
+      11L -> times(v1, 2.0f), // dup of 1
+      21L -> times(v1, 0.5f), // dup of 1 AND of 11 -> one 3-node cluster
+      12L -> times(v2, 4.0f) // dup of 2
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.dropNearDupsByEmbedding(corpus, "embedding", "vec_id",
+        threshold = 0.95, bands = 8, planesPerBand = 4, maxBucket = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 2L, 3L))
+  }
 }
