@@ -93,7 +93,17 @@ object Similarity {
     * Scale shape: narrow projection (signatures + norm) → one shuffle keyed
     * by (band, band-signature) → bounded bucket self-join. `maxBucket` drops
     * degenerate buckets (e.g. all-zero vectors) instead of letting one
-    * reducer go quadratic. */
+    * reducer go quadratic.
+    *
+    * SIZE THE PLANES TO THE CORPUS: random-collision candidates per band
+    * scale as n²/2^planesPerBand, so planesPerBand must grow with n
+    * (≈ log2(n) + 4-8 slack bits; the packed band value holds up to 63).
+    * Measured at 1.12 M dim-64 vectors: 16 planes → ~150 M accidental
+    * candidates (90 s dedup + 283 s verify at local[16]); 24 planes →
+    * ~0.5 M (whole pipeline 49 s) — see graft.ProbeEmbed / BASELINE.md.
+    * Recall for true near-dups is governed by the BAND count, which stays
+    * fixed. Very low dimensionality (≲32) additionally skews bucket
+    * occupancy (correlated planes); production embedding widths are fine. */
   def cosineLshPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
       maxBucket: Int = 4096): DataFrame = {
