@@ -474,6 +474,16 @@ object SparkEntry {
           sampleFraction = 0.5)
         .select(col("doc_id"), col("ppl_fp"), col("bucket"))
     }),
+    "t_ppl_buckets_lang" -> ((s, dir) => { // CCNet's actual form: PER-LANGUAGE tertiles
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      val scored = UnigramLM.scoreNgram(docs, "text", fivegramModel(s, dir))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("lang"), col("logprob_fp"), col("n_tok"))
+        .withColumn("ppl_fp", UnigramLM.perplexityFp(col("logprob_fp"), col("n_tok")))
+      UnigramLM.perplexityBucketsExactByGroup(scored, "doc_id", "ppl_fp", "lang",
+          sampleFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("ppl_fp"), col("bucket"))
+    }),
     "t_classifier" -> ((s, dir) => { // NB log-odds quality classifier (fastText shape)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
       QualityClassifier.score(docs, "text", classifierModel(s, dir))
@@ -1511,6 +1521,38 @@ object SparkEntry {
                      WHEN ppl_fp <= (SELECT v FROM t2) THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM ppl""",
+    "t_ppl_buckets_lang" ->
+      // Per-GROUP tertiles (CCNet's per-language cutoffs): identical order-
+      // statistic contract, thresholds computed independently per lang from
+      // the same materialized sample gate.
+      s"""$fiveGramLpCtes,
+         score AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS lp,
+                  CAST(count(*) AS BIGINT) AS nt
+           FROM lp GROUP BY doc_id),
+         ppl AS (SELECT doc_id, (-lp) // nt AS ppl_fp FROM score WHERE nt > 0),
+         g AS (
+           SELECT doc_id, g_ppl FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
+         dl AS (SELECT doc_id, lang FROM documents),
+         samp AS (
+           SELECT dl.lang, p.ppl_fp FROM ppl p
+           JOIN g USING (doc_id) JOIN dl USING (doc_id)
+           WHERE g.g_ppl < 500000),
+         r AS (
+           SELECT lang, ppl_fp,
+                  row_number() OVER (PARTITION BY lang ORDER BY ppl_fp) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS c
+           FROM samp),
+         t AS (
+           SELECT lang,
+                  max(CASE WHEN rn <= (c + 2) // 3 THEN ppl_fp END) AS t1,
+                  max(CASE WHEN rn <= (2 * c + 2) // 3 THEN ppl_fp END) AS t2
+           FROM r GROUP BY lang)
+         SELECT p.doc_id, dl.lang, p.ppl_fp,
+                CASE WHEN p.ppl_fp <= t.t1 THEN 'head'
+                     WHEN p.ppl_fp <= t.t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM ppl p JOIN dl USING (doc_id) JOIN t ON dl.lang = t.lang""",
     "t_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),

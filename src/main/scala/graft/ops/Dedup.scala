@@ -546,6 +546,16 @@ object Dedup {
       shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val newBands = minhashBandTable(newDf, textCol, idCol, numHashes, bands, shingleK)
       .withColumnRenamed("id", "new_id")
+    candidatesAgainstBands(newBands, corpusBands, maxBucket, "nearDupCandidatesAgainst")
+  }
+
+  /** The shared store-side candidate join of the incremental near-dup ops
+    * (MinHash text bands and sign-LSH embedding bands are the same
+    * (id, band, band_hash) shape): broadcast the batch's band rows into
+    * scans of the store — which never shuffles — with the matched-bucket
+    * size guard of the batch pipelines applied on the STORE side. */
+  private def candidatesAgainstBands(newBands: DataFrame, corpusBands: DataFrame,
+      maxBucket: Int, opName: String): DataFrame = {
     val batchBuckets = newBands.select("band", "band_hash").distinct()
     // pass 1: store-side sizes of MATCHED buckets only (map-side combine;
     // nothing materialized); the oversized set is tiny by construction
@@ -561,7 +571,7 @@ object Dedup {
     val nOversized = oversized.count()
     if (nOversized > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"nearDupCandidatesAgainst: dropped $nOversized band bucket(s) larger than " +
+        s"$opName: dropped $nOversized band bucket(s) larger than " +
           s"maxBucket=$maxBucket on the store side (boilerplate guard) — " +
           "near-dups hiding ONLY in those buckets will not be flagged")
     // pass 2: the candidate join over surviving buckets
@@ -570,6 +580,65 @@ object Dedup {
       .join(broadcast(newBands), Seq("band", "band_hash"))
       .select(col("new_id"), col("id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
+  }
+
+  /** (id, band, band_hash) sign-LSH band table over an embedding column —
+    * the stored index for incremental EMBEDDING near-dup checks (the
+    * SemDeDup analog of [[minhashBandTable]]). Zero-norm rows carry no
+    * bands (cosine to them is undefined; they can never verify anyway).
+    * Parameters must match the query side, and planesPerBand must be sized
+    * to the STORE's row count (see [[Similarity.cosineLshPairs]]). */
+  def signLshBandTable(df: DataFrame, vecCol: String, idCol: String,
+      bands: Int = 8, planesPerBand: Int = 4): DataFrame =
+    df.filter(graft.functions.VecFunctions.vec_norm(col(vecCol)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.VecFunctions.sign_lsh_bands(col(vecCol), bands, planesPerBand))
+          .as(Seq("band", "band_hash")))
+
+  /** Embedding near-dup candidate pairs (new_id, corpus_id) between a new
+    * batch and the stored sign-LSH band table — [[nearDupCandidatesAgainst]]
+    * with the MinHash stages swapped for sign-LSH. Same store contract:
+    * one scan per pass, zero store shuffles, matched-bucket guard, batch
+    * bands ride a broadcast (same cliff note). */
+  def embedCandidatesAgainst(newDf: DataFrame, vecCol: String, idCol: String,
+      corpusBands: DataFrame, bands: Int = 8, planesPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    val newBands = signLshBandTable(newDf, vecCol, idCol, bands, planesPerBand)
+      .withColumnRenamed("id", "new_id")
+    candidatesAgainstBands(newBands, corpusBands, maxBucket, "embedCandidatesAgainst")
+  }
+
+  /** The embedding ingest gate: drop new-batch rows whose exact cosine to a
+    * stored corpus embedding reaches `threshold` — the daily-ingest form of
+    * [[dropNearDupsByEmbedding]] (compose with it for intra-batch dups).
+    * Verification is candidate-bounded and store-cheap exactly as in
+    * [[dropNearDupsAgainst]]: the candidate corpus-id set broadcast-SEMI-
+    * filters the corpus, so vectors are fetched only for stored rows that
+    * are actually candidates — the store is scanned once, never shuffled —
+    * and every verification join carries an explicit broadcast hint. */
+  def dropNearDupsByEmbeddingAgainst(newDf: DataFrame, vecCol: String,
+      idCol: String, corpus: DataFrame, corpusVecCol: String,
+      corpusIdCol: String, corpusBands: DataFrame, threshold: Double = 0.9,
+      bands: Int = 8, planesPerBand: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    val cand = embedCandidatesAgainst(newDf, vecCol, idCol, corpusBands,
+        bands, planesPerBand, maxBucket)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      .localCheckpoint(true) // referenced twice below; cut the recompute
+    val candIds = cand.select(col("id_b")).distinct()
+    val corVecs = corpus
+      .join(broadcast(candIds), corpus(corpusIdCol) === candIds("id_b"), "left_semi")
+      .select(col(corpusIdCol).as("id_b"), col(corpusVecCol).as("v_b"),
+        graft.functions.VecFunctions.vec_norm(col(corpusVecCol)).as("nrm_b"))
+    val newVecs = newDf.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      graft.functions.VecFunctions.vec_norm(col(vecCol)).as("nrm_a"))
+    val flagged = newVecs.join(broadcast(cand), Seq("id_a"))
+      .join(broadcast(corVecs), Seq("id_b"))
+      .filter(col("nrm_a") > 0 &&
+        Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))
+          >= threshold)
+      .select(col("id_a").as("__flag")).distinct().localCheckpoint(true)
+    freeLocalCheckpoint(cand)
+    newDf.join(broadcast(flagged), col(idCol) === col("__flag"), "left_anti")
   }
 
   /** The ingest gate: drop new-batch rows verified (exact n-gram Jaccard ≥

@@ -66,6 +66,19 @@ object DedupIndex {
       dir, batchId,
       Seq("minhash_bands", textCol, idCol, numHashes, bands, shingleK), io)
 
+  /** Append the accepted batch's sign-LSH EMBEDDING band rows — the index
+    * behind [[Dedup.embedCandidatesAgainst]] /
+    * [[Dedup.dropNearDupsByEmbeddingAgainst]]. Same parameter pinning:
+    * (vec column, id column, bands, planesPerBand) are part of the
+    * fingerprint, so an index can never silently mix plane geometries. */
+  def appendEmbedBands(accepted: DataFrame, vecCol: String, idCol: String,
+      dir: String, batchId: String, bands: Int = 8, planesPerBand: Int = 4,
+      io: TableIO = TableIO.default): Boolean =
+    appendBatch(
+      Dedup.signLshBandTable(accepted, vecCol, idCol, bands, planesPerBand),
+      dir, batchId,
+      Seq("signlsh_bands", vecCol, idCol, bands, planesPerBand), io)
+
   /** Read the index's COMPLETED batches — feed this to
     * [[Dedup.dropExactDupsAgainst]] / [[Dedup.dropNearDupsAgainst]]. Reads
     * are MARKER-GATED: only `batch=` directories whose `_appended_` marker

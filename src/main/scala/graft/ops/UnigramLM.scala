@@ -317,6 +317,55 @@ object UnigramLM {
     bucketize(scored, pplCol, tHead, tMid)
   }
 
+  /** PER-GROUP exact tertiles — CCNet's cutoffs are per LANGUAGE, not
+    * global (a fluent Basque document must not land in "tail" because the
+    * reference corpus is English-heavy). Thresholds are the same
+    * ceil(n/3)/ceil(2n/3) order statistics as [[perplexityBucketsExact]],
+    * computed independently per `groupCol` value from one shared
+    * hash-sample; the bucket assignment compiles to a when-chain (groups
+    * are languages — small cardinality, enforced by `maxGroups` — so no
+    * join enters the plan). A row whose group has NO sampled thresholds
+    * fails loudly AT EVALUATION (raise_error), not silently: emitting a
+    * bucket for a language with no cutoffs is exactly the bug the
+    * per-group form exists to prevent — raise `sampleFraction` or bucket
+    * such groups separately. Null groups are a group. */
+  def perplexityBucketsExactByGroup(scored: DataFrame, idCol: String,
+      pplCol: String, groupCol: String, sampleFraction: Double = 0.3,
+      salt: Long = 0L, maxSample: Int = 2000000,
+      maxGroups: Int = 10000): DataFrame = {
+    val samp = Sampling.deterministicSample(
+      scored.select(col(idCol), col(groupCol), col(pplCol)), idCol,
+      sampleFraction, salt)
+    val rows = samp.select(col(groupCol).cast("string").as("g"),
+        col(pplCol).cast("long").as("p"))
+      .limit(maxSample + 1).collect()
+    require(rows.nonEmpty, "perplexityBucketsExactByGroup: empty threshold sample")
+    require(rows.length <= maxSample,
+      s"perplexityBucketsExactByGroup: threshold sample exceeds maxSample=$maxSample — " +
+        "lower sampleFraction or use the sketch-based perplexityBucketsByGroup")
+    val byGroup = rows.groupBy(r => Option(r.getString(0)))
+    require(byGroup.size <= maxGroups,
+      s"perplexityBucketsExactByGroup: ${byGroup.size} groups exceed maxGroups=$maxGroups — " +
+        "a high-cardinality group column would compile an unbounded when-chain; " +
+        "bucket per-partition or use a join-based formulation")
+    val chain = byGroup.toSeq.sortBy(_._1).foldRight(
+      // unreached when every scored group was sampled; otherwise: loud
+      raise_error(concat(
+        lit("perplexityBucketsExactByGroup: no sampled thresholds for group "),
+        coalesce(col(groupCol).cast("string"), lit("NULL")))).cast("string")
+    ) { case ((g, rs), acc) =>
+      val sorted = rs.map(_.getLong(1)).sorted
+      val n = sorted.length
+      val inner = when(col(pplCol) <= sorted((n + 2) / 3 - 1), lit("head"))
+        .when(col(pplCol) <= sorted((2 * n + 2) / 3 - 1), lit("middle"))
+        .otherwise(lit("tail"))
+      val cond = g.map(v => col(groupCol).cast("string") === v)
+        .getOrElse(col(groupCol).isNull)
+      when(cond, inner).otherwise(acc)
+    }
+    scored.withColumn("bucket", chain)
+  }
+
   /** Sketch-based thresholds for the 100 TB path: `approx_percentile` over
     * the same deterministic hash-sample — the driver receives exactly two
     * numbers, never the sample. Bucket EDGES are approximate (bounded by
@@ -332,5 +381,31 @@ object UnigramLM {
     require(!r.isNullAt(0), "perplexityBuckets: empty threshold sample")
     val ts = r.getSeq[Long](0)
     bucketize(scored, pplCol, ts(0), ts(1))
+  }
+
+  /** PER-GROUP sketch path: one grouped `approx_percentile` over the
+    * hash-sample — the driver never sees the sample, and the per-group
+    * threshold table (bounded by group cardinality) broadcasts back into
+    * the bucket projection. Rows whose group has no sampled thresholds
+    * fail loudly at evaluation, matching the exact form's contract. */
+  def perplexityBucketsByGroup(scored: DataFrame, idCol: String,
+      pplCol: String, groupCol: String, sampleFraction: Double = 0.3,
+      salt: Long = 0L, accuracy: Int = 10000): DataFrame = {
+    val samp = Sampling.deterministicSample(
+      scored.select(col(idCol), col(groupCol), col(pplCol)), idCol,
+      sampleFraction, salt)
+    val thresholds = samp.groupBy(col(groupCol).as("__g"))
+      .agg(percentile_approx(col(pplCol),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__t"))
+      .select(col("__g"), col("__t").getItem(0).as("__t1"), col("__t").getItem(1).as("__t2"))
+    scored.join(broadcast(thresholds), col(groupCol) <=> col("__g"), "left")
+      .withColumn("bucket",
+        when(col("__t1").isNull, raise_error(concat(
+          lit("perplexityBucketsByGroup: no sampled thresholds for group "),
+          coalesce(col(groupCol).cast("string"), lit("NULL")))).cast("string"))
+          .when(col(pplCol) <= col("__t1"), lit("head"))
+          .when(col(pplCol) <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__g", "__t1", "__t2")
   }
 }

@@ -343,4 +343,31 @@ class PlanSpec extends SparkSpec {
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
     assert(!readSchema.contains("text"), readSchema) // text never read
   }
+
+  test("incremental EMBEDDING dedup: the stored band index is scanned, never shuffled") {
+    // same daily-ingest claim as the text family, for the sign-LSH index:
+    // batch band rows broadcast over the store; the store side of the
+    // candidate join must carry no exchange (the dropDuplicates above the
+    // join shuffles only the candidate-bounded output)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      val storeBands = graft.ops.Dedup.signLshBandTable(embs, "embedding", "vec_id")
+      val batch = embs.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val exec = graft.ops.Dedup.embedCandidatesAgainst(batch, "embedding", "vec_id",
+          storeBands)
+        .queryExecution.executedPlan
+      val inner = exec.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.toString == "Inner" => j
+      }
+      assert(inner.isDefined, exec.toString.take(3000))
+      val storeSideShuffles = inner.get.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(storeSideShuffles.isEmpty, inner.get.left.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -703,4 +703,97 @@ class Round5Spec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(survivors === Set(1L, 2L, 3L))
   }
+
+  test("DedupIndex: embedding ingest gate — day-2 dedups against the appended sign-LSH index") {
+    import graft.ops.{Dedup, DedupIndex}
+    import graft.TableIO
+    val root = java.nio.file.Files.createTempDirectory("embed_idx").toString
+    val (bandDir, corpusDir) = (s"$root/bands", s"$root/corpus")
+    val (nb, ppb) = (8, 4)
+    val v1 = Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.2f)
+    val v2 = Array(0f, 1.0f, 0.3f, 0f, 0f, 0.1f, 0f, 0f)
+    val v3 = Array(0f, 0f, 0f, 1.0f, 0f, 0f, 0.4f, 0f)
+    def times(v: Array[Float], f: Float) = v.map(_ * f)
+    val day1 = Seq(1L -> v1, 2L -> v2, 3L -> v3).toDF("vec_id", "embedding")
+    assert(!DedupIndex.exists(spark, bandDir))
+    assert(DedupIndex.appendEmbedBands(day1, "embedding", "vec_id", bandDir, "day1", nb, ppb))
+    TableIO.default.writer(day1, "overwrite").save(corpusDir)
+    val day1Mtime = new java.io.File(s"$bandDir/batch=day1").lastModified()
+    // day 2: a scaled re-embed of v1 (exact cosine 1.0) + one fresh vector
+    val v4 = Array(0.2f, 0f, 1.0f, 0f, 0.3f, 0f, 0f, 0f)
+    val day2 = Seq(10L -> times(v1, 2.0f), 11L -> v4).toDF("vec_id", "embedding")
+    val store = TableIO.default.read(spark, corpusDir)
+    val accepted2 = Dedup.dropNearDupsByEmbeddingAgainst(day2, "embedding", "vec_id",
+      store, "embedding", "vec_id", DedupIndex.readIndex(spark, bandDir),
+      threshold = 0.95, bands = nb, planesPerBand = ppb)
+    assert(accepted2.select("vec_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    // the store index was READ, not rebuilt
+    assert(new java.io.File(s"$bandDir/batch=day1").lastModified() === day1Mtime)
+    // append the acceptances; exactly-once on re-run
+    assert(DedupIndex.appendEmbedBands(accepted2, "embedding", "vec_id", bandDir, "day2", nb, ppb))
+    assert(!DedupIndex.appendEmbedBands(accepted2, "embedding", "vec_id", bandDir, "day2", nb, ppb))
+    assert(DedupIndex.readIndex(spark, bandDir).select("id").distinct().count() === 4L)
+    // a day-3 re-embed of a DAY-2 acceptance is caught without any rebuild
+    val store23 = store.union(accepted2)
+    val day3 = Seq(20L -> times(v4, 0.5f), 21L -> Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val accepted3 = Dedup.dropNearDupsByEmbeddingAgainst(day3, "embedding", "vec_id",
+      store23, "embedding", "vec_id", DedupIndex.readIndex(spark, bandDir),
+      threshold = 0.95, bands = nb, planesPerBand = ppb)
+    assert(accepted3.select("vec_id").collect().map(_.getLong(0)).toSet === Set(21L))
+    // plane-geometry mismatch fails loudly
+    val e = intercept[IllegalStateException] {
+      DedupIndex.appendEmbedBands(day3, "embedding", "vec_id", bandDir, "day3", nb, 8)
+    }
+    assert(e.getMessage.contains("fingerprint"))
+  }
+
+  test("perplexityBucketsExactByGroup: independent per-group tertiles, null group is a group") {
+    import graft.ops.UnigramLM
+    val d = ((1L to 9L).map(i => (i, Option("a"), i * 10L)) ++
+      Seq((11L, Option("b"), 1000L), (12L, Option("b"), 2000L), (13L, Option("b"), 3000L)) ++
+      Seq((21L, Option.empty[String], 5L), (22L, None, 6L), (23L, None, 7L)))
+      .toDF("doc_id", "lang", "ppl_fp")
+    val out = UnigramLM.perplexityBucketsExactByGroup(d, "doc_id", "ppl_fp", "lang",
+        sampleFraction = 1.0)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 3L).forall(out(_) == "head") && (4L to 6L).forall(out(_) == "middle")
+      && (7L to 9L).forall(out(_) == "tail"))
+    assert(out(11L) == "head" && out(12L) == "middle" && out(13L) == "tail")
+    assert(out(21L) == "head" && out(22L) == "middle" && out(23L) == "tail")
+  }
+
+  test("perplexityBucketsExactByGroup: a group absent from the sample fails loudly at eval") {
+    import graft.ops.{Sampling, UnigramLM}
+    val base = (1L to 40L).map(i => (i, "a", i)).toDF("doc_id", "lang", "ppl_fp")
+    val sampledIds = Sampling.deterministicSample(base, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val excluded = (1L to 40L).find(!sampledIds.contains(_)).get
+    val d = base.withColumn("lang",
+      when(col("doc_id") === excluded, lit("z")).otherwise(col("lang")))
+    val e = intercept[Exception] {
+      UnigramLM.perplexityBucketsExactByGroup(d, "doc_id", "ppl_fp", "lang",
+        sampleFraction = 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no sampled thresholds for group")), e.toString)
+  }
+
+  test("perplexityBucketsByGroup (sketch): per-group value-contiguous buckets") {
+    import graft.ops.UnigramLM
+    val d = ((1L to 300L).map(i => (i, "a", i)) ++
+      (301L to 600L).map(i => (i, "b", i * 100L))).toDF("doc_id", "lang", "ppl_fp")
+    val out = UnigramLM.perplexityBucketsByGroup(d, "doc_id", "ppl_fp", "lang",
+        sampleFraction = 1.0)
+      .groupBy("lang", "bucket").agg(min("ppl_fp").as("lo"), max("ppl_fp").as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("a", "b")) {
+      assert(out(g -> "head")._2 < out(g -> "middle")._1)
+      assert(out(g -> "middle")._2 < out(g -> "tail")._1)
+    }
+    // group b's thresholds are its OWN: its head reaches past group a's max
+    assert(out("b" -> "head")._2 > out("a" -> "tail")._2)
+  }
 }
