@@ -214,6 +214,92 @@ object StreamValidate {
       }
   }
 
+  /** EMBEDDING near-dup candidates at ingest — the streaming form of
+    * [[graft.ops.Dedup.dropNearDupsByEmbedding]]'s candidate stage, and the
+    * SemDeDup analog of [[nearDupCandidatesStream]]: each arriving row's
+    * sign-LSH bands (same codegen'd kernel as the batch op — stream and
+    * batch keys can never drift) bucket it, every occupied (band, value)
+    * bucket keeps one first-seen min-id exemplar WITH its vector in the
+    * state store, and later arrivals emit [[EmbedNearDupCandidate]] events
+    * carrying the EXACT cosine vs the exemplar (cosine against one stored
+    * vector is cheap, unlike text verification — so the event is already
+    * verification-grade; gate on `cosine >= threshold` downstream and
+    * dedupe on (id_a, id_b) across agreeing bands).
+    *
+    * Scale notes: state is one (exemplar id, vector) per occupied bucket —
+    * size planesPerBand to the corpus exactly as the batch docstring
+    * prescribes, and use RocksDB + `ttl` at ingest scale. The same
+    * bounded-buffer `maxBucket` guard as the text stream: an exploding
+    * bucket updates its exemplar but skips emission for that batch.
+    * Zero-norm vectors carry no bands (they can never verify).
+    * Requires OutputMode.Update downstream. */
+  def embedNearDupCandidatesStream(stream: DataFrame, vecCol: String,
+      idCol: String, bands: Int = 8, planesPerBand: Int = 4,
+      maxBucket: Int = 1000, ttl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[EmbedNearDupCandidate] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val stEnc: Encoder[EmbedBucketState] = Encoders.product[EmbedBucketState]
+    implicit val outEnc: Encoder[EmbedNearDupCandidate] =
+      Encoders.product[EmbedNearDupCandidate]
+    val banded = stream
+      .select(col(idCol).cast(org.apache.spark.sql.types.StringType).as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .filter(col("id").isNotNull &&
+        graft.functions.VecFunctions.vec_norm(col("v")) > 0)
+      .select(col("id"), col("v"),
+        posexplode(graft.functions.VecFunctions.sign_lsh_bands(col("v"), bands, planesPerBand))
+          .as(Seq("band", "band_val")))
+      .select(col("band"), col("band_val"), col("id"), col("v"))
+      .as[(Int, Long, String, Seq[Float])]
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    banded.groupByKey { case (band, bv, _, _) => (band, bv) }
+      .flatMapGroupsWithState[EmbedBucketState, EmbedNearDupCandidate](
+        OutputMode.Update(), timeoutConf) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, String, Seq[Float])],
+         state: GroupState[EmbedBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Float])]
+            var overflow = false
+            rows.foreach { case (_, _, id, v) =>
+              if (buf.length <= maxBucket) buf += ((id, v)) else overflow = true
+            }
+            if (buf.isEmpty) Iterator.empty
+            else {
+              val sorted = buf.sortBy(_._1) // min-id first: deterministic
+              val (exemplar, rest) = state.getOption match {
+                case Some(st) => (st, sorted.toSeq)
+                case None =>
+                  val ex = EmbedBucketState(sorted.head._1, sorted.head._2)
+                  (ex, sorted.tail.toSeq)
+              }
+              if (!state.exists) state.update(exemplar)
+              ttl.foreach(state.setTimeoutDuration)
+              if (overflow || buf.length > maxBucket) Iterator.empty // guarded bucket
+              else rest.iterator
+                .filter(_._1 != exemplar.exemplarId)
+                .map { case (id, v) =>
+                  EmbedNearDupCandidate(exemplar.exemplarId, id, key._1,
+                    cosine(exemplar.vec, v))
+                }
+            }
+          }
+      }
+  }
+
   /** CROSS-BATCH uniqueness — the streaming-native form of the north rule's
     * `Unique` check, via `flatMapGroupsWithState` (custom per-key state):
     * state = how many times this key has EVER been seen; every arrival that
@@ -260,6 +346,16 @@ final case class KeySeenState(seen: Long)
   * its full MinHash signature (for estimated-Jaccard scoring of later
   * arrivals). */
 final case class BandBucketState(exemplarId: String, sig: Seq[Long])
+
+/** Per-sign-LSH-bucket streaming state: the first-seen exemplar row and its
+  * embedding (for exact-cosine scoring of later arrivals). */
+final case class EmbedBucketState(exemplarId: String, vec: Seq[Float])
+
+/** Emitted when a row lands in a sign-LSH bucket already holding an
+  * exemplar: an EMBEDDING near-dup candidate with the banding evidence and
+  * the exact cosine vs the exemplar — gate on a threshold downstream. */
+final case class EmbedNearDupCandidate(id_a: String, id_b: String, band: Int,
+    cosine: Double)
 
 /** Emitted when a document lands in a band bucket already holding an
   * exemplar: a NEAR-DUP CANDIDATE pair with the banding evidence and the

@@ -796,4 +796,55 @@ class Round5Spec extends SparkSpec {
     // group b's thresholds are its OWN: its head reaches past group a's max
     assert(out("b" -> "head")._2 > out("a" -> "tail")._2)
   }
+
+  test("embedNearDupCandidatesStream: scaled re-embed caught ACROSS batches with exact cosine") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v1 = Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.2f)
+    val v2 = Array(0f, 1.0f, 0.3f, 0f, 0f, 0.1f, 0f, 0f)
+    val input = MemoryStream[(String, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamValidate.embedNearDupCandidatesStream(
+        stream, "embedding", "vec_id", bands = 8, planesPerBand = 4)
+      .writeStream.format("memory").queryName("embed_cands")
+      .outputMode("update").start()
+    try {
+      input.addData(("e1", v1), ("e2", v2))
+      q.processAllAvailable() // batch 1: exemplars only (v1, v2 not near)
+      val b1 = spark.sql("select * from embed_cands where cosine >= 0.95").count()
+      assert(b1 === 0L)
+      input.addData(("e3", v1.map(_ * 2.0f))) // exact-cosine re-embed of e1
+      q.processAllAvailable()
+      val got = spark.sql("select id_a, id_b, cosine from embed_cands where cosine >= 0.95")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(got.nonEmpty)
+      // power-of-two scaling: exact cosine 1.0 against the stored exemplar,
+      // in EVERY band (identical sign pattern), always paired to e1
+      assert(got.forall { case (a, b, c) => a == "e1" && b == "e3" && c > 0.9999 })
+      assert(got.length === 8)
+    } finally q.stop()
+  }
+
+  test("embedNearDupCandidatesStream: within-batch min-id exemplar; zero-norm rows carry no bands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v = Array(0.5f, 0f, 0.25f, 0f, 0f, 0f, 1.0f, 0f)
+    val input = MemoryStream[(String, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamValidate.embedNearDupCandidatesStream(
+        stream, "embedding", "vec_id", bands = 4, planesPerBand = 4)
+      .writeStream.format("memory").queryName("embed_cands2")
+      .outputMode("update").start()
+    try {
+      input.addData(("z9", v), ("a1", v), ("nul", Array.fill(8)(0f)))
+      q.processAllAvailable()
+      val got = spark.sql("select id_a, id_b, cosine from embed_cands2")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(got.nonEmpty)
+      // min-id a1 is the exemplar even though z9 "arrived" first; the
+      // zero-norm row produced no bands at all
+      assert(got.forall { case (a, b, c) => a == "a1" && b == "z9" && c > 0.9999 })
+      assert(!got.exists { case (a, b, _) => a == "nul" || b == "nul" })
+    } finally q.stop()
+  }
 }
