@@ -337,6 +337,10 @@ object SparkEntry {
         "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
         threshold = 0.7, maxBucket = 500)
         .select(col("doc_id"))),
+    "d_neardup_clusters" -> ((s, dir) => // audit report; oracle via the same edge fixture
+      Dedup.nearDupClusters(ld(s, dir, "documents").filter(col("doc_id") < 2000),
+        "text", "doc_id", numHashes = 64, bands = 16, shingleK = 1,
+        threshold = 0.7, maxBucket = 500)),
     "d_neardup_embed" -> ((s, dir) => // SemDeDup shape; oracle via embed_edges fixture
       Dedup.dropNearDupsByEmbedding(DataGen.embedNearDupCorpus(s, dir),
         "embedding", "vec_id", threshold = 0.95, bands = 8, planesPerBand = 4,
@@ -983,6 +987,20 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id < 2000
            AND d.doc_id NOT IN (SELECT id FROM comp WHERE component < id)""",
+    "d_neardup_clusters" ->
+      // Same edge fixture + recursive closure as d_neardup_drop; the report
+      // is one group-count over the component labels (clusters of size >= 2).
+      """WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM read_parquet('/root/repo/target/fixtures/neardup_edges.parquet/*.parquet')),
+         nodes AS (SELECT id_a AS id FROM e UNION SELECT id_b FROM e),
+         sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT id AS root, id AS node FROM nodes
+           UNION
+           SELECT r.root, s.v FROM reach r JOIN sym s ON r.node = s.u),
+         comp AS (SELECT root AS id, min(node) AS component FROM reach GROUP BY root)
+         SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         FROM comp GROUP BY component HAVING count(*) >= 2""",
     "d_neardup_embed" ->
       // Edge-fixture oracle (embed_edges = the sign-LSH -> exact-cosine
       // verified pairs over the planted-dup corpus); DuckDB rebuilds the

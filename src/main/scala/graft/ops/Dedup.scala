@@ -456,6 +456,34 @@ object Dedup {
     finishDropById(df, idCol, cc)
   }
 
+  /** Near-dup CLUSTER REPORT — the audit companion to [[dropNearDups]]:
+    * instead of silently dropping, emit one row per duplicate cluster
+    * (`component` = the surviving min id, `n_members` = cluster size ≥ 2)
+    * so a pipeline can quantify duplication before deciding to drop,
+    * weight, or keep-one (near-dup RATE is itself a corpus quality metric).
+    * Same stages as the drop pipeline minus the anti-join tail; the report
+    * is one agg over the CC labels, bounded by the number of clusters. */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val (candidates, releaseLsh) = minhashLshCached(df, textCol, idCol, numHashes,
+      bands, shingleK, threshold, maxBucket)
+    val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
+      .select("id_a", "id_b").persist()
+    val cc = connectedComponents(verified)
+    verified.unpersist()
+    releaseLsh()
+    // materialize the report eagerly (it is cluster-bounded — one row per
+    // duplicate cluster) so the CC labels' checkpoint blocks can be freed
+    // HERE; the report's own checkpoint is the same bounded pay-per-defect
+    // residual the drop pipelines' flagged-id sets carry
+    val report = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .localCheckpoint(true)
+    freeLocalCheckpoint(cc)
+    report
+  }
+
   /** SemDeDup-shaped near-duplicate removal over an EMBEDDING column
     * (Abbas et al. 2023: semantically near-identical documents collapse to
     * one exemplar by embedding cosine): sign-LSH bucketing generates

@@ -847,4 +847,29 @@ class Round5Spec extends SparkSpec {
       assert(!got.exists { case (a, b, _) => a == "nul" || b == "nul" })
     } finally q.stop()
   }
+
+  test("nearDupClusters: one row per duplicate cluster, consistent with dropNearDups") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the garden wall today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the garden wall today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the garden wall"),
+      (10L, "completely unrelated content about distributed shuffle hash aggregation"),
+      (20L, "another singleton document describing connected component algorithms"),
+      (21L, "another singleton document describing connected component algorithms plus"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleK = 1, threshold = 0.6, maxBucket = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3} cluster at component 1; {20,21} at 20; singleton 10 absent
+    assert(clusters === Map(1L -> 3L, 20L -> 2L))
+    // the report agrees with the drop pipeline: survivors = all - (members - clusters)
+    val kept = Dedup.dropNearDups(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleK = 1, threshold = 0.6, maxBucket = 100).count()
+    assert(kept === 6L - (clusters.values.sum - clusters.size))
+    // report survives a SECOND action (its own bounded checkpoint, labels freed)
+    val again = Dedup.nearDupClusters(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleK = 1, threshold = 0.6, maxBucket = 100)
+    assert(again.count() === 2L && again.count() === 2L)
+  }
 }
