@@ -346,6 +346,10 @@ object SparkEntry {
         "embedding", "vec_id", threshold = 0.95, bands = 8, planesPerBand = 4,
         maxBucket = 500)
         .select(col("vec_id"))),
+    "d_neardup_embed_clusters" -> ((s, dir) => // embedding-cluster audit report
+      Dedup.nearDupClustersByEmbedding(DataGen.embedNearDupCorpus(s, dir),
+        "embedding", "vec_id", threshold = 0.95, bands = 8, planesPerBand = 4,
+        maxBucket = 500)),
     // ---- similarity search ----
     "s_ann_quantized" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -487,6 +491,13 @@ object SparkEntry {
       UnigramLM.perplexityBucketsExactByGroup(scored, "doc_id", "ppl_fp", "lang",
           sampleFraction = 0.5)
         .select(col("doc_id"), col("lang"), col("ppl_fp"), col("bucket"))
+    }),
+    "t_ccnet_select" -> ((s, dir) => { // the composed selection: keep head+middle per lang
+      val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
+      val (survivors, _) = Pipeline.ccnetSelect(docs, "text", "doc_id", "lang",
+        fivegramModel(s, dir), keep = Set("head", "middle"),
+        sampleFraction = 0.5, exact = true)
+      survivors.select(col("doc_id"), col("lang"), col("ppl_fp"), col("bucket"))
     }),
     "t_classifier" -> ((s, dir) => { // NB log-odds quality classifier (fastText shape)
       val docs = ld(s, dir, "documents").filter(col("text").isNotNull)
@@ -701,6 +712,39 @@ object SparkEntry {
            LEFT JOIN qua g4 ON t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g4.g
            LEFT JOIN qua q4 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev = q4.g
            LEFT JOIN fiv g5 ON t.prev4 || chr(1) || t.prev3 || chr(1) || t.prev2 || chr(1) || t.prev || chr(1) || t.cur = g5.g)"""
+
+  /** Per-language tertile oracle (CCNet's per-language cutoffs): the
+    * 5-gram CTE chain + per-lang window order statistics. Shared by
+    * t_ppl_buckets_lang and the composed t_ccnet_select. */
+  private val pplBucketsLangSql: String =
+    s"""$fiveGramLpCtes,
+         score AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS lp,
+                  CAST(count(*) AS BIGINT) AS nt
+           FROM lp GROUP BY doc_id),
+         ppl AS (SELECT doc_id, (-lp) // nt AS ppl_fp FROM score WHERE nt > 0),
+         g AS (
+           SELECT doc_id, g_ppl FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
+         dl AS (SELECT doc_id, lang FROM documents),
+         samp AS (
+           SELECT dl.lang, p.ppl_fp FROM ppl p
+           JOIN g USING (doc_id) JOIN dl USING (doc_id)
+           WHERE g.g_ppl < 500000),
+         r AS (
+           SELECT lang, ppl_fp,
+                  row_number() OVER (PARTITION BY lang ORDER BY ppl_fp) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS c
+           FROM samp),
+         t AS (
+           SELECT lang,
+                  max(CASE WHEN rn <= (c + 2) // 3 THEN ppl_fp END) AS t1,
+                  max(CASE WHEN rn <= (2 * c + 2) // 3 THEN ppl_fp END) AS t2
+           FROM r GROUP BY lang)
+         SELECT p.doc_id, dl.lang, p.ppl_fp,
+                CASE WHEN p.ppl_fp <= t.t1 THEN 'head'
+                     WHEN p.ppl_fp <= t.t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM ppl p JOIN dl USING (doc_id) JOIN t ON dl.lang = t.lang"""
 
   private def oracleSqlRaw: Map[String, String] = Map(
     "v_range" ->
@@ -1022,6 +1066,19 @@ object SparkEntry {
          comp AS (SELECT root AS id, min(node) AS component FROM reach GROUP BY root)
          SELECT c.vec_id FROM corpus c
          WHERE c.vec_id NOT IN (SELECT id FROM comp WHERE component < id)""",
+    "d_neardup_embed_clusters" ->
+      // Group-count over the embed-edge closure (clusters of size >= 2).
+      """WITH RECURSIVE
+         e AS (SELECT id_a, id_b FROM read_parquet('/root/repo/target/fixtures/embed_edges.parquet/*.parquet')),
+         nodes AS (SELECT id_a AS id FROM e UNION SELECT id_b FROM e),
+         sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT id AS root, id AS node FROM nodes
+           UNION
+           SELECT r.root, s.v FROM reach r JOIN sym s ON r.node = s.u),
+         comp AS (SELECT root AS id, min(node) AS component FROM reach GROUP BY root)
+         SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         FROM comp GROUP BY component HAVING count(*) >= 2""",
     "s_ann_cosine" ->
       // Direct oracle: double-accumulated cosine matches VecDot/VecNorm
       // (both fold the array in index order; the 1e-9 canon grid absorbs
@@ -1539,38 +1596,11 @@ object SparkEntry {
                      WHEN ppl_fp <= (SELECT v FROM t2) THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM ppl""",
-    "t_ppl_buckets_lang" ->
-      // Per-GROUP tertiles (CCNet's per-language cutoffs): identical order-
-      // statistic contract, thresholds computed independently per lang from
-      // the same materialized sample gate.
-      s"""$fiveGramLpCtes,
-         score AS (
-           SELECT doc_id, CAST(sum(v) AS BIGINT) AS lp,
-                  CAST(count(*) AS BIGINT) AS nt
-           FROM lp GROUP BY doc_id),
-         ppl AS (SELECT doc_id, (-lp) // nt AS ppl_fp FROM score WHERE nt > 0),
-         g AS (
-           SELECT doc_id, g_ppl FROM read_parquet('/root/repo/target/fixtures/sample_gates.parquet/*.parquet')),
-         dl AS (SELECT doc_id, lang FROM documents),
-         samp AS (
-           SELECT dl.lang, p.ppl_fp FROM ppl p
-           JOIN g USING (doc_id) JOIN dl USING (doc_id)
-           WHERE g.g_ppl < 500000),
-         r AS (
-           SELECT lang, ppl_fp,
-                  row_number() OVER (PARTITION BY lang ORDER BY ppl_fp) AS rn,
-                  count(*) OVER (PARTITION BY lang) AS c
-           FROM samp),
-         t AS (
-           SELECT lang,
-                  max(CASE WHEN rn <= (c + 2) // 3 THEN ppl_fp END) AS t1,
-                  max(CASE WHEN rn <= (2 * c + 2) // 3 THEN ppl_fp END) AS t2
-           FROM r GROUP BY lang)
-         SELECT p.doc_id, dl.lang, p.ppl_fp,
-                CASE WHEN p.ppl_fp <= t.t1 THEN 'head'
-                     WHEN p.ppl_fp <= t.t2 THEN 'middle'
-                     ELSE 'tail' END AS bucket
-         FROM ppl p JOIN dl USING (doc_id) JOIN t ON dl.lang = t.lang""",
+    "t_ppl_buckets_lang" -> pplBucketsLangSql,
+    "t_ccnet_select" ->
+      // The composed CCNet selection = the per-language bucket oracle
+      // minus the tail bucket (keep = head+middle).
+      s"SELECT * FROM ($pplBucketsLangSql) WHERE bucket <> 'tail'",
     "t_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),

@@ -510,6 +510,26 @@ object Dedup {
     finishDropById(df, idCol, cc)
   }
 
+  /** Embedding-cluster report — [[nearDupClusters]] for the SemDeDup
+    * family: (component = surviving min id, n_members ≥ 2) per
+    * cosine-similarity cluster. Same stages as
+    * [[dropNearDupsByEmbedding]] minus the anti-join tail. */
+  def nearDupClustersByEmbedding(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    val (pairs, releaseLsh) = Similarity.cosineLshPairsCached(df, vecCol, idCol,
+      threshold, bands, planesPerBand, maxBucket)
+    val verified = pairs.select("id_a", "id_b").persist()
+    val cc = connectedComponents(verified)
+    verified.unpersist()
+    releaseLsh()
+    val report = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .localCheckpoint(true) // cluster-bounded; frees the labels (below)
+    freeLocalCheckpoint(cc)
+    report
+  }
+
   // ------------------------------------------------------------------
   // INCREMENTAL dedup: a new ingest batch vs the stored corpus
   // ------------------------------------------------------------------

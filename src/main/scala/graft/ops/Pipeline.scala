@@ -42,4 +42,34 @@ object Pipeline {
       .select(col("stage"), col("ord"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
     (df.filter(keepAll), audit)
   }
+
+  /** The composed CCNet selection (Wenzek et al. 2020): score with the
+    * reference order-N LM, split into per-language perplexity tertiles,
+    * keep the chosen buckets. Returns (survivors, per-(lang, bucket)
+    * counts) — the counts frame is the no-silent-caps audit: every
+    * language's bucket population is visible whether or not it was kept.
+    * Tokenless rows are DROPPED (they have no perplexity; CCNet has
+    * nothing to say about them — gate them upstream with length checks).
+    * `exact = true` uses the order-statistic thresholds (driver collects
+    * the SAMPLE, `maxSample`-guarded); default is the sketch path. */
+  def ccnetSelect(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, model: UnigramLM.NgramModel,
+      keep: Set[String] = Set("head", "middle"),
+      sampleFraction: Double = 0.3, salt: Long = 0L,
+      exact: Boolean = false): (DataFrame, DataFrame) = {
+    require(keep.nonEmpty && keep.subsetOf(Set("head", "middle", "tail")),
+      s"keep must be a nonempty subset of head/middle/tail: $keep")
+    val scored = UnigramLM.scoreNgram(docs, textCol, model)
+      .filter(col("n_tok") > 0)
+      .withColumn("ppl_fp",
+        UnigramLM.perplexityFp(col("logprob_fp"), col("n_tok")))
+    val bucketed =
+      if (exact) UnigramLM.perplexityBucketsExactByGroup(
+        scored, idCol, "ppl_fp", langCol, sampleFraction, salt)
+      else UnigramLM.perplexityBucketsByGroup(
+        scored, idCol, "ppl_fp", langCol, sampleFraction, salt)
+    val counts = bucketed.groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    (bucketed.filter(col("bucket").isin(keep.toSeq: _*)), counts)
+  }
 }

@@ -872,4 +872,28 @@ class Round5Spec extends SparkSpec {
       numHashes = 32, bands = 8, shingleK = 1, threshold = 0.6, maxBucket = 100)
     assert(again.count() === 2L && again.count() === 2L)
   }
+
+  test("ccnetSelect: per-lang tertiles, tail dropped, counts audit every bucket") {
+    import graft.ops.{Pipeline, UnigramLM}
+    // two languages with distinct fluency mixes: fluent docs repeat trained
+    // vocabulary; gibberish docs are all-OOV (score far below)
+    val fluent = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 9L).map(i => (i, "en", fluent + (" extra" * (i.toInt % 3)))) ++
+      (11L to 19L).map(i => (i, "de", fluent + (" zusatz" * (i.toInt % 3)))))
+      .toDF("doc_id", "lang", "text")
+    val model = UnigramLM.trainNgram(docs, "text", Seq(50, 100))
+    val (survivors, counts) = Pipeline.ccnetSelect(docs, "text", "doc_id", "lang",
+      model, keep = Set("head"), sampleFraction = 1.0, exact = true)
+    val surv = survivors.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(surv.nonEmpty && surv.forall(_._2 == "head"))
+    // the audit sees every (lang, bucket) population, kept or not
+    val byLang = counts.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byLang.keys.map(_._1).toSet === Set("en", "de"))
+    assert(byLang.values.sum === 18L)
+    // keep-set validation is loud
+    intercept[IllegalArgumentException] {
+      Pipeline.ccnetSelect(docs, "text", "doc_id", "lang", model, keep = Set("bogus"))
+    }
+  }
 }
