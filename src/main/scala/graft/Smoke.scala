@@ -305,6 +305,32 @@ object Smoke {
     check("jsonschema", jsResult.violations.count() == 0,
       "draft-07 schema compiled + ran clean on clean docs")
 
+    // 10. the data-quality loop: profile -> suggest -> (empty) round trip,
+    // metrics history with a planted jump, static schema drift
+    {
+      import spark.implicits._
+      val sug = Suggest.suggest(docs)
+      val roundTrip = Suggest.applyToSelf(docs, "doc_id").count()
+      val repo = s"$out/metrics_repo"
+      val repoPath = new org.apache.hadoop.fs.Path(repo)
+      val rfs = repoPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rfs.exists(repoPath)) rfs.delete(repoPath, true) // stale-run hygiene
+      Seq(2000L, 2020L, 3000L).zipWithIndex.foreach { case (v, i) =>
+        MetricsRepo.append(Seq(("rows", v)).toDF("metric", "value"), repo, i.toLong)
+      }
+      val anomalies = MetricsRepo
+        .relChangeAnomalies(MetricsRepo.history(spark, repo), maxPct = 20)
+        .select("run").as[Long].collect().toSet
+      val drift = SchemaDiff.diff(
+        org.apache.spark.sql.types.StructType(docs.schema.fields.dropRight(1)),
+        docs.schema)
+      check("quality-loop",
+        sug.rules.nonEmpty && roundTrip == 0 && anomalies == Set(2L) &&
+          drift.map(_.change) == Seq("added"),
+        s"${sug.rules.size} suggested rules; round-trip violations=$roundTrip; " +
+          s"anomalous runs=$anomalies (expect Set(2)); drift=${drift.map(_.change).mkString(",")}")
+    }
+
     spark.stop()
     println(s"[smoke] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"}")
     if (failures > 0) sys.exit(1)

@@ -262,6 +262,46 @@ object SparkEntry {
         .select(col("source"), col("psi"), col("grp_total"))),
     "v_drift_psi_fp" -> ((s, dir) =>
       Drift.psiFixedPoint(ld(s, dir, "documents"), "n_chars", "source", 50.0)),
+    // ---- profiling → suggestion → metrics history (the Deequ-shaped loop) ----
+    "v_profile" -> ((s, dir) => // exact per-column profile, cents fixed point
+      Profiler.profile(ld(s, dir, "documents"))),
+    "v_suggest" -> ((s, dir) => // deterministic rule derivation from the profile
+      Suggest.suggestDf(s, ld(s, dir, "documents"))),
+    "v_suggest_apply" -> ((s, dir) => // round trip: the suggested suite holds
+      // on its own training table BY CONSTRUCTION -> the oracle asserts EMPTY
+      Suggest.applyToSelf(ld(s, dir, "documents"), "doc_id")
+        .groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))),
+    "v_metrics_anomaly" -> ((s, dir) => { // metrics repo + run-over-run drift
+      // six-run history from deterministic doc_id-mod slices; runs 3/4 jump
+      // ~±30% (planted anomaly), the rest move ~1% — rebuilt fresh each call
+      val repo = DataGen.MetricsRepoFixturePath
+      val p = new org.apache.hadoop.fs.Path(repo)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = ld(s, dir, "documents")
+      // doc_id mod 500: every residue is populated at every SF (doc ids are
+      // 0..N-1 with N a multiple of 500), so the slice sizes — and therefore
+      // the planted ~±30% jumps at runs 3/4 — hold at sf0.001 through sf0.1
+      Seq(300L, 303L, 306L, 420L, 309L, 312L).zipWithIndex.foreach { case (l, i) =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(500L)) < l)
+        val metrics = slice.agg(
+          count(lit(1)).as("rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars_sum"))
+          .select(explode(map(
+            lit("rows"), col("rows"),
+            lit("n_chars_sum"), col("n_chars_sum"))).as(Seq("metric", "value")))
+        MetricsRepo.append(metrics, repo, i.toLong)
+      }
+      MetricsRepo.relChangeAnomalies(MetricsRepo.history(s, repo), maxPct = 20)
+    }),
+    "v_schema_diff" -> ((s, dir) => { // static drift vs a frozen expected schema
+      val expected = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", IntegerType), // actual is long -> type_changed
+        StructField("quality", DoubleType))) // absent in actual -> removed
+      SchemaDiff.diffDf(s, expected, ld(s, dir, "documents").schema)
+    }),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -862,6 +902,115 @@ object SparkEntry {
            FROM cells)
          SELECT grp AS source, CAST(sum(term_fp) AS BIGINT) AS chi2_fp, grp_total
          FROM terms GROUP BY grp, grp_total""",
+    "v_profile" ->
+      // exact per-column profile: numeric bounds in cents (round(min)*100 is
+      // monotonic, so min/max commute with the transform), string bounds as
+      // length extrema; sums CAST to BIGINT (DuckDB sums to HUGEINT)
+      """WITH p AS (SELECT count(*) AS n,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_doc_id,
+           count(DISTINCT doc_id) AS nd_doc_id,
+           CAST(round(min(doc_id)*100) AS BIGINT) AS mn_doc_id,
+           CAST(round(max(doc_id)*100) AS BIGINT) AS mx_doc_id,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_text,
+           count(DISTINCT text) AS nd_text,
+           CAST(min(length(text)) AS BIGINT) AS mnl_text,
+           CAST(max(length(text)) AS BIGINT) AS mxl_text,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_lang,
+           count(DISTINCT lang) AS nd_lang,
+           CAST(min(length(lang)) AS BIGINT) AS mnl_lang,
+           CAST(max(length(lang)) AS BIGINT) AS mxl_lang,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_source,
+           count(DISTINCT source) AS nd_source,
+           CAST(min(length(source)) AS BIGINT) AS mnl_source,
+           CAST(max(length(source)) AS BIGINT) AS mxl_source,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_n_chars,
+           count(DISTINCT n_chars) AS nd_n_chars,
+           CAST(round(min(n_chars)*100) AS BIGINT) AS mn_n_chars,
+           CAST(round(max(n_chars)*100) AS BIGINT) AS mx_n_chars
+         FROM documents)
+         SELECT 'doc_id' AS col_name, 'long' AS dtype, n, nu_doc_id AS nulls,
+                nd_doc_id AS n_distinct, mn_doc_id AS min_c, mx_doc_id AS max_c,
+                CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len FROM p
+         UNION ALL SELECT 'text', 'string', n, nu_text, nd_text,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mnl_text, mxl_text FROM p
+         UNION ALL SELECT 'lang', 'string', n, nu_lang, nd_lang,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mnl_lang, mxl_lang FROM p
+         UNION ALL SELECT 'source', 'string', n, nu_source, nd_source,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mnl_source, mxl_source FROM p
+         UNION ALL SELECT 'n_chars', 'long', n, nu_n_chars, nd_n_chars,
+                mn_n_chars, mx_n_chars, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM p""",
+    "v_suggest" ->
+      // mirrors Suggest.suggest's rule derivation (enumMaxK = 8): each rule
+      // row is emitted under the same condition the Scala side tests
+      """WITH p AS (SELECT count(*) AS n,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_doc_id,
+           count(DISTINCT doc_id) AS nd_doc_id,
+           CAST(round(min(doc_id)*100) AS BIGINT) AS mn_doc_id,
+           CAST(round(max(doc_id)*100) AS BIGINT) AS mx_doc_id,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_text,
+           count(DISTINCT text) AS nd_text,
+           min(length(text)) AS mnl_text, max(length(text)) AS mxl_text,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_lang,
+           count(DISTINCT lang) AS nd_lang,
+           min(length(lang)) AS mnl_lang, max(length(lang)) AS mxl_lang,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_source,
+           count(DISTINCT source) AS nd_source,
+           min(length(source)) AS mnl_source, max(length(source)) AS mxl_source,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_n_chars,
+           count(DISTINCT n_chars) AS nd_n_chars,
+           CAST(round(min(n_chars)*100) AS BIGINT) AS mn_n_chars,
+           CAST(round(max(n_chars)*100) AS BIGINT) AS mx_n_chars
+         FROM documents)
+         SELECT 'doc_id' AS col_name, 'non_null' AS rule, 'not null' AS bound FROM p WHERE nu_doc_id = 0 AND n > 0
+         UNION ALL SELECT 'doc_id', 'unique', 'distinct == rows' FROM p WHERE n > 0 AND nu_doc_id = 0 AND nd_doc_id = n
+         UNION ALL SELECT 'doc_id', 'range', '[' || mn_doc_id || ',' || mx_doc_id || ']' FROM p WHERE n - nu_doc_id > 0
+         UNION ALL SELECT 'text', 'non_null', 'not null' FROM p WHERE nu_text = 0 AND n > 0
+         UNION ALL SELECT 'text', 'unique', 'distinct == rows' FROM p WHERE n > 0 AND nu_text = 0 AND nd_text = n
+         UNION ALL SELECT 'text', 'enum',
+           (SELECT string_agg(DISTINCT text, ',' ORDER BY text) FROM documents WHERE text IS NOT NULL)
+           FROM p WHERE n - nu_text > 0 AND nd_text <= 8
+         UNION ALL SELECT 'text', 'length', '[' || mnl_text || ',' || mxl_text || ']' FROM p WHERE n - nu_text > 0
+         UNION ALL SELECT 'lang', 'non_null', 'not null' FROM p WHERE nu_lang = 0 AND n > 0
+         UNION ALL SELECT 'lang', 'unique', 'distinct == rows' FROM p WHERE n > 0 AND nu_lang = 0 AND nd_lang = n
+         UNION ALL SELECT 'lang', 'enum',
+           (SELECT string_agg(DISTINCT lang, ',' ORDER BY lang) FROM documents WHERE lang IS NOT NULL)
+           FROM p WHERE n - nu_lang > 0 AND nd_lang <= 8
+         UNION ALL SELECT 'lang', 'length', '[' || mnl_lang || ',' || mxl_lang || ']' FROM p WHERE n - nu_lang > 0
+         UNION ALL SELECT 'source', 'non_null', 'not null' FROM p WHERE nu_source = 0 AND n > 0
+         UNION ALL SELECT 'source', 'unique', 'distinct == rows' FROM p WHERE n > 0 AND nu_source = 0 AND nd_source = n
+         UNION ALL SELECT 'source', 'enum',
+           (SELECT string_agg(DISTINCT source, ',' ORDER BY source) FROM documents WHERE source IS NOT NULL)
+           FROM p WHERE n - nu_source > 0 AND nd_source <= 8
+         UNION ALL SELECT 'source', 'length', '[' || mnl_source || ',' || mxl_source || ']' FROM p WHERE n - nu_source > 0
+         UNION ALL SELECT 'n_chars', 'non_null', 'not null' FROM p WHERE nu_n_chars = 0 AND n > 0
+         UNION ALL SELECT 'n_chars', 'unique', 'distinct == rows' FROM p WHERE n > 0 AND nu_n_chars = 0 AND nd_n_chars = n
+         UNION ALL SELECT 'n_chars', 'range', '[' || mn_n_chars || ',' || mx_n_chars || ']' FROM p WHERE n - nu_n_chars > 0""",
+    "v_suggest_apply" ->
+      // the semantic claim IS the empty set: every suggested bound is an
+      // observed extremum, so the suite cannot fail on its training table
+      """SELECT CAST(NULL AS VARCHAR) AS constraint_id, CAST(0 AS BIGINT) AS n WHERE 1 = 0""",
+    "v_metrics_anomaly" ->
+      // same lag-window + cross-multiplied integer threshold over the
+      // fixture history the Spark query just (re)wrote
+      """WITH h AS (
+           SELECT CAST(run AS BIGINT) AS run, metric, CAST(value AS BIGINT) AS value
+           FROM read_parquet('/root/repo/target/fixtures/metrics_repo/run=*/*.parquet',
+                             hive_partitioning = 1)),
+         l AS (
+           SELECT run, metric, value,
+                  lag(value) OVER (PARTITION BY metric ORDER BY run) AS prev
+           FROM h)
+         SELECT run, metric, prev, value FROM l
+         WHERE prev IS NOT NULL
+           AND ((prev = 0 AND value <> 0)
+             OR (prev <> 0 AND abs(value - prev) * 100 > 20 * abs(prev)))""",
+    "v_schema_diff" ->
+      // the diff of the frozen expected schema vs the actual table schema is
+      // static -> literal oracle rows
+      """SELECT * FROM (VALUES
+           ('lang', 'added', '', 'string'),
+           ('n_chars', 'type_changed', 'integer', 'long'),
+           ('quality', 'removed', 'double', '')) AS t(col_name, change, expected, actual)""",
     "v_drift_psi_fp" ->
       """WITH binned AS (
            SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin

@@ -151,6 +151,11 @@ object DataGen {
   def NeardupEdgesFixturePath = s"$fixtureRoot/neardup_edges.parquet"
   def LshBandsFixturePath = s"$fixtureRoot/lsh_bands.parquet"
   def EmbedEdgesFixturePath = s"$fixtureRoot/embed_edges.parquet"
+  /** The v_metrics_anomaly six-run metrics history (deterministic slices of
+    * the documents table, drift planted at runs 3/4) — the query REBUILDS it
+    * from scratch on every call (delete + 6 bounded writes), so the oracle
+    * always reads the history derived from the CURRENT sf dir's data. */
+  def MetricsRepoFixturePath = s"$fixtureRoot/metrics_repo"
 
   /** The d_neardup_embed corpus: the embeddings table plus PLANTED exact
     * near-duplicates — every vec_id % 7 == 0 row again at id+1,000,000

@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling + automatic constraint suggestion — the "where do the
+  * bounds COME from" half of a validation engine (the reference assumes a
+  * hand-written schema; production data-quality systems derive a first
+  * suite from the data and let humans tighten it — the published
+  * profile→suggest loop of Deequ / Great Expectations, re-expressed as
+  * Spark aggregations).
+  *
+  * Two profile forms:
+  *  - [[Profiler.profile]] — EXACT: per-column null counts, exact distinct
+  *    counts, fixed-point (cents) numeric min/max, string length bounds.
+  *    Exact multi-column distinct counts expand the scan (Spark plans one
+  *    Expand projection per distinct aggregate), so this is the
+  *    oracle-checkable form for bounded column sets.
+  *  - [[Profiler.profileApprox]] — the 10^12-row path: identical shape with
+  *    `approx_count_distinct` (HLL++, fixed-size sketch state), ONE pass,
+  *    no Expand. Same min/max/null arithmetic (those are exact either way).
+  *
+  * All numeric bounds are reported in cents (×100, rounded, long) so the
+  * profile row is integer-exact — the repo-wide fixed-point convention that
+  * makes float-summation ambiguity impossible in oracle comparisons.
+  */
+object Profiler {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+  private val nullLong = lit(null).cast(LongType)
+
+  /** Columns the profiler knows how to bound. Anything else (arrays, maps,
+    * structs, binary) still gets n/nulls/distinct — bounds are null. */
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private[graft] def profileCols(df: DataFrame, columns: Seq[String]): Seq[String] = {
+    val want = if (columns.nonEmpty) columns else df.columns.toSeq
+    want.foreach { c =>
+      require(df.columns.contains(c), s"profile: no such column '$c'")
+    }
+    want
+  }
+
+  /** Exact profile, one row per column:
+    * (col_name, dtype, n, nulls, n_distinct, min_c, max_c, min_len, max_len).
+    * Internally also carries raw (non-cents) numeric min/max for
+    * [[Suggest]] — dropped from the public frame so the oracle surface
+    * stays integer-only. Timestamps are bounded in epoch MICROS (exact). */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame =
+    profileRaw(df, columns).drop("min_raw", "max_raw")
+
+  /** Approximate-distinct profile: same shape/columns as [[profile]], with
+    * `n_distinct` from HLL++ (`rsd` default 5%). One pass, no Expand — the
+    * form a 10^12-row profiling job runs. */
+  def profileApprox(df: DataFrame, columns: Seq[String] = Nil, rsd: Double = 0.05): DataFrame =
+    assemble(df, profileCols(df, columns),
+      c => approx_count_distinct(col(c), rsd)).drop("min_raw", "max_raw")
+
+  private[graft] def profileRaw(df: DataFrame, columns: Seq[String] = Nil): DataFrame =
+    assemble(df, profileCols(df, columns), c => countDistinct(col(c)))
+
+  /** One global aggregation → one row; then explode into per-column rows.
+    * Struct fields are typed identically across column kinds (nulls cast),
+    * so the exploded frame has one stable schema. */
+  private def assemble(df: DataFrame, cols: Seq[String],
+      distinctAgg: String => Column): DataFrame = {
+    val schema = df.schema
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val base = Seq(
+        sum(col(c).isNull.cast(LongType)).as(s"__nulls_$c"),
+        distinctAgg(c).as(s"__nd_$c"))
+      dt match {
+        case t if isNumeric(t) => base ++ Seq(
+          min(cents(col(c))).as(s"__min_$c"),
+          max(cents(col(c))).as(s"__max_$c"),
+          min(col(c).cast(DoubleType)).as(s"__rmin_$c"),
+          max(col(c).cast(DoubleType)).as(s"__rmax_$c"))
+        case StringType => base ++ Seq(
+          min(length(col(c)).cast(LongType)).as(s"__minl_$c"),
+          max(length(col(c)).cast(LongType)).as(s"__maxl_$c"))
+        case TimestampType => base ++ Seq(
+          min(unix_micros(col(c))).as(s"__min_$c"),
+          max(unix_micros(col(c))).as(s"__max_$c"))
+        case _ => base
+      }
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      val dt = schema(c).dataType
+      val (minC, maxC, rmin, rmax) = dt match {
+        case t if isNumeric(t) =>
+          (col(s"__min_$c"), col(s"__max_$c"),
+            col(s"__rmin_$c"), col(s"__rmax_$c"))
+        case TimestampType =>
+          (col(s"__min_$c"), col(s"__max_$c"),
+            lit(null).cast(DoubleType), lit(null).cast(DoubleType))
+        case _ => (nullLong, nullLong,
+          lit(null).cast(DoubleType), lit(null).cast(DoubleType))
+      }
+      val (minL, maxL) = dt match {
+        case StringType => (col(s"__minl_$c"), col(s"__maxl_$c"))
+        case _ => (nullLong, nullLong)
+      }
+      struct(
+        lit(c).as("col_name"), lit(dt.typeName).as("dtype"),
+        col("__n").as("n"), col(s"__nulls_$c").as("nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        minC.as("min_c"), maxC.as("max_c"),
+        minL.as("min_len"), maxL.as("max_len"),
+        rmin.as("min_raw"), rmax.as("max_raw"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}
+
+/** One suggested rule, in its display form — `bound` strings use the same
+  * integer/cents conventions as the profile so the frame is oracle-exact. */
+final case class SuggestedRule(col_name: String, rule: String, bound: String)
+
+/** Deterministic rule derivation from an exact profile (no sampling, no
+  * RNG): the same input table always yields the same suite. The SUGGESTED
+  * suite holds on its own training table BY CONSTRUCTION (bounds are the
+  * observed extrema) — `v_suggest_apply` asserts that round trip, and the
+  * intended workflow is: suggest on a trusted snapshot, review, then
+  * validate every future ingest against the frozen suite.
+  */
+object Suggest {
+
+  final case class SuggestResult(
+      rules: Seq[SuggestedRule],
+      rowChecks: Seq[RowConstraint],
+      aggChecks: Seq[AggConstraint])
+
+  /** Derive rules for `df`'s columns.
+    *
+    * Rules, in emission order per column:
+    *  - `non_null`  — zero nulls observed → [[NonNull]]
+    *  - `unique`    — zero nulls and n_distinct == n → [[Unique]] (salted
+    *                  form is the caller's scale decision)
+    *  - `enum`      — string column with ≤ `enumMaxK` distinct values →
+    *                  [[EnumIn]] over the (sorted) observed set
+    *  - `length`    — string column → [[LengthBounds]] at observed extrema
+    *  - `range`     — numeric column → [[Range]] at observed extrema (raw
+    *                  doubles for the constraint; cents in the display row)
+    *
+    * The enum value set is fetched per CANDIDATE column only (gated on the
+    * profile's exact distinct count), with `limit(enumMaxK + 1)` capping
+    * both the shuffle output and the driver collect — a high-cardinality
+    * column can never pull its domain to the driver.
+    *
+    * Exact-distinct caveat at scale: this calls [[Profiler.profileRaw]]
+    * (Expand-based exact distincts) because `unique`/`enum` decisions are
+    * semantic claims an approximation could flip. A 10^12-row deployment
+    * profiles a bounded trusted sample or accepts the Expand cost once.
+    */
+  def suggest(df: DataFrame, enumMaxK: Int = 8): SuggestResult = {
+    require(enumMaxK >= 1, s"enumMaxK must be >= 1, got $enumMaxK")
+    val prof = Profiler.profileRaw(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rules = scala.collection.mutable.ArrayBuffer.empty[SuggestedRule]
+    val rowChecks = scala.collection.mutable.ArrayBuffer.empty[RowConstraint]
+    val aggChecks = scala.collection.mutable.ArrayBuffer.empty[AggConstraint]
+    df.columns.foreach { c =>
+      val r = prof(c)
+      val dtype = r.getString(1)
+      val n = r.getLong(2); val nulls = r.getLong(3); val nd = r.getLong(4)
+      val nonNullCount = n - nulls
+      if (n > 0 && nulls == 0) {
+        rules += SuggestedRule(c, "non_null", "not null")
+        rowChecks += NonNull(c)
+      }
+      if (n > 0 && nulls == 0 && nd == n) {
+        rules += SuggestedRule(c, "unique", "distinct == rows")
+        aggChecks += Unique(c)
+      }
+      if (dtype == "string" && nonNullCount > 0 && nd <= enumMaxK) {
+        // bounded domain fetch: gated on the exact count, capped at K+1
+        val values = df.select(col(c)).where(col(c).isNotNull)
+          .distinct().orderBy(col(c)).limit(enumMaxK + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (values.nonEmpty && values.size <= enumMaxK) {
+          rules += SuggestedRule(c, "enum", values.mkString(","))
+          rowChecks += EnumIn(c, values)
+        }
+      }
+      if (dtype == "string" && nonNullCount > 0) {
+        val minL = r.getLong(7); val maxL = r.getLong(8)
+        rules += SuggestedRule(c, "length", s"[$minL,$maxL]")
+        rowChecks += LengthBounds(c, Some(minL.toInt), Some(maxL.toInt))
+      }
+      val numeric = dtype != "string" && dtype != "timestamp" && !r.isNullAt(9)
+      if (numeric && nonNullCount > 0) {
+        val minC = r.getLong(5); val maxC = r.getLong(6)
+        val rmin = r.getDouble(9); val rmax = r.getDouble(10)
+        rules += SuggestedRule(c, "range", s"[$minC,$maxC]")
+        rowChecks += Range(c, rmin, rmax)
+      }
+    }
+    SuggestResult(rules.toSeq, rowChecks.toSeq, aggChecks.toSeq)
+  }
+
+  /** The rules as a DataFrame (bounded: ≤ 5 rules × columns) — the
+    * oracle-checkable view. */
+  def suggestDf(spark: SparkSession, df: DataFrame, enumMaxK: Int = 8): DataFrame = {
+    import spark.implicits._
+    suggest(df, enumMaxK).rules.toDF()
+  }
+
+  /** Suggest, then run the suggested suite back over its own training
+    * table — returns the violations frame, which is EMPTY by construction
+    * (every bound is an observed extremum). The empty result is the
+    * guarantee callers rely on when they freeze a suggested suite. */
+  def applyToSelf(df: DataFrame, keyCol: String, enumMaxK: Int = 8): DataFrame = {
+    val s = suggest(df, enumMaxK)
+    val suite = ConstraintSuite(keyCol, s.rowChecks, s.aggChecks)
+    suite.compile(df.schema) match {
+      case Left(errs) =>
+        throw new IllegalStateException(
+          s"suggested suite failed its own compile: ${errs.map(_.msg).mkString("; ")}")
+      case Right(cs) => cs.run(df).violations
+    }
+  }
+}
+
+/** Static schema-drift detection: compare an EXPECTED schema (frozen when
+  * the suite was authored) against the actual table schema before any data
+  * is scanned — the cheapest validation in the engine, and the one that
+  * catches upstream writers changing shape. Pure driver-side function:
+  * no job, no scan. */
+object SchemaDiff {
+
+  final case class SchemaChange(
+      col_name: String, change: String, expected: String, actual: String)
+
+  /** Changes, ordered by (column, change):
+    *  - `removed`          — expected but absent
+    *  - `added`            — present but not expected
+    *  - `type_changed`     — both present, different data types
+    *  - `nullability_relaxed` — expected non-nullable, actual nullable
+    *    (the dangerous direction; tightening is compatible and not flagged)
+    */
+  def diff(expected: StructType, actual: StructType): Seq[SchemaChange] = {
+    val exp = expected.fields.map(f => f.name -> f).toMap
+    val act = actual.fields.map(f => f.name -> f).toMap
+    val removed = expected.fields.filterNot(f => act.contains(f.name))
+      .map(f => SchemaChange(f.name, "removed", f.dataType.typeName, ""))
+    val added = actual.fields.filterNot(f => exp.contains(f.name))
+      .map(f => SchemaChange(f.name, "added", "", f.dataType.typeName))
+    val changed = expected.fields.flatMap { f =>
+      act.get(f.name).toSeq.flatMap { a =>
+        val t = if (f.dataType != a.dataType)
+          Seq(SchemaChange(f.name, "type_changed", f.dataType.typeName, a.dataType.typeName))
+        else Nil
+        val nl = if (!f.nullable && a.nullable)
+          Seq(SchemaChange(f.name, "nullability_relaxed", "required", "nullable"))
+        else Nil
+        t ++ nl
+      }
+    }
+    (removed ++ added ++ changed).sortBy(c => (c.col_name, c.change))
+  }
+
+  def diffDf(spark: SparkSession, expected: StructType, actual: StructType): DataFrame = {
+    import spark.implicits._
+    diff(expected, actual).toDF()
+  }
+}

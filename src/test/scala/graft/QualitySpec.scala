@@ -1,0 +1,239 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profiling → suggestion → metrics-history → schema-drift: the
+  * data-quality loop added in the round-5 continuation. Hand-computed
+  * expectations throughout; the sf-dir E2E rows are covered by the
+  * v_profile / v_suggest / v_suggest_apply / v_metrics_anomaly /
+  * v_schema_diff oracle queries. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDf: DataFrame = Seq(
+    (1L, Option("alice"), "A", 1.25),
+    (2L, Option("bob"), "B", 2.50),
+    (3L, Option.empty[String], "A", -0.75),
+    (4L, Option("bob"), "C", 10.00)
+  ).toDF("id", "name", "grade", "score")
+
+  private def profMap(df: DataFrame): Map[String, Row] =
+    df.collect().map(r => r.getString(0) -> r).toMap
+
+  test("profile: exact counts, distincts, cents bounds, length bounds") {
+    val p = profMap(Profiler.profile(sampleDf))
+    assert(p.keySet == Set("id", "name", "grade", "score"))
+    val id = p("id")
+    assert(id.getString(1) == "long")
+    assert(id.getLong(2) == 4 && id.getLong(3) == 0 && id.getLong(4) == 4)
+    assert(id.getLong(5) == 100 && id.getLong(6) == 400) // cents
+    assert(id.isNullAt(7) && id.isNullAt(8))
+    val name = p("name")
+    assert(name.getLong(3) == 1 && name.getLong(4) == 2)
+    assert(name.isNullAt(5) && name.isNullAt(6))
+    assert(name.getLong(7) == 3 && name.getLong(8) == 5) // bob..alice
+    val grade = p("grade")
+    assert(grade.getLong(3) == 0 && grade.getLong(4) == 3)
+    assert(grade.getLong(7) == 1 && grade.getLong(8) == 1)
+    val score = p("score")
+    assert(score.getLong(5) == -75 && score.getLong(6) == 1000)
+  }
+
+  test("profile: timestamp bounds are exact epoch micros") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(100, 123000))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(200, 456000)))
+    ).toDF("id", "ts")
+    val ts = profMap(Profiler.profile(df))("ts")
+    assert(ts.getString(1) == "timestamp")
+    assert(ts.getLong(5) == 100000123L && ts.getLong(6) == 200000456L)
+  }
+
+  test("profileApprox: same shape, exact n/nulls/bounds, distinct ~ exact") {
+    val exact = profMap(Profiler.profileRaw(sampleDf))
+    val approx = profMap(Profiler.profileApprox(sampleDf))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, a) =>
+      val e = exact(c)
+      assert(a.getLong(2) == e.getLong(2) && a.getLong(3) == e.getLong(3))
+      // HLL at cardinality 4 is exact in practice; allow ±1 to stay honest
+      assert(math.abs(a.getLong(4) - e.getLong(4)) <= 1)
+      (5 to 8).foreach(i => assert(a.isNullAt(i) == e.isNullAt(i)))
+    }
+  }
+
+  test("suggest: rules derived deterministically; round trip is violation-free") {
+    val s = Suggest.suggest(sampleDf)
+    val rules = s.rules.map(r => (r.col_name, r.rule, r.bound)).toSet
+    assert(rules == Set(
+      ("id", "non_null", "not null"),
+      ("id", "unique", "distinct == rows"),
+      ("id", "range", "[100,400]"),
+      ("name", "enum", "alice,bob"),
+      ("name", "length", "[3,5]"),
+      ("grade", "non_null", "not null"),
+      ("grade", "enum", "A,B,C"),
+      ("grade", "length", "[1,1]"),
+      ("score", "non_null", "not null"),
+      ("score", "unique", "distinct == rows"),
+      ("score", "range", "[-75,1000]")))
+    // name has a null -> no non_null/unique; grade repeats -> no unique
+    assert(Suggest.applyToSelf(sampleDf, "id").count() == 0)
+  }
+
+  test("suggest: frozen suite flags drifted data") {
+    val s = Suggest.suggest(sampleDf)
+    val suite = ConstraintSuite("id", s.rowChecks, s.aggChecks)
+    val compiled = suite.compile(sampleDf.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val drifted = Seq(
+      (5L, Option("carol-the-long-named"), "D", 99.0), // enum(grade), length(name), range(score)
+      (5L, Option("dan"), "A", 1.25) // duplicate id
+    ).toDF("id", "name", "grade", "score")
+    val vios = compiled.run(drifted).violations
+      .select("constraint_id").as[String].collect().toSet
+    assert(vios.contains("enum(grade)"))
+    assert(vios.contains("length(name)"))
+    assert(vios.contains("range(score)"))
+    assert(vios.contains("unique(id)"))
+  }
+
+  test("suggest: high-cardinality strings get no enum rule; fetch stays capped") {
+    val wide = (0 until 40).map(i => (i.toLong, f"val$i%02d")).toDF("id", "s")
+    val s = Suggest.suggest(wide, enumMaxK = 8)
+    assert(!s.rules.exists(r => r.col_name == "s" && r.rule == "enum"))
+    // at exactly K distinct values the enum IS suggested
+    val atK = (0 until 40).map(i => (i.toLong, s"v${i % 8}")).toDF("id", "s")
+    val s2 = Suggest.suggest(atK, enumMaxK = 8)
+    assert(s2.rules.exists(r => r.col_name == "s" && r.rule == "enum" &&
+      r.bound == (0 until 8).map(i => s"v$i").sorted.mkString(",")))
+  }
+
+  test("metrics repo: exactly-once append, marker-gated history") {
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    val m0 = Seq(("rows", 10L), ("fail", 1L)).toDF("metric", "value")
+    assert(MetricsRepo.append(m0, dir, 0))
+    assert(!MetricsRepo.append(m0, dir, 0)) // idempotent no-op
+    // a crashed append: data directory without its marker must be invisible
+    Seq(("rows", 999L)).toDF("metric", "value")
+      .write.parquet(s"$dir/run=1")
+    val h1 = MetricsRepo.history(spark, dir)
+    assert(h1.count() == 2 && h1.agg(max("run")).as[Long].head() == 0)
+    // the retry overwrites the partial data and commits
+    assert(MetricsRepo.append(Seq(("rows", 12L), ("fail", 0L)).toDF("metric", "value"), dir, 1))
+    val h2 = MetricsRepo.history(spark, dir).orderBy("run", "metric")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(h2 == Seq((0L, "fail", 1L), (0L, "rows", 10L), (1L, "fail", 0L), (1L, "rows", 12L)))
+  }
+
+  test("fromReport flattens totals plus per-check fail counts") {
+    val report = Seq(
+      (0, 10L, 8L, 2L, Map("range(x)" -> 2L, "nonnull(y)" -> 1L)),
+      (1, 5L, 5L, 0L, Map("range(x)" -> 0L, "nonnull(y)" -> 0L))
+    ).toDF("bucket_id", "rows", "pass", "fail", "fail_by_check")
+    val m = MetricsRepo.fromReport(report).as[(String, Long)].collect().toMap
+    assert(m == Map("rows" -> 15L, "pass" -> 13L, "fail" -> 2L,
+      "fail:range(x)" -> 2L, "fail:nonnull(y)" -> 1L))
+  }
+
+  test("relChangeAnomalies: cross-multiplied threshold, prev=0 edge, first run exempt") {
+    val h = Seq(
+      (0L, "m", 100L), (1L, "m", 101L), (2L, "m", 150L), (3L, "m", 151L),
+      (0L, "z", 0L), (1L, "z", 0L), (2L, "z", 5L)
+    ).toDF("run", "metric", "value")
+    val flagged = MetricsRepo.relChangeAnomalies(h, maxPct = 20)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(flagged == Set((2L, "m", 101L, 150L), (2L, "z", 0L, 5L)))
+    // exactly AT the threshold is not an anomaly (strict >): 100 -> 120
+    val edge = Seq((0L, "m", 100L), (1L, "m", 120L)).toDF("run", "metric", "value")
+    assert(MetricsRepo.relChangeAnomalies(edge, 20).count() == 0)
+    assert(MetricsRepo.relChangeAnomalies(edge, 19).count() == 1)
+  }
+
+  test("intervalAnomalies: historical envelope with integer widening") {
+    val h = Seq(
+      (0L, "m", 100L), (1L, "m", 110L), (2L, "m", 105L), (3L, "m", 108L),
+      (4L, "m", 200L), // outside [100-1, 110+1]
+      (4L, "fresh", 7L) // no prior history -> never flagged
+    ).toDF("run", "metric", "value")
+    val flagged = MetricsRepo.intervalAnomalies(h, atSeq = 4, widenPct = 10)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(flagged == Set((4L, "m", 100L, 110L, 200L)))
+    // inside the widened envelope -> clean
+    val ok = h.filter($"value" =!= 200L)
+      .union(Seq((4L, "m", 111L)).toDF("run", "metric", "value"))
+    assert(MetricsRepo.intervalAnomalies(ok, 4, 10).count() == 0)
+  }
+
+  test("madAnomalies: robust outlier with floored MAD") {
+    val h = (0L to 3L).map(i => (i, "m", 100L)) :+ ((4L, "m", 500L))
+    val flagged = MetricsRepo.madAnomalies(h.toDF("run", "metric", "value"), k = 10)
+      .select("run").as[Long].collect().toSet
+    assert(flagged == Set(4L)) // constant history not flagged despite MAD 0
+  }
+
+  test("schema diff: added/removed/type_changed/nullability_relaxed") {
+    val expected = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType), StructField("c", IntegerType)))
+    val actual = StructType(Seq(
+      StructField("a", LongType), StructField("c", LongType),
+      StructField("d", StringType)))
+    val d = SchemaDiff.diff(expected, actual)
+      .map(c => (c.col_name, c.change, c.expected, c.actual))
+    assert(d == Seq(
+      ("a", "nullability_relaxed", "required", "nullable"),
+      ("b", "removed", "string", ""),
+      ("c", "type_changed", "integer", "long"),
+      ("d", "added", "", "string")))
+    assert(SchemaDiff.diff(expected, expected).isEmpty)
+  }
+
+  test("plan: profileApprox is Expand-free (one pass); exact profile pays Expand") {
+    val approx = Profiler.profileApprox(sampleDf).queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      "the 10^12-row profile form must not multiply the scan")
+    val exact = Profiler.profile(sampleDf).queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "exact multi-column distincts are WHY profileApprox exists — if Spark " +
+        "stops needing Expand here, update the Profiler scaladoc cost note")
+  }
+
+  test("plan: anomaly windows partition by metric (never a single global sort)") {
+    val h = Seq((0L, "m", 1L), (1L, "m", 2L)).toDF("run", "metric", "value")
+    // logical plan: AQE wraps the physical tree pre-execution
+    val rel = MetricsRepo.relChangeAnomalies(h, 20).queryExecution.optimizedPlan
+    val windows = rel.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty))
+  }
+
+  test("sf-dir E2E: the five new SparkEntry queries produce the expected shapes") {
+    val dir = "/root/testdata/sf0.001"
+    val prof = SparkEntry.queries("v_profile")(spark, dir)
+    assert(prof.count() == 5)
+    val sug = SparkEntry.queries("v_suggest")(spark, dir)
+      .as[(String, String, String)].collect()
+    // lang (5 values) gets an enum; source (20 values) must not at K=8
+    assert(sug.exists(r => r._1 == "lang" && r._2 == "enum"))
+    assert(!sug.exists(r => r._1 == "source" && r._2 == "enum"))
+    assert(sug.exists(r => r._1 == "doc_id" && r._2 == "unique"))
+    assert(SparkEntry.queries("v_suggest_apply")(spark, dir).count() == 0)
+    val anom = SparkEntry.queries("v_metrics_anomaly")(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // runs 3 (306->420, +37%) and 4 (420->309, -26%) for both metrics
+    assert(anom.map(r => (r._1, r._2)).toSet ==
+      Set((3L, "rows"), (3L, "n_chars_sum"), (4L, "rows"), (4L, "n_chars_sum")))
+    val sd = SparkEntry.queries("v_schema_diff")(spark, dir)
+      .as[(String, String, String, String)].collect().toSet
+    assert(sd == Set(
+      ("lang", "added", "", "string"),
+      ("n_chars", "type_changed", "integer", "long"),
+      ("quality", "removed", "double", "")))
+  }
+}
