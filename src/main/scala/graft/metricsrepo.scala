@@ -117,7 +117,10 @@ object MetricsRepo {
     val prior = history.filter(col("run") < atSeq)
       .groupBy(col("metric")).agg(
         min(col("value")).as("hist_min"), max(col("value")).as("hist_max"))
-      .withColumn("widen", (col("hist_max") - col("hist_min")) * widenPct / 100)
+      // `div`, not `/`: Spark's Divide promotes to double; the widening must
+      // stay in the exact LONG domain (range and pct are both non-negative,
+      // so integral division IS the floor)
+      .withColumn("widen", expr(s"(hist_max - hist_min) * $widenPct div 100"))
     history.filter(col("run") === atSeq)
       .join(prior, "metric")
       .filter(col("value") < col("hist_min") - col("widen") ||

@@ -60,14 +60,39 @@ object Profiler {
     assemble(df, profileCols(df, columns),
       c => approx_count_distinct(col(c), rsd)).drop("min_raw", "max_raw")
 
+  /** Per-GROUP exact profile (the grouped-metrics form: one profile row per
+    * (group value, column) — null group values are a group): same shape as
+    * [[profile]] with the group column prepended. Distribution drift that a
+    * whole-table profile averages away (one source going null-heavy) is
+    * visible per group. Same Expand cost note as [[profile]]. */
+  def profileBy(df: DataFrame, groupCol: String, columns: Seq[String] = Nil): DataFrame =
+    assemble(df, groupedCols(df, groupCol, columns), c => countDistinct(col(c)),
+      groupBy = Some(groupCol)).drop("min_raw", "max_raw")
+
+  /** Per-group HLL profile — grouped, one pass, no Expand. */
+  def profileApproxBy(df: DataFrame, groupCol: String, columns: Seq[String] = Nil,
+      rsd: Double = 0.05): DataFrame =
+    assemble(df, groupedCols(df, groupCol, columns),
+      c => approx_count_distinct(col(c), rsd), groupBy = Some(groupCol))
+      .drop("min_raw", "max_raw")
+
+  private def groupedCols(df: DataFrame, groupCol: String, columns: Seq[String]): Seq[String] = {
+    require(df.columns.contains(groupCol), s"profileBy: no such group column '$groupCol'")
+    val want = if (columns.nonEmpty) columns
+      else df.columns.toSeq.filterNot(_ == groupCol)
+    require(!want.contains(groupCol), s"profileBy: cannot profile the group column '$groupCol'")
+    profileCols(df, want)
+  }
+
   private[graft] def profileRaw(df: DataFrame, columns: Seq[String] = Nil): DataFrame =
     assemble(df, profileCols(df, columns), c => countDistinct(col(c)))
 
-  /** One global aggregation → one row; then explode into per-column rows.
-    * Struct fields are typed identically across column kinds (nulls cast),
-    * so the exploded frame has one stable schema. */
+  /** One aggregation (global, or per `groupBy` key) → one row per group;
+    * then explode into per-column rows. Struct fields are typed identically
+    * across column kinds (nulls cast), so the exploded frame has one stable
+    * schema. */
   private def assemble(df: DataFrame, cols: Seq[String],
-      distinctAgg: String => Column): DataFrame = {
+      distinctAgg: String => Column, groupBy: Option[String] = None): DataFrame = {
     val schema = df.schema
     val aggs: Seq[Column] = cols.flatMap { c =>
       val dt = schema(c).dataType
@@ -89,7 +114,10 @@ object Profiler {
         case _ => base
       }
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val one = groupBy match {
+      case None => df.agg(count(lit(1)).as("__n"), aggs: _*)
+      case Some(g) => df.groupBy(col(g)).agg(count(lit(1)).as("__n"), aggs: _*)
+    }
     val rows = cols.map { c =>
       val dt = schema(c).dataType
       val (minC, maxC, rmin, rmax) = dt match {
@@ -114,7 +142,11 @@ object Profiler {
         minL.as("min_len"), maxL.as("max_len"),
         rmin.as("min_raw"), rmax.as("max_raw"))
     }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    groupBy match {
+      case None => one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      case Some(g) =>
+        one.select(col(g), explode(array(rows: _*)).as("p")).select(col(g), col("p.*"))
+    }
   }
 }
 

@@ -66,6 +66,26 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("profileBy: per-group rows, null group is a group, group col excluded") {
+    val df = Seq(
+      (1L, Option("g1"), 10.0), (2L, Option("g1"), 20.0),
+      (3L, Option("g2"), 5.0), (4L, Option.empty[String], 7.0)
+    ).toDF("id", "grp", "v")
+    val p = Profiler.profileBy(df, "grp").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> r).toMap
+    assert(p.keySet.map(_._1) == Set(Some("g1"), Some("g2"), None))
+    assert(!p.keySet.exists(_._2 == "grp"))
+    val g1v = p((Some("g1"), "v"))
+    assert(g1v.getLong(3) == 2 && g1v.getLong(5) == 2) // n, n_distinct
+    assert(g1v.getLong(6) == 1000 && g1v.getLong(7) == 2000) // cents bounds
+    val nullG = p((None, "id"))
+    assert(nullG.getLong(3) == 1 && nullG.getLong(6) == 400)
+    // approx grouped form: same shape
+    val a = Profiler.profileApproxBy(df, "grp").collect()
+    assert(a.length == p.size)
+    intercept[IllegalArgumentException](Profiler.profileBy(df, "grp", Seq("grp")))
+  }
+
   test("suggest: rules derived deterministically; round trip is violation-free") {
     val s = Suggest.suggest(sampleDf)
     val rules = s.rules.map(r => (r.col_name, r.rule, r.bound)).toSet
@@ -229,6 +249,13 @@ class QualitySpec extends SparkSpec {
     // runs 3 (306->420, +37%) and 4 (420->309, -26%) for both metrics
     assert(anom.map(r => (r._1, r._2)).toSet ==
       Set((3L, "rows"), (3L, "n_chars_sum"), (4L, "rows"), (4L, "n_chars_sum")))
+    // interval strategy over the SAME shared fixture: run 3 exits the
+    // prior envelope for both metrics
+    val interval = SparkEntry.queries("v_metrics_interval")(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(interval.map(r => (r._1, r._2)).toSet ==
+      Set((3L, "rows"), (3L, "n_chars_sum")))
+    interval.foreach(r => assert(r._5 > r._4, "flagged above the envelope"))
     val sd = SparkEntry.queries("v_schema_diff")(spark, dir)
       .as[(String, String, String, String)].collect().toSet
     assert(sd == Set(
