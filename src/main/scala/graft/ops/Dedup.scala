@@ -537,10 +537,25 @@ object Dedup {
   /** (id, sig) exact-content signature table — build once per corpus (or
     * maintain append-only as batches land) and store through TableIO;
     * [[dropExactDupsAgainst]] reads it instead of re-hashing 100 TB per
-    * ingest. Null-text rows carry no signature and are omitted. */
-  def exactSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), md5(col(textCol)).as("sig"))
+    * ingest. Null-text rows carry no signature and are omitted.
+    *
+    * `algo`: "md5" (default — a collision costs one extra DROPPED row,
+    * never corruption, so the shorter digest is the storage-friendly
+    * choice) or "sha256" (collision-free for adversarial corpora — ingest
+    * pipelines where an attacker controls document bytes). The store and
+    * every later lookup must agree; [[DedupIndex.appendSignatures]] pins
+    * the algo in the index's parameter fingerprint. */
+  def exactSignatures(df: DataFrame, textCol: String, idCol: String,
+      algo: String = "md5"): DataFrame =
+    df.select(col(idCol).as("id"), sigExpr(col(textCol), algo).as("sig"))
       .filter(col("sig").isNotNull)
+
+  private[graft] def sigExpr(c: Column, algo: String): Column = algo match {
+    case "md5" => md5(c)
+    case "sha256" => sha2(c, 256)
+    case other => throw new IllegalArgumentException(
+      s"unsupported signature algo '$other' (md5 | sha256)")
+  }
 
   /** Drop rows of `newDf` whose exact content already exists in the stored
     * corpus signature table — the daily-ingest form of [[dropExactDups]]
@@ -554,12 +569,12 @@ object Dedup {
     * broadcasts back into the anti-join. Null-text rows pass through (no
     * signature ⇒ nothing to collide with). */
   def dropExactDupsAgainst(newDf: DataFrame, textCol: String, idCol: String,
-      corpusSigs: DataFrame, sigCol: String = "sig"): DataFrame = {
-    val newSigs = newDf.select(md5(col(textCol)).as("__nsig"))
+      corpusSigs: DataFrame, sigCol: String = "sig", algo: String = "md5"): DataFrame = {
+    val newSigs = newDf.select(sigExpr(col(textCol), algo).as("__nsig"))
       .filter(col("__nsig").isNotNull).distinct()
     val hits = corpusSigs.select(col(sigCol).as("__nsig"))
       .join(broadcast(newSigs), Seq("__nsig"), "left_semi").distinct()
-    newDf.join(broadcast(hits), md5(col(textCol)) === col("__nsig"), "left_anti")
+    newDf.join(broadcast(hits), sigExpr(col(textCol), algo) === col("__nsig"), "left_anti")
   }
 
   /** (id, band, band_hash) MinHash band table — the stored index for

@@ -48,11 +48,16 @@ object DedupIndex {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Append the accepted batch's exact-content signatures. Returns true if
-    * the batch was written, false if this (dir, batchId) already landed. */
+    * the batch was written, false if this (dir, batchId) already landed.
+    * The signature `algo` (md5 default | sha256) is part of the parameter
+    * fingerprint — digests from different algorithms can never silently
+    * mix in one index (the "exact_sigs_md5" fingerprint stem predates the
+    * parameter, so existing md5 indexes keep verifying). */
   def appendSignatures(accepted: DataFrame, textCol: String, idCol: String,
-      dir: String, batchId: String, io: TableIO = TableIO.default): Boolean =
-    appendBatch(Dedup.exactSignatures(accepted, textCol, idCol), dir, batchId,
-      Seq("exact_sigs_md5", textCol, idCol), io)
+      dir: String, batchId: String, algo: String = "md5",
+      io: TableIO = TableIO.default): Boolean =
+    appendBatch(Dedup.exactSignatures(accepted, textCol, idCol, algo), dir, batchId,
+      Seq(s"exact_sigs_$algo", textCol, idCol), io)
 
   /** Append the accepted batch's MinHash band rows. Parameters MUST equal
     * those of every prior append to this index (verified via `_params` —

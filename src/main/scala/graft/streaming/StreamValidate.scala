@@ -38,6 +38,35 @@ object StreamValidate {
         finally result.annotated.unpersist() // no per-batch cache leak
       }
 
+  /** Per-micro-batch metrics journaling + trend monitoring — the streaming
+    * face of the [[MetricsRepo]] loop: validate each batch, append its
+    * flattened report metrics at run seq = batchId, then hand `onAnomalies`
+    * the batch's run-over-run relative-change anomalies against the
+    * accumulated history. EXACTLY-ONCE per batch id: Spark may REPLAY a
+    * batch after restart, and the repo's DONE marker turns the re-append
+    * into a no-op (anomaly evaluation is skipped for a replayed batch —
+    * it already ran when the batch first committed), so the history never
+    * double-counts under the engine's at-least-once recovery. */
+  def metricsForeachBatch(
+      suite: CompiledSuite, stream: DataFrame, repoDir: String,
+      maxPct: Long = 50,
+      onAnomalies: (DataFrame, Long) => Unit = (_, _) => (),
+      io: TableIO = TableIO.default): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val result = suite.run(batch, persistAnnotated = true)
+        try {
+          val appended = MetricsRepo.append(
+            MetricsRepo.fromReport(result.report), repoDir, batchId, io)
+          if (appended) onAnomalies(
+            MetricsRepo.relChangeAnomalies(
+              MetricsRepo.history(batch.sparkSession, repoDir, io), maxPct)
+              .filter(col("run") === batchId),
+            batchId)
+        } finally result.annotated.unpersist()
+      }
+
   /** Watermarked windowed violation-rate monitor: per (window, constraint)
     * counts over the violation stream — the operational dashboard feed. */
   def windowedViolationCounts(

@@ -196,6 +196,54 @@ class QualitySpec extends SparkSpec {
     assert(flagged == Set(4L)) // constant history not flagged despite MAD 0
   }
 
+  test("streaming: per-batch metrics journaled exactly-once; anomalies surfaced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val schema = Seq(("x", 1)).toDF("doc_id", "n_tok").schema
+    val compiled = ConstraintSuite("doc_id",
+      Seq(NonNull("doc_id"), Range("n_tok", 0, 100)))
+      .compile(schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val dir = Files.createTempDirectory("graft-stream-metrics").toString
+    val seen = scala.collection.mutable.Map.empty[Long, Set[String]]
+    val q = streaming.StreamValidate.metricsForeachBatch(
+      compiled, mem.toDF().toDF("doc_id", "n_tok"), dir, maxPct = 50,
+      onAnomalies = (df, id) =>
+        seen.synchronized { seen(id) = df.select("metric").as[String].collect().toSet })
+      .start()
+    try {
+      mem.addData((0 until 10).map(i => (s"d$i", 10)): _*); q.processAllAvailable()
+      mem.addData((0 until 10).map(i => (s"e$i", 10)): _*); q.processAllAvailable()
+      // batch 2: 8 of 10 rows out of range -> fail jumps 0 -> 8
+      mem.addData((0 until 10).map(i => (s"f$i", if (i < 8) 900 else 10)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val h = MetricsRepo.history(spark, dir)
+    assert(h.select("run").distinct().count() == 3)
+    assert(h.filter($"run" === 2 && $"metric" === "fail:range(n_tok)")
+      .select("value").as[Long].head() == 8)
+    assert(seen(0).isEmpty && seen(1).isEmpty) // first run exempt; steady clean
+    assert(seen(2).contains("fail") && seen(2).contains("fail:range(n_tok)"))
+    assert(!seen.values.exists(_.contains("rows"))) // constant metric never flags
+  }
+
+  test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
+    val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
+    val sigs256 = ops.Dedup.exactSignatures(store, "text", "doc_id", algo = "sha256")
+    assert(sigs256.select("sig").as[String].collect().forall(_.length == 64))
+    val kept = ops.Dedup.dropExactDupsAgainst(batch, "text", "doc_id", sigs256,
+      algo = "sha256").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L)) // the verbatim re-crawl dropped, same as md5
+    intercept[IllegalArgumentException](
+      ops.Dedup.exactSignatures(store, "text", "doc_id", algo = "crc32"))
+    // an index born md5 rejects a sha256 append via the parameter fingerprint
+    val dir = Files.createTempDirectory("graft-sig-algo").toString
+    assert(ops.DedupIndex.appendSignatures(store, "text", "doc_id", dir, "b1"))
+    intercept[IllegalStateException](
+      ops.DedupIndex.appendSignatures(batch, "text", "doc_id", dir, "b2", algo = "sha256"))
+  }
+
   test("schema diff: added/removed/type_changed/nullability_relaxed") {
     val expected = StructType(Seq(
       StructField("a", LongType, nullable = false),
