@@ -329,6 +329,24 @@ object Smoke {
           drift.map(_.change) == Seq("added"),
         s"${sug.rules.size} suggested rules; round-trip violations=$roundTrip; " +
           s"anomalous runs=$anomalies (expect Set(2)); drift=${drift.map(_.change).mkString(",")}")
+
+      // 10b. distribution face of the loop: exact discrete quantiles, the
+      // doubled-ingest quantile-shift breach, per-column top values
+      val qd = docs.withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("lang", concat(lit("l"), (col("doc_id") % 3).cast("string")))
+      val med = Profiler.profileQuantiles(qd, Seq("n_chars"), Seq(50)).head()
+      val shifted = Drift.quantileShift(qd,
+          qd.withColumn("n_chars", col("n_chars") * 2),
+          Seq("n_chars"), Seq(50), maxShiftC = 100L)
+        .select("shift_c", "breach").head()
+      val topLang = Profiler.topValues(qd, Seq("lang"), 3)
+        .filter(col("rnk") === 1).select("value", "cnt").head()
+      check("quantiles",
+        med.getLong(3) > 0 && shifted.getLong(1) == 1L &&
+          shifted.getLong(0) == med.getLong(3) && topLang.getLong(1) > 0,
+        s"median n_chars=${med.getLong(3)}c; doubled-ingest shift=" +
+          s"${shifted.getLong(0)}c breach=${shifted.getLong(1)} (shift == median, " +
+          s"monotone commute); top lang=${topLang.getString(0)}×${topLang.getLong(1)}")
     }
 
     spark.stop()

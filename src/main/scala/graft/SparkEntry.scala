@@ -320,6 +320,19 @@ object SparkEntry {
         StructField("quality", DoubleType))) // absent in actual -> removed
       SchemaDiff.diffDf(s, expected, ld(s, dir, "documents").schema)
     }),
+    "v_profile_quantiles" -> ((s, dir) => // exact SQL-standard discrete
+      // quantiles in the cents domain — always actual column elements
+      Profiler.profileQuantiles(ld(s, dir, "documents"), Seq("doc_id", "n_chars"))),
+    "v_quantile_shift" -> ((s, dir) => { // the drift a histogram-χ² misses:
+      // a doubled-length ingest keeps the shape but moves every quantile ×2
+      // -> n_chars breaches at 100-char tolerance, doc_id (unchanged) never
+      val ref = ld(s, dir, "documents")
+      val cur = ref.withColumn("n_chars", col("n_chars") * 2)
+      Drift.quantileShift(ref, cur, Seq("doc_id", "n_chars"), maxShiftC = 10000L)
+    }),
+    "v_top_values" -> ((s, dir) => // exact top-5 most frequent values per
+      // column, two-phase bounded-heap (never a full per-column sort)
+      Profiler.topValues(ld(s, dir, "documents"), Seq("lang", "source", "n_chars"), 5)),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1062,6 +1075,59 @@ object SparkEntry {
            ('lang', 'added', '', 'string'),
            ('n_chars', 'type_changed', 'integer', 'long'),
            ('quality', 'removed', 'double', '')) AS t(col_name, change, expected, actual)""",
+    "v_profile_quantiles" ->
+      // SQL-standard percentile_disc agrees exactly between Spark and DuckDB
+      // (verified on ceil-boundary cases); both sides order by the SAME
+      // cents-long domain so the picked element is identical
+      """SELECT 'doc_id' AS col_name, 'long' AS dtype, CAST(25 AS BIGINT) AS q_pct, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) AS value_c FROM documents
+         UNION ALL SELECT 'doc_id', 'long', 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+         UNION ALL SELECT 'doc_id', 'long', 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+         UNION ALL SELECT 'doc_id', 'long', 95, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+         UNION ALL SELECT 'n_chars', 'long', 25, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents
+         UNION ALL SELECT 'n_chars', 'long', 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents
+         UNION ALL SELECT 'n_chars', 'long', 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents
+         UNION ALL SELECT 'n_chars', 'long', 95, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents""",
+    "v_quantile_shift" ->
+      // ref = documents; cur = the same table with n_chars doubled (the
+      // planted ingest corruption) — doc_id rows shift 0, n_chars rows
+      // shift by exactly the ref quantile (monotone transforms commute
+      // with discrete quantiles), breaching the 10000-cent tolerance
+      """WITH r AS (
+           SELECT 'doc_id' AS col_name, CAST(25 AS BIGINT) AS q_pct, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) AS ref_c FROM documents
+           UNION ALL SELECT 'doc_id', 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'doc_id', 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'doc_id', 95, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 25, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 95, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*100) AS BIGINT)) AS BIGINT) FROM documents),
+         c AS (
+           SELECT 'doc_id' AS col_name, CAST(25 AS BIGINT) AS q_pct, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) AS cur_c FROM documents
+           UNION ALL SELECT 'doc_id', 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'doc_id', 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'doc_id', 95, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(ROUND(doc_id*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 25, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*2*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*2*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*2*100) AS BIGINT)) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', 95, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(ROUND(n_chars*2*100) AS BIGINT)) AS BIGINT) FROM documents)
+         SELECT r.col_name, r.q_pct, ref_c, cur_c, cur_c - ref_c AS shift_c,
+                CAST(CASE WHEN ref_c IS NULL AND cur_c IS NULL THEN 0
+                          WHEN ref_c IS NULL OR cur_c IS NULL THEN 1
+                          WHEN abs(cur_c - ref_c) > 10000 THEN 1 ELSE 0 END AS BIGINT) AS breach
+         FROM r JOIN c ON r.col_name = c.col_name AND r.q_pct = c.q_pct""",
+    "v_top_values" ->
+      // exact top-5 per column with (count desc, value asc) tie-break —
+      // binary string ordering on both engines
+      """WITH vals AS (
+           SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value FROM documents WHERE lang IS NOT NULL
+           UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE n_chars IS NOT NULL),
+         counted AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+                     FROM vals GROUP BY col_name, value),
+         ranked AS (SELECT col_name, value, cnt,
+                      CAST(row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS BIGINT) AS rnk
+                    FROM counted)
+         SELECT col_name, value, cnt, rnk FROM ranked WHERE rnk <= 5""",
     "v_drift_psi_fp" ->
       """WITH binned AS (
            SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin

@@ -154,4 +154,34 @@ object Drift {
     df.groupBy(col(groupCol))
       .agg(percentile_approx(col(valueCol).cast(DoubleType),
         array(probs.map(lit): _*), lit(10000)).as("quantiles"))
+
+  /** Reference-vs-current EXACT quantile comparison — the drift check that
+    * catches a shifted distribution whose mean and histogram-χ² still look
+    * plausible (e.g. every document doubled in length: same shape, same
+    * bins occupied, median ×2). One row per (col_name, q_pct):
+    * (ref_c, cur_c, shift_c = cur−ref, breach) with every value in the
+    * integer-exact quantile domain of [[Profiler.profileQuantiles]] (cents /
+    * epoch micros) — no float arithmetic anywhere, so the frame is
+    * oracle-exact.
+    *
+    * `breach` (LONG 0/1, defined on every edge): 1 when |shift_c| >
+    * maxShiftC; a quantile present on exactly one side (a column gone
+    * all-null) is ALWAYS a breach; absent on both sides is not.
+    *
+    * Scale: two single-pass exact-percentile aggregations (memory note on
+    * [[Profiler.profileQuantiles]]) joined on a few-row frame — the join is
+    * trivially broadcast. */
+  def quantileShift(ref: DataFrame, cur: DataFrame, columns: Seq[String],
+      qPcts: Seq[Int] = Seq(25, 50, 75, 95), maxShiftC: Long = 0L): DataFrame = {
+    require(maxShiftC >= 0, s"quantileShift: maxShiftC must be >= 0, got $maxShiftC")
+    val r = Profiler.profileQuantiles(ref, columns, qPcts)
+      .select(col("col_name"), col("q_pct"), col("value_c").as("ref_c"))
+    val c = Profiler.profileQuantiles(cur, columns, qPcts)
+      .select(col("col_name"), col("q_pct"), col("value_c").as("cur_c"))
+    r.join(c, Seq("col_name", "q_pct"))
+      .withColumn("shift_c", col("cur_c") - col("ref_c"))
+      .withColumn("breach", when(col("ref_c").isNull && col("cur_c").isNull, 0L)
+        .when(col("ref_c").isNull || col("cur_c").isNull, 1L)
+        .otherwise((abs(col("shift_c")) > maxShiftC).cast(LongType)))
+  }
 }

@@ -87,6 +87,163 @@ object Profiler {
   private[graft] def profileRaw(df: DataFrame, columns: Seq[String] = Nil): DataFrame =
     assemble(df, profileCols(df, columns), c => countDistinct(col(c)))
 
+  /** EXACT discrete quantiles, one row per (col_name, q_pct):
+    * (col_name, dtype, q_pct, value_c). The value is the SQL-standard
+    * `percentile_disc` — the smallest actual column value whose cumulative
+    * distribution reaches q — so the result is always an element of the
+    * column (never an interpolated float), reported in the repo's integer
+    * conventions: cents for numerics, epoch MICROS for timestamps. Exactness
+    * note: Spark surfaces the discrete percentile as a double; the cast back
+    * to long is exact while |value| < 2^53, which cents/micros of any
+    * real-world measure satisfy. Nulls are excluded (profile rows already
+    * count them).
+    *
+    * Scale: Spark's exact percentile state is a per-partition value→count
+    * map, so memory is O(column distinct count) per aggregation buffer. For
+    * columns whose distinct count is unbounded at 10^12 rows, use
+    * [[profileQuantilesApprox]] (fixed-size sketch, one pass). */
+  def profileQuantiles(df: DataFrame, columns: Seq[String] = Nil,
+      qPcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame =
+    assembleQuantiles(df, quantileCols(df, columns), checkPcts(qPcts), None)
+
+  /** Per-GROUP exact discrete quantiles — [[profileQuantiles]] with the
+    * group column prepended (null group values are a group): the form that
+    * sees a single source's length distribution collapse while the corpus
+    * median holds. */
+  def profileQuantilesBy(df: DataFrame, groupCol: String, columns: Seq[String] = Nil,
+      qPcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame =
+    assembleQuantiles(df, quantileCols(df, columns, exclude = Some(groupCol)),
+      checkPcts(qPcts), Some(groupCol))
+
+  /** Approximate-quantile twin (Greenwald-Khanna sketch via
+    * `approx_percentile`): same output shape as [[profileQuantiles]], fixed
+    * sketch memory regardless of distinct count — the 10^12-row form.
+    * `accuracy` is the GK inverse-epsilon (10000 ⇒ rank error ≤ n/10000).
+    * Returned values are still actual column elements, but the SELECTED
+    * element may sit up to epsilon ranks off the exact discrete quantile —
+    * use the exact form when the number feeds a semantic decision. */
+  def profileQuantilesApprox(df: DataFrame, columns: Seq[String] = Nil,
+      qPcts: Seq[Int] = Seq(25, 50, 75, 95), accuracy: Int = 10000): DataFrame = {
+    val cols = quantileCols(df, columns)
+    val pcts = checkPcts(qPcts)
+    val schema = df.schema
+    val qsArr = array(pcts.map(p => lit(p / 100.0)): _*)
+    val aggs = cols.map { c =>
+      percentile_approx(fixedPoint(schema(c).dataType, c), qsArr, lit(accuracy))
+        .as(s"__q_$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.flatMap { c =>
+      pcts.zipWithIndex.map { case (p, i) =>
+        struct(lit(c).as("col_name"), lit(schema(c).dataType.typeName).as("dtype"),
+          lit(p.toLong).as("q_pct"),
+          col(s"__q_$c").getItem(i).cast(LongType).as("value_c"))
+      }
+    }
+    one.select(explode(array(rows: _*)).as("q")).select("q.*")
+  }
+
+  private def checkPcts(qPcts: Seq[Int]): Seq[Int] = {
+    require(qPcts.nonEmpty, "profileQuantiles: need at least one percentile")
+    qPcts.foreach(p => require(p >= 0 && p <= 100,
+      s"profileQuantiles: percentile must be in [0,100], got $p"))
+    require(qPcts.distinct.size == qPcts.size,
+      s"profileQuantiles: duplicate percentiles in $qPcts")
+    qPcts
+  }
+
+  /** Quantile-bearing columns: numerics and timestamps only (a discrete
+    * quantile of a string has no integer form). */
+  private def quantileCols(df: DataFrame, columns: Seq[String],
+      exclude: Option[String] = None): Seq[String] = {
+    exclude.foreach { g =>
+      require(df.columns.contains(g), s"profileQuantilesBy: no such group column '$g'")
+      require(!columns.contains(g),
+        s"profileQuantilesBy: cannot profile the group column '$g'")
+    }
+    val want0 = if (columns.nonEmpty) columns
+      else df.columns.toSeq.filter { c =>
+        val dt = df.schema(c).dataType
+        (isNumeric(dt) || dt == TimestampType) && !exclude.contains(c)
+      }
+    want0.foreach { c =>
+      require(df.columns.contains(c), s"profileQuantiles: no such column '$c'")
+      val dt = df.schema(c).dataType
+      require(isNumeric(dt) || dt == TimestampType,
+        s"profileQuantiles: column '$c' is ${dt.typeName}, need numeric or timestamp")
+    }
+    want0
+  }
+
+  /** The column in its integer-exact domain: cents for numerics, epoch
+    * micros for timestamps — the same convention as the profile bounds. */
+  private def fixedPoint(dt: DataType, c: String): Column = dt match {
+    case TimestampType => unix_micros(col(c))
+    case _ => cents(col(c))
+  }
+
+  private def assembleQuantiles(df: DataFrame, cols: Seq[String], pcts: Seq[Int],
+      groupBy: Option[String]): DataFrame = {
+    val schema = df.schema
+    // expression-string form: percentile_disc only parses via WITHIN GROUP
+    def fpSql(c: String): String = schema(c).dataType match {
+      case TimestampType => s"unix_micros(`$c`)"
+      case _ => s"CAST(ROUND(`$c` * 100) AS BIGINT)"
+    }
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      pcts.map { p =>
+        val q = BigDecimal(p) / 100
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY ${fpSql(c)})")
+          .cast(LongType).as(s"__q${p}_$c")
+      }
+    }
+    val one = groupBy match {
+      case None => df.agg(aggs.head, aggs.tail: _*)
+      case Some(g) => df.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+    }
+    val rows = cols.flatMap { c =>
+      pcts.map { p =>
+        struct(lit(c).as("col_name"), lit(schema(c).dataType.typeName).as("dtype"),
+          lit(p.toLong).as("q_pct"), col(s"__q${p}_$c").as("value_c"))
+      }
+    }
+    groupBy match {
+      case None => one.select(explode(array(rows: _*)).as("q")).select("q.*")
+      case Some(g) =>
+        one.select(col(g), explode(array(rows: _*)).as("q")).select(col(g), col("q.*"))
+    }
+  }
+
+  /** EXACT top-k most frequent values per column, ties broken by value
+    * ascending: (col_name, value, cnt, rnk), rnk 1-based. Values are
+    * rendered as strings so one frame carries every column type; restrict
+    * to string/integral columns when the rendering must be oracle-stable
+    * (float formatting differs across engines).
+    *
+    * Scale shape: ONE scan exploded to (col_name, value) pairs (rows ×
+    * |columns|, the Expand analog), a partial-agg'd groupBy count, then the
+    * two-phase [[graft.functions.BoundedMinRows]] bounded-heap top-k per
+    * column — a column with 10^9 distinct values contributes
+    * O(partitions · k) rows to its reducer, never a full per-column sort.
+    * Nulls are excluded (the profile already counts them). */
+  def topValues(df: DataFrame, columns: Seq[String] = Nil, k: Int = 10): DataFrame = {
+    require(k > 0, s"topValues: k must be > 0, got $k")
+    val cols = profileCols(df, columns)
+    val pairs = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast(StringType).as("value"))
+    }: _*)).as("p")).select("p.*").filter(col("value").isNotNull)
+    val counted = pairs.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    import graft.functions.BoundedMinRows.bounded_min_rows
+    counted.groupBy(col("col_name"))
+      .agg(bounded_min_rows(
+        struct((-col("cnt")).as("neg_cnt"), col("value").as("value")),
+        struct(col("value").as("value"), col("cnt").as("cnt")), k).as("top"))
+      .select(col("col_name"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("col_name"), col("t.value").as("value"), col("t.cnt").as("cnt"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+
   /** One aggregation (global, or per `groupBy` key) → one row per group;
     * then explode into per-column rows. Struct fields are typed identically
     * across column kinds (nulls cast), so the exploded frame has one stable

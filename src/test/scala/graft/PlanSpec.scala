@@ -370,4 +370,26 @@ class PlanSpec extends SparkSpec {
       assert(storeSideShuffles.isEmpty, inner.get.left.toString.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("topValues: two-phase bounded heap — no window sort, partial agg first") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = Profiler.topValues(docs, Seq("lang", "source"), 5)
+      .queryExecution.executedPlan.toString
+    // the naive formulation is row_number() over (partition by col_name):
+    // one task sorts a column's ENTIRE distinct-value set. The bounded-heap
+    // form must plan no Window and no Sort at all
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Sort"), p.take(3000))
+    // and the count itself is partially aggregated before its exchange
+    val exch = p.indexOf("Exchange")
+    assert(exch >= 0 && p.lastIndexOf("HashAggregate") > exch, p.take(3000))
+  }
+
+  test("profileQuantilesApprox: one pass — single scan, no Expand") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = Profiler.profileQuantilesApprox(docs, Seq("doc_id", "n_chars"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p.take(3000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
 }

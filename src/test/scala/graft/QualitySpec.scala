@@ -244,6 +244,101 @@ class QualitySpec extends SparkSpec {
       ops.DedupIndex.appendSignatures(batch, "text", "doc_id", dir, "b2", algo = "sha256"))
   }
 
+  test("profileQuantiles: SQL-standard discrete picks, nulls out, micros for ts") {
+    // 5 non-null values 10..50 -> disc quantile at q is element ceil(q*5)
+    val df = Seq(Option(10.0), Option(20.0), Option(30.0), Option(40.0),
+      Option(50.0), Option.empty[Double]).toDF("x")
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("x")))
+    val q = Profiler.profileQuantiles(df, Seq("x", "ts"), Seq(25, 50, 75, 95, 100))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(q(("x", 25L)) == Some(2000L)) // ceil(0.25*5)=2nd element, cents
+    assert(q(("x", 50L)) == Some(3000L))
+    assert(q(("x", 75L)) == Some(4000L))
+    assert(q(("x", 95L)) == Some(5000L))
+    assert(q(("x", 100L)) == Some(5000L))
+    // timestamp quantiles in epoch micros: base + 20s at the median
+    val base = 1767225600000000L // 2026-01-01T00:00:00Z in micros (UTC session)
+    assert(q(("ts", 50L)) == Some(base + 30000000L))
+    assert(q(("ts", 25L)) == Some(base + 20000000L))
+    // all-null column -> null quantiles, row still present
+    val dfn = Seq(Option.empty[Double], Option.empty[Double]).toDF("y")
+    val qn = Profiler.profileQuantiles(dfn, Seq("y"), Seq(50))
+    assert(qn.count() == 1 && qn.head().isNullAt(3))
+    // guards
+    intercept[IllegalArgumentException](Profiler.profileQuantiles(df, Seq("x"), Nil))
+    intercept[IllegalArgumentException](Profiler.profileQuantiles(df, Seq("x"), Seq(101)))
+    intercept[IllegalArgumentException](Profiler.profileQuantiles(df, Seq("x"), Seq(50, 50)))
+    intercept[IllegalArgumentException](Profiler.profileQuantiles(
+      df.withColumn("s", lit("a")), Seq("s"), Seq(50)))
+  }
+
+  test("profileQuantilesBy: per-group picks; null group is a group") {
+    val df = Seq((Option("a"), 10.0), (Option("a"), 20.0), (Option("a"), 30.0),
+      (Option("b"), 100.0), (Option.empty[String], 7.0)).toDF("g", "x")
+    val q = Profiler.profileQuantilesBy(df, "g", Seq("x"), Seq(50))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(4)).toMap
+    assert(q(Some("a")) == 2000L && q(Some("b")) == 10000L && q(None) == 700L)
+    intercept[IllegalArgumentException](
+      Profiler.profileQuantilesBy(df, "g", Seq("g"), Seq(50)))
+  }
+
+  test("profileQuantilesApprox: same shape; exact at small scale") {
+    val df = Seq.tabulate(1000)(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val exact = Profiler.profileQuantiles(df, Seq("id", "x"))
+    val approx = Profiler.profileQuantilesApprox(df, Seq("id", "x"), accuracy = 100000)
+    assert(exact.schema == approx.schema)
+    val e = exact.collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val a = approx.collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    // GK at accuracy >> n admits zero rank error -> identical element picks
+    assert(e == a)
+  }
+
+  test("quantileShift: unchanged 0, doubled breaches, one-side-null breaches") {
+    val ref = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("id", "len")
+    val cur = ref.withColumn("len", col("len") * 2)
+    val rows = Drift.quantileShift(ref, cur, Seq("id", "len"), Seq(50), maxShiftC = 5000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = rows("id")
+    assert(id.getLong(2) == 200L && id.getLong(3) == 200L) // ref_c, cur_c
+    assert(id.getLong(4) == 0L && id.getLong(5) == 0L) // shift, breach
+    val len = rows("len")
+    assert(len.getLong(2) == 20000L && len.getLong(3) == 40000L)
+    assert(len.getLong(4) == 20000L && len.getLong(5) == 1L) // > 5000c
+    // exactly-at-threshold does NOT breach (strict >), the boundary contract
+    val at = Drift.quantileShift(ref, cur, Seq("len"), Seq(50), maxShiftC = 20000L)
+      .head()
+    assert(at.getLong(5) == 0L)
+    // a column gone all-null on the current side is ALWAYS a breach
+    val curNull = ref.withColumn("len", lit(null).cast("double"))
+    val nullRow = Drift.quantileShift(ref, curNull, Seq("len"), Seq(50), maxShiftC = 5000L)
+      .head()
+    assert(nullRow.isNullAt(3) && nullRow.getLong(5) == 1L)
+    // null on BOTH sides: no data either side -> not a breach
+    val bothNull = Drift.quantileShift(curNull, curNull, Seq("len"), Seq(50), 5000L)
+      .head()
+    assert(bothNull.getLong(5) == 0L)
+    intercept[IllegalArgumentException](
+      Drift.quantileShift(ref, cur, Seq("len"), Seq(50), maxShiftC = -1L))
+  }
+
+  test("topValues: exact counts, value-asc tie-break, short columns, k guard") {
+    val df = Seq("b", "b", "a", "a", "c", "c", "c", "d").map(Tuple1(_)).toDF("s")
+      .withColumn("t", when(col("s") === "d", lit(null)).otherwise(lit("only")))
+    val rows = Profiler.topValues(df, Seq("s", "t"), 3).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(("s", 1L)) == ("c", 3L))
+    assert(rows(("s", 2L)) == ("a", 2L)) // 2-count tie broken by value asc
+    assert(rows(("s", 3L)) == ("b", 2L))
+    assert(!rows.contains(("s", 4L))) // d cut at k=3
+    // nulls excluded; a column with < k values yields < k rows
+    assert(rows(("t", 1L)) == ("only", 7L) && !rows.contains(("t", 2L)))
+    // numeric columns render as strings
+    val num = Profiler.topValues(Seq(7L, 7L, 9L).toDF("n"), Seq("n"), 2).collect()
+      .map(r => r.getLong(3) -> r.getString(1)).toMap
+    assert(num(1L) == "7" && num(2L) == "9")
+    intercept[IllegalArgumentException](Profiler.topValues(df, Seq("s"), 0))
+  }
+
   test("schema diff: added/removed/type_changed/nullability_relaxed") {
     val expected = StructType(Seq(
       StructField("a", LongType, nullable = false),
