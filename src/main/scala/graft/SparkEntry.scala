@@ -256,6 +256,20 @@ object SparkEntry {
     "v_unique_salted" -> ((s, dir) => // explicit two-phase salted variant
       Unique("l_orderkey", salted = true, saltBuckets = 16).run(ld(s, dir, "lineitem"))
         .select(col("key").cast(StringType).as("key"), col("actual"))),
+    "v_unique_tuple" -> ((s, dir) => // composite-key uniqueness: the few
+      // (order, part) collisions in the synthetic lineitem
+      UniqueTuple(Seq("l_orderkey", "l_partkey")).run(ld(s, dir, "lineitem"))
+        .select(col("key"), col("actual"))),
+    "v_suggest_composite" -> ((s, dir) => { // minimal composite keys over a
+      // per-user event sequence: (user_id, seq) is the natural key by
+      // construction; neither alone is; (event_type, seq) can't reach n
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val t = ld(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).cast(LongType).as("seq"))
+      Suggest.compositeKeyDf(s, t, Seq("user_id", "event_type", "seq"))
+    }),
     "v_ref" -> ((s, dir) => {
       val dim = ld(s, dir, "customer").filter(col("c_custkey") >= 10) // active-customer dim
       RefIntegrity("user_id", dim, "c_custkey").run(ld(s, dir, "events"))
@@ -307,6 +321,11 @@ object SparkEntry {
       // six-run planted-jump history (see ensureMetricsRepoFixture)
       MetricsRepo.relChangeAnomalies(
         MetricsRepo.history(s, ensureMetricsRepoFixture(s, dir)), maxPct = 20)),
+    "v_metrics_seasonal" -> ((s, dir) => // the seasonal form: same history
+      // compared at lag 2 — each run against two completed runs back
+      MetricsRepo.relChangeAnomalies(
+        MetricsRepo.history(s, ensureMetricsRepoFixture(s, dir)),
+        maxPct = 20, seasonLag = 2)),
     "v_metrics_interval" -> ((s, dir) => // historical-envelope strategy over
       // the same history: run 3 (+37%) exits the prior [min,max] ± 10% range
       MetricsRepo.intervalAnomalies(
@@ -1052,6 +1071,60 @@ object SparkEntry {
          WHERE prev IS NOT NULL
            AND ((prev = 0 AND value <> 0)
              OR (prev <> 0 AND abs(value - prev) * 100 > 20 * abs(prev)))""",
+    "v_metrics_seasonal" ->
+      // lag-2 comparison over the same fixture history — the seasonal form
+      """WITH h AS (
+           SELECT CAST(run AS BIGINT) AS run, metric, CAST(value AS BIGINT) AS value
+           FROM read_parquet('/root/repo/target/fixtures/metrics_repo/run=*/*.parquet',
+                             hive_partitioning = 1)),
+         l AS (
+           SELECT run, metric, value,
+                  lag(value, 2) OVER (PARTITION BY metric ORDER BY run) AS prev
+           FROM h)
+         SELECT run, metric, prev, value FROM l
+         WHERE prev IS NOT NULL
+           AND ((prev = 0 AND value <> 0)
+             OR (prev <> 0 AND abs(value - prev) * 100 > 20 * abs(prev)))""",
+    "v_unique_tuple" ->
+      // composite-key duplicate groups, key rendered as '|'-joined values
+      """SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) AS key,
+                'count=' || CAST(count(*) AS VARCHAR) AS actual
+         FROM lineitem
+         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+         GROUP BY l_orderkey, l_partkey
+         HAVING count(*) > 1""",
+    "v_suggest_composite" ->
+      // full mirror of the minimal-composite-key derivation over the same
+      // per-user sequence frame: a pair is emitted when its complete rows
+      // are distinct, nonempty, and neither component is unique alone
+      """WITH t AS (
+           SELECT user_id, event_type,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS seq
+           FROM events),
+         s AS (
+           SELECT count(*) AS n,
+             count(DISTINCT user_id) AS nd_u, sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu_u,
+             count(DISTINCT event_type) AS nd_e, sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nu_e,
+             count(DISTINCT seq) AS nd_s, sum(CASE WHEN seq IS NULL THEN 1 ELSE 0 END) AS nu_s
+           FROM t),
+         p AS (
+           SELECT 'user_id,event_type' AS cols,
+             (SELECT count(*) FROM t WHERE user_id IS NOT NULL AND event_type IS NOT NULL) AS cnt,
+             (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM t
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL)) AS ndp,
+             (nu_u = 0 AND nd_u = n) AS ua, (nu_e = 0 AND nd_e = n) AS ub FROM s
+           UNION ALL SELECT 'user_id,seq',
+             (SELECT count(*) FROM t WHERE user_id IS NOT NULL AND seq IS NOT NULL),
+             (SELECT count(*) FROM (SELECT DISTINCT user_id, seq FROM t
+                WHERE user_id IS NOT NULL AND seq IS NOT NULL)),
+             (nu_u = 0 AND nd_u = n), (nu_s = 0 AND nd_s = n) FROM s
+           UNION ALL SELECT 'event_type,seq',
+             (SELECT count(*) FROM t WHERE event_type IS NOT NULL AND seq IS NOT NULL),
+             (SELECT count(*) FROM (SELECT DISTINCT event_type, seq FROM t
+                WHERE event_type IS NOT NULL AND seq IS NOT NULL)),
+             (nu_e = 0 AND nd_e = n), (nu_s = 0 AND nd_s = n) FROM s)
+         SELECT cols AS col_name, 'composite_unique' AS rule, 'distinct == rows' AS bound
+         FROM p WHERE cnt > 0 AND ndp = cnt AND NOT ua AND NOT ub""",
     "v_metrics_interval" ->
       // historical envelope at run 3: prior [min,max] widened by an
       // INTEGRAL-division 10% of range (DuckDB `//` mirrors Spark's `div`)

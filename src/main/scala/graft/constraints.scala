@@ -1187,6 +1187,45 @@ final case class Unique(col: String, salted: Boolean = false, saltBuckets: Int =
   }
 }
 
+/** Cross-row uniqueness on a COMPOSITE key — [[Unique]] generalized to a
+  * column tuple (the natural key of most fact tables is (entity, seq), not
+  * a single column; [[Suggest.compositeKeys]] discovers these). SQL UNIQUE
+  * null semantics: a row with ANY null component is exempt (it carries no
+  * complete key). Same skew contract as [[Unique]]: two-phase
+  * HashAggregate partial counting by default, explicit row-hash salting
+  * for adversarial skew. The violation `key` renders the tuple as
+  * '|'-joined values (display only — grouping is on the typed columns, so
+  * a '|' inside a value can never merge two distinct keys). */
+final case class UniqueTuple(cols: Seq[String], salted: Boolean = false,
+    saltBuckets: Int = 64) extends AggConstraint {
+  require(cols.nonEmpty, "UniqueTuple needs at least one column")
+  require(cols.distinct.size == cols.size, s"UniqueTuple: duplicate columns in $cols")
+  val id = s"unique(${cols.mkString(",")})"
+  def selfCheck(s: StructType) =
+    cols.toList.flatMap(c => Constraints.requireCol(s, c, id))
+  def run(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val complete = cols.map(c(_).isNotNull).reduce(_ && _)
+    val keyCols = cols.map(c)
+    val counts =
+      if (!salted) {
+        df.filter(complete).groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
+      } else {
+        val salt = pmod(xxhash64(df.columns.toSeq.map(c): _*), lit(saltBuckets))
+        df.filter(complete)
+          .groupBy(keyCols :+ salt.as("__salt"): _*).agg(count(lit(1)).as("c1"))
+          .groupBy(keyCols: _*).agg(sum("c1").as("cnt"))
+      }
+    counts.filter(c("cnt") > 1)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(cols.mkString(",")).as("path"),
+        lit("unique").as("bound"),
+        concat(lit("count="), c("cnt").cast(StringType)).as("actual"),
+        concat_ws("|", keyCols.map(_.cast(StringType)): _*).as("key"))
+  }
+}
+
 /** Referential integrity: fact.col ⊆ dim.dimCol. Violations via LEFT ANTI
   * join — broadcast when the dim is small (the common case for a sources
   * dimension), sort-merge + AQE skew handling otherwise (SURVEY.md §2.4). */

@@ -91,12 +91,23 @@ object MetricsRepo {
     * `|value - prev| * 100 > maxPct * |prev|`, or where prev == 0 and the
     * value moved off zero. Cross-multiplied LONG arithmetic — no division,
     * no floats, so the flag set is bit-stable at any parallelism. The
-    * first run of each metric has no predecessor and is never flagged. */
-  def relChangeAnomalies(history: DataFrame, maxPct: Long): DataFrame = {
+    * first run of each metric has no predecessor and is never flagged.
+    *
+    * `seasonLag` compares each run to the value `seasonLag` COMPLETED runs
+    * back instead of the immediately prior one — the seasonal form: a
+    * pipeline whose Sunday batches legitimately halve will flag every
+    * Monday and Sunday at lag 1, but compared at lag 7 (same weekday) only
+    * a real break flags. The first `seasonLag` runs of each metric have no
+    * comparison point and are never flagged. Positions are run SEQUENCE
+    * ordinals (the repo's caller-assigned seq), not wall-clock — a skipped
+    * day shifts the season; assign seqs accordingly. */
+  def relChangeAnomalies(history: DataFrame, maxPct: Long,
+      seasonLag: Int = 1): DataFrame = {
     require(maxPct >= 0, s"maxPct must be >= 0, got $maxPct")
+    require(seasonLag >= 1, s"seasonLag must be >= 1, got $seasonLag")
     val w = Window.partitionBy("metric").orderBy("run")
     history
-      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("prev", lag(col("value"), seasonLag).over(w))
       .filter(col("prev").isNotNull)
       .filter(
         (col("prev") === 0 && col("value") =!= 0) ||

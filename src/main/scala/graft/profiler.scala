@@ -400,6 +400,65 @@ object Suggest {
     suggest(df, enumMaxK).rules.toDF()
   }
 
+  /** MINIMAL composite-key discovery: the column PAIRS from `candidateCols`
+    * that uniquely identify rows while neither component does alone (a pair
+    * containing a single-column key is redundant — [[suggest]] already
+    * emits the single). SQL UNIQUE null semantics: uniqueness is judged
+    * over rows where BOTH components are non-null (matching
+    * [[UniqueTuple]]'s exemption), and a pair with zero complete rows is
+    * never suggested (vacuous).
+    *
+    * Scale shape: ONE exact profile prunes the pair set — a pair can only
+    * distinguish its complete rows if `nd(a)·nd(b)` reaches their count
+    * (BigInt product: no overflow cliff at 10^12 distincts) — then ONE
+    * aggregation counts all surviving pairs' distinct tuples (Expand-based
+    * exact distincts, same documented cost note as [[suggest]]; candidate
+    * sets are meant to be a handful of columns, giving O(k²) bounded
+    * aggregates). Returned pairs are in `candidateCols` order. */
+  def compositeKeys(df: DataFrame, candidateCols: Seq[String]): Seq[Seq[String]] = {
+    require(candidateCols.size >= 2,
+      s"compositeKeys: need at least 2 candidate columns, got $candidateCols")
+    require(candidateCols.distinct.size == candidateCols.size,
+      s"compositeKeys: duplicate columns in $candidateCols")
+    val prof = Profiler.profileRaw(df, candidateCols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = prof(candidateCols.head).getLong(2)
+    if (n == 0) return Nil
+    def nulls(c: String) = prof(c).getLong(3)
+    def nd(c: String) = prof(c).getLong(4)
+    def singleUnique(c: String) = nulls(c) == 0 && nd(c) == n
+    val nonUnique = candidateCols.filterNot(singleUnique)
+    val pairs = nonUnique.combinations(2).toSeq.filter { case Seq(a, b) =>
+      // a pair's complete-row count is at least n - nulls(a) - nulls(b);
+      // fewer than that many combinations cannot distinguish them
+      BigInt(nd(a)) * BigInt(nd(b)) >= BigInt(n) - nulls(a) - nulls(b)
+    }
+    if (pairs.isEmpty) return Nil
+    val aggs = pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
+      val complete = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        sum(complete.cast(LongType)).as(s"__n_$i"),
+        countDistinct(when(complete, struct(col(a), col(b)))).as(s"__nd_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    pairs.zipWithIndex.collect {
+      case (p, i)
+          if row.getLong(2 * i) > 0 && row.getLong(2 * i + 1) == row.getLong(2 * i) =>
+        p
+    }
+  }
+
+  /** The discovered composite keys in [[suggestDf]]'s rule shape
+    * (col_name = "a,b", rule = composite_unique) — the oracle-checkable
+    * view; compile the matching checks with [[UniqueTuple]]. */
+  def compositeKeyDf(spark: SparkSession, df: DataFrame,
+      candidateCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    compositeKeys(df, candidateCols)
+      .map(p => SuggestedRule(p.mkString(","), "composite_unique", "distinct == rows"))
+      .toDF()
+  }
+
   /** Suggest, then run the suggested suite back over its own training
     * table — returns the violations frame, which is EMPTY by construction
     * (every bound is an observed extremum). The empty result is the

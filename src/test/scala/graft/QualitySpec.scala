@@ -339,6 +339,75 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiler.topValues(df, Seq("s"), 0))
   }
 
+  test("UniqueTuple: composite dups flagged, any-null exempt, salted identical") {
+    val df = Seq(
+      (Option(1L), Option("a"), 1), (Option(1L), Option("a"), 2), // dup (1,a)
+      (Option(1L), Option("b"), 3), (Option(2L), Option("a"), 4),
+      (Option.empty[Long], Option("a"), 5), (Option.empty[Long], Option("a"), 6), // null exempt
+      (Option(3L), Option.empty[String], 7), (Option(3L), Option.empty[String], 8)
+    ).toDF("k1", "k2", "payload")
+    val v = UniqueTuple(Seq("k1", "k2")).run(df).collect()
+    assert(v.length == 1)
+    assert(v.head.getString(0) == "unique(k1,k2)")
+    assert(v.head.getString(4) == "1|a" && v.head.getString(3) == "count=2")
+    val salted = UniqueTuple(Seq("k1", "k2"), salted = true, saltBuckets = 4)
+      .run(df).collect()
+    assert(salted.map(r => (r.getString(4), r.getString(3))).toSet ==
+      v.map(r => (r.getString(4), r.getString(3))).toSet)
+    // a '|' in a value cannot merge keys: grouping is typed, display-only join
+    val tricky = Seq(("a|b", "c", 1), ("a", "b|c", 2)).toDF("k1", "k2", "p")
+    assert(UniqueTuple(Seq("k1", "k2")).run(tricky).count() == 0)
+    intercept[IllegalArgumentException](UniqueTuple(Nil))
+    intercept[IllegalArgumentException](UniqueTuple(Seq("k1", "k1")))
+    assert(UniqueTuple(Seq("k1", "missing")).selfCheck(df.schema).nonEmpty)
+  }
+
+  test("compositeKeys: minimal pairs only, null semantics, vacuous excluded") {
+    // id unique alone -> every pair with id is redundant; (a,b) unique;
+    // (a,c)/(b,c) not
+    val df = Seq(
+      (1L, "x", 1L, "m"), (2L, "x", 2L, "m"), (3L, "y", 1L, "m"), (4L, "y", 2L, "m")
+    ).toDF("id", "a", "b", "c")
+    assert(Suggest.compositeKeys(df, Seq("id", "a", "b", "c")) == Seq(Seq("a", "b")))
+    val rules = Suggest.compositeKeyDf(spark, df, Seq("a", "b", "c")).collect()
+    assert(rules.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a,b", "composite_unique")))
+    // uniqueness judged over COMPLETE rows: the null-b row's (x,null) does
+    // not collide with (x,1)
+    val withNull = Seq(
+      (Option("x"), Option(1L)), (Option("x"), Option(2L)), (Option("x"), Option.empty[Long])
+    ).toDF("a", "b")
+    assert(Suggest.compositeKeys(withNull, Seq("a", "b")) == Seq(Seq("a", "b")))
+    // a pair with ZERO complete rows is vacuous, never suggested (neither
+    // column is unique alone here, so only the cnt>0 guard excludes it)
+    val vacuous = Seq(
+      (Option("x"), Option.empty[Long]), (Option("x"), Option.empty[Long])
+    ).toDF("a", "b")
+    assert(Suggest.compositeKeys(vacuous, Seq("a", "b")).isEmpty)
+    // empty table -> nothing
+    assert(Suggest.compositeKeys(df.limit(0), Seq("a", "b")).isEmpty)
+    intercept[IllegalArgumentException](Suggest.compositeKeys(df, Seq("a")))
+    intercept[IllegalArgumentException](Suggest.compositeKeys(df, Seq("a", "a")))
+    // discovered pair compiles to a clean UniqueTuple on its own table
+    assert(UniqueTuple(Seq("a", "b")).run(df).count() == 0)
+  }
+
+  test("relChangeAnomalies seasonLag: weekday pattern clean at its period") {
+    // period-2 pattern 100,10,100,10,... with a planted break at run 6
+    val h = Seq(
+      (0L, 100L), (1L, 10L), (2L, 100L), (3L, 10L), (4L, 100L), (5L, 10L),
+      (6L, 300L), (7L, 10L)
+    ).map { case (r, v) => (r, "rows", v) }.toDF("run", "metric", "value")
+    val lag1 = MetricsRepo.relChangeAnomalies(h, maxPct = 50)
+      .select("run").as[Long].collect().toSet
+    assert(lag1 == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)) // every alternation flags
+    val lag2 = MetricsRepo.relChangeAnomalies(h, maxPct = 50, seasonLag = 2)
+      .select("run").as[Long].collect().toSet
+    assert(lag2 == Set(6L)) // only the real break; runs 0-1 exempt (no lag-2)
+    intercept[IllegalArgumentException](
+      MetricsRepo.relChangeAnomalies(h, maxPct = 50, seasonLag = 0))
+  }
+
   test("schema diff: added/removed/type_changed/nullability_relaxed") {
     val expected = StructType(Seq(
       StructField("a", LongType, nullable = false),
