@@ -65,12 +65,31 @@ object ProbeProfile {
       if (e == 0) 0.0 else math.abs(r.getLong(4) - e) / e * 100.0
     }.max
 
+    // the distribution face: exact percentile_disc (per-partition
+    // value->count maps) vs the GK sketch, and the bounded-heap top-k —
+    // all over (doc_id, n_chars): one unbounded-distinct column, one
+    // low-cardinality column
+    val qCols = Seq("doc_id", "n_chars")
+    val (tQExact, qExact) = timed(Profiler.profileQuantiles(docs, qCols).collect())
+    val (tQApprox, qApprox) = timed(Profiler.profileQuantilesApprox(docs, qCols).collect())
+    val exactQ = qExact.map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    // GK error in RANKS; report the worst VALUE deviation in percent
+    val worstQErrPct = qApprox.map { r =>
+      val e = exactQ((r.getString(0), r.getLong(2))).toDouble
+      if (e == 0) 0.0 else math.abs(r.getLong(3) - e) / math.abs(e) * 100.0
+    }.max
+    val (tTop, topRows) = timed(
+      Profiler.topValues(docs, Seq("lang", "source", "n_chars"), 10).collect())
+
     println(f"""{"rows":$n,"cores":$cores,"columns":${docs.columns.length},""" +
       f""""approx_sec":$tApprox%.2f,"approx_rows_per_sec":${n / tApprox}%.0f,""" +
       f""""exact_sec":$tExact%.2f,"exact_rows_per_sec":${n / tExact}%.0f,""" +
       f""""exact_over_approx":${tExact / tApprox}%.2f,""" +
       f""""suggest_sec":$tSuggest%.2f,"suggested_rules":${sug.rules.size},""" +
-      f""""worst_hll_err_pct":$worstErrPct%.2f}""")
+      f""""worst_hll_err_pct":$worstErrPct%.2f,""" +
+      f""""quantile_exact_sec":$tQExact%.2f,"quantile_approx_sec":$tQApprox%.2f,""" +
+      f""""worst_gk_value_err_pct":$worstQErrPct%.4f,""" +
+      f""""topk_sec":$tTop%.2f,"topk_rows":${topRows.length}}""")
     spark.stop()
   }
 }
