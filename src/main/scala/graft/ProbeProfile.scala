@@ -80,6 +80,12 @@ object ProbeProfile {
     }.max
     val (tTop, topRows) = timed(
       Profiler.topValues(docs, Seq("lang", "source", "n_chars"), 10).collect())
+    // Misra-Gries twin: capacity 4096 >= every distinct count here (lang 5,
+    // source 20, n_chars 400) -> err must come back 0 (self-certified exact)
+    val (tTopA, topARows) = timed(
+      Profiler.topValuesApprox(docs, Seq("lang", "source", "n_chars"), 10,
+        capacity = 4096).collect())
+    val mgErr = topARows.map(_.getLong(4)).max
 
     println(f"""{"rows":$n,"cores":$cores,"columns":${docs.columns.length},""" +
       f""""approx_sec":$tApprox%.2f,"approx_rows_per_sec":${n / tApprox}%.0f,""" +
@@ -89,7 +95,8 @@ object ProbeProfile {
       f""""worst_hll_err_pct":$worstErrPct%.2f,""" +
       f""""quantile_exact_sec":$tQExact%.2f,"quantile_approx_sec":$tQApprox%.2f,""" +
       f""""worst_gk_value_err_pct":$worstQErrPct%.4f,""" +
-      f""""topk_sec":$tTop%.2f,"topk_rows":${topRows.length}}""")
+      f""""topk_sec":$tTop%.2f,"topk_rows":${topRows.length},""" +
+      f""""topk_mg_sec":$tTopA%.2f,"topk_mg_err":$mgErr}""")
     spark.stop()
   }
 }

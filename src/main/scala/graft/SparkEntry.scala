@@ -352,6 +352,11 @@ object SparkEntry {
     "v_top_values" -> ((s, dir) => // exact top-5 most frequent values per
       // column, two-phase bounded-heap (never a full per-column sort)
       Profiler.topValues(ld(s, dir, "documents"), Seq("lang", "source", "n_chars"), 5)),
+    "v_top_approx" -> ((s, dir) => // Misra-Gries one-pass heavy hitters;
+      // capacity 64 >= both distinct counts -> err 0, counts EXACT (the
+      // summary self-certifies, and the oracle holds it to the exact answer)
+      Profiler.topValuesApprox(ld(s, dir, "documents"), Seq("lang", "source"),
+        k = 5, capacity = 64)),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1201,6 +1206,18 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS BIGINT) AS rnk
                     FROM counted)
          SELECT col_name, value, cnt, rnk FROM ranked WHERE rnk <= 5""",
+    "v_top_approx" ->
+      // in the err=0 regime the MG summary is held to the EXACT answer
+      """WITH vals AS (
+           SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value FROM documents WHERE lang IS NOT NULL
+           UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL),
+         counted AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+                     FROM vals GROUP BY col_name, value),
+         ranked AS (SELECT col_name, value, cnt,
+                      CAST(row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS BIGINT) AS rnk
+                    FROM counted)
+         SELECT col_name, value, cnt, rnk, CAST(0 AS BIGINT) AS err
+         FROM ranked WHERE rnk <= 5""",
     "v_drift_psi_fp" ->
       """WITH binned AS (
            SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin

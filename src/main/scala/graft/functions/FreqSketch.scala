@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy-hitters summary (Misra & Gries 1982; merge rule per
+  * Agarwal et al., "Mergeable Summaries", PODS 2012) — the ONE-PASS,
+  * bounded-state twin of exact top-k-by-count: state is at most `capacity`
+  * (value, counter) pairs per group, so at 10^12 rows each map task ships a
+  * k-counter SUMMARY into the merge instead of shuffling every distinct
+  * value the way an exact `groupBy(value).count` must.
+  *
+  * Output: struct(items: array(struct(value, cnt)), err: long), items
+  * sorted (cnt desc, value asc).
+  *
+  * The summary SELF-CERTIFIES its accuracy: `err` is the total decrement
+  * offset accumulated by overflow evictions and merges, and every reported
+  * counter obeys `true_count - err <= cnt <= true_count`. Any value with
+  * true frequency > err is guaranteed present. In particular `err == 0`
+  * certifies the counts are EXACT (always the case when a group's distinct
+  * count never exceeds `capacity` — the oracle-checkable regime).
+  *
+  * Determinism contract: with `err == 0` the result is content-determined
+  * at any parallelism. Once evictions occur, WHICH sub-threshold values
+  * survive depends on partitioning/arrival order (inherent to MG — the
+  * guarantee is about heavy hitters, not the tail); callers needing stable
+  * output at any parallelism either size `capacity` above the distinct
+  * count or treat the result as a candidate set and re-count exactly.
+  *
+  * Null inputs are skipped (profile rows count them). Input must be STRING
+  * (callers cast — the uniform rendering [[graft.Profiler.topValues]] also
+  * uses).
+  */
+case class FreqSketch(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[FreqSketch.State] with UnaryLike[Expression] {
+
+  require(capacity > 0, "FreqSketch requires capacity > 0")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("value", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false),
+      nullable = false),
+    StructField("err", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"FreqSketch needs a string child, got $other")
+    }
+
+  override def createAggregationBuffer(): FreqSketch.State = new FreqSketch.State()
+
+  override def update(buf: FreqSketch.State, input: InternalRow): FreqSketch.State = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L, capacity)
+    buf
+  }
+
+  override def merge(buf: FreqSketch.State, other: FreqSketch.State): FreqSketch.State = {
+    other.counts.foreach { case (value, c) => buf.add(value, c, capacity) }
+    buf.err += other.err
+    buf
+  }
+
+  override def eval(buf: FreqSketch.State): Any = {
+    val sorted = buf.counts.toArray.sortBy { case (v, c) => (-c, v) }
+    val items = new GenericArrayData(sorted.map { case (v, c) =>
+      InternalRow(UTF8String.fromString(v), c)
+    }.asInstanceOf[Array[Any]])
+    InternalRow(items, buf.err)
+  }
+
+  override def serialize(buf: FreqSketch.State): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.err)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (v, c) => out.writeUTF(v); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqSketch.State = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new FreqSketch.State()
+    s.err = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { s.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketch =
+    copy(child = newChild)
+}
+
+object FreqSketch {
+  import org.apache.spark.sql.GraftShim
+
+  /** Mutable MG state: bounded counter map + accumulated decrement offset.
+    * `add` folds in `weight` occurrences of `value` (weight > capacity-many
+    * merges fold in whole counters at once — the PODS-2012 mergeable form:
+    * sum, then subtract the (capacity+1)-th largest counter from all and
+    * evict non-positives). */
+  private[graft] final class State {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    var err = 0L
+
+    def add(value: String, weight: Long, capacity: Int): Unit = {
+      counts.updateWith(value) {
+        case Some(c) => Some(c + weight)
+        case None => Some(weight)
+      }
+      if (counts.size > capacity) {
+        // subtract the (capacity+1)-th largest counter (here: with the map
+        // one over capacity, the minimum counter) from every counter; at
+        // least one entry zeroes out, restoring the bound. All surviving
+        // counters stay underestimates within the enlarged err.
+        val d = counts.valuesIterator.min
+        err += d
+        counts.filterInPlace((_, c) => c > d)
+        counts.mapValuesInPlace((_, c) => c - d)
+      }
+    }
+  }
+
+  /** Column wrapper: struct(items: array(struct(value, cnt)), err). */
+  def freq_sketch(value: Column, capacity: Int): Column =
+    GraftShim.column(
+      FreqSketch(GraftShim.expression(value), capacity).toAggregateExpression())
+}

@@ -247,6 +247,37 @@ object Profiler {
         (col("pos") + 1).cast(LongType).as("rnk"))
   }
 
+  /** ONE-PASS approximate top-k frequent values per column via the
+    * Misra-Gries summary ([[graft.functions.FreqSketch]]): same output
+    * shape as [[topValues]] plus an `err` column — the summary's
+    * self-certified maximum undercount (`err == 0` ⇒ the counts are EXACT,
+    * guaranteed whenever a column's distinct count stays within
+    * `capacity`). Unlike [[topValues]], NO per-value shuffle exists at any
+    * scale: each map task ships one ≤`capacity`-counter summary per
+    * column, so 10^12 rows move O(tasks · capacity) state instead of every
+    * distinct value. Any value with true frequency > `err` is guaranteed
+    * reported; sub-threshold survivors are partitioning-dependent once
+    * evictions begin (treat them as a candidate set, or re-count exactly).
+    * `capacity` defaults to 8·k. */
+  def topValuesApprox(df: DataFrame, columns: Seq[String] = Nil, k: Int = 10,
+      capacity: Int = -1): DataFrame = {
+    require(k > 0, s"topValuesApprox: k must be > 0, got $k")
+    val cap = if (capacity == -1) 8 * k else capacity
+    require(cap >= k, s"topValuesApprox: capacity must be >= k, got $cap < $k")
+    val cols = profileCols(df, columns)
+    val pairs = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast(StringType).as("value"))
+    }: _*)).as("p")).select("p.*").filter(col("value").isNotNull)
+    import graft.functions.FreqSketch.freq_sketch
+    pairs.groupBy(col("col_name"))
+      .agg(freq_sketch(col("value"), cap).as("sk"))
+      .select(col("col_name"),
+        posexplode(slice(col("sk.items"), 1, k)).as(Seq("pos", "t")),
+        col("sk.err").as("err"))
+      .select(col("col_name"), col("t.value").as("value"), col("t.cnt").as("cnt"),
+        (col("pos") + 1).cast(LongType).as("rnk"), col("err"))
+  }
+
   /** One aggregation (global, or per `groupBy` key) → one row per group;
     * then explode into per-column rows. Struct fields are typed identically
     * across column kinds (nulls cast), so the exploded frame has one stable

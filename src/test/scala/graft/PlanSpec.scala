@@ -385,6 +385,20 @@ class PlanSpec extends SparkSpec {
     assert(exch >= 0 && p.lastIndexOf("HashAggregate") > exch, p.take(3000))
   }
 
+  test("topValuesApprox: ONE exchange of bounded summaries, no value-level shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = Profiler.topValuesApprox(docs, Seq("lang", "source"), 5)
+      .queryExecution.executedPlan.toString
+    // partial MG summaries aggregate map-side (ObjectHashAggregate), and the
+    // single exchange carries per-(task, column) summaries — never the
+    // (value, count) pairs an exact top-k must shuffle
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    val exch = p.indexOf("Exchange")
+    assert(p.lastIndexOf("ObjectHashAggregate") > exch, p.take(3000))
+    assert(!p.contains("Window") && !p.contains("Sort"), p.take(3000))
+  }
+
   test("profileQuantilesApprox: one pass — single scan, no Expand") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = Profiler.profileQuantilesApprox(docs, Seq("doc_id", "n_chars"))

@@ -408,6 +408,35 @@ class QualitySpec extends SparkSpec {
       MetricsRepo.relChangeAnomalies(h, maxPct = 50, seasonLag = 0))
   }
 
+  test("topValuesApprox: exact (err 0) within capacity at ANY parallelism") {
+    val df = Seq.tabulate(200)(i => Tuple1(s"v${i % 7}")).toDF("s")
+    val exact = Profiler.topValues(df, Seq("s"), 5).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    Seq(1, 8).foreach { p =>
+      val rows = Profiler.topValuesApprox(df.repartition(p), Seq("s"), 5, capacity = 16)
+        .collect()
+      assert(rows.forall(_.getLong(4) == 0L)) // self-certified exact
+      assert(rows.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet == exact)
+    }
+    intercept[IllegalArgumentException](Profiler.topValuesApprox(df, Seq("s"), 0))
+    intercept[IllegalArgumentException](
+      Profiler.topValuesApprox(df, Seq("s"), k = 10, capacity = 5))
+  }
+
+  test("topValuesApprox: MG guarantee under eviction — heavy hitter survives") {
+    // 6000 copies of the hitter + 4000 singletons, capacity 50: evictions
+    // certain, yet any value with true frequency > err must be reported
+    val df = spark.range(10000).selectExpr(
+      "CASE WHEN id < 6000 THEN 'hot' ELSE CONCAT('u', id) END AS s")
+      .repartition(16)
+    val rows = Profiler.topValuesApprox(df, Seq("s"), k = 1, capacity = 50).collect()
+    assert(rows.length == 1)
+    val (value, cnt, err) = (rows.head.getString(1), rows.head.getLong(2), rows.head.getLong(4))
+    assert(value == "hot")
+    assert(err > 0 && err <= 10000L / 50) // the n/capacity bound, evictions real
+    assert(cnt <= 6000L && cnt >= 6000L - err) // counter is an underestimate within err
+  }
+
   test("schema diff: added/removed/type_changed/nullability_relaxed") {
     val expected = StructType(Seq(
       StructField("a", LongType, nullable = false),
