@@ -357,6 +357,18 @@ object SparkEntry {
       // summary self-certifies, and the oracle holds it to the exact answer)
       Profiler.topValuesApprox(ld(s, dir, "documents"), Seq("lang", "source"),
         k = 5, capacity = 64)),
+    "v_corr_stats" -> ((s, dir) => // exact correlation sufficient stats in
+      // the cents domain; decimal sums stringified for the comparator
+      // (pandas/duckdb would coerce big decimals to lossy float64)
+      Stats.correlationStats(ld(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_x"), col("col_y"), col("n"),
+          col("sum_x").cast(StringType).as("sum_x"),
+          col("sum_y").cast(StringType).as("sum_y"),
+          col("sum_xx").cast(StringType).as("sum_xx"),
+          col("sum_yy").cast(StringType).as("sum_yy"),
+          col("sum_xy").cast(StringType).as("sum_xy"),
+          col("pearson_fp"))),
     // ---- window / top-k ----
     "w_top3_per_cust" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1218,6 +1230,43 @@ object SparkEntry {
                     FROM counted)
          SELECT col_name, value, cnt, rnk, CAST(0 AS BIGINT) AS err
          FROM ranked WHERE rnk <= 5""",
+    "v_corr_stats" ->
+      // HUGEINT sums over the same cents domain, stringified; pearson_fp
+      // recomputed from the SAME exact integers in the SAME double formula
+      """WITH c AS (
+           SELECT CAST(ROUND(l_quantity*100) AS HUGEINT) AS q,
+                  CAST(ROUND(l_extendedprice*100) AS HUGEINT) AS p,
+                  CAST(ROUND(l_discount*100) AS HUGEINT) AS d,
+                  l_quantity IS NOT NULL AS nq, l_extendedprice IS NOT NULL AS np,
+                  l_discount IS NOT NULL AS nd
+           FROM lineitem),
+         s AS (
+           SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                  CAST(sum(CASE WHEN nq AND np THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                  sum(CASE WHEN nq AND np THEN q END) AS sx, sum(CASE WHEN nq AND np THEN p END) AS sy,
+                  sum(CASE WHEN nq AND np THEN q*q END) AS sxx, sum(CASE WHEN nq AND np THEN p*p END) AS syy,
+                  sum(CASE WHEN nq AND np THEN q*p END) AS sxy FROM c
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+                  CAST(sum(CASE WHEN nq AND nd THEN 1 ELSE 0 END) AS BIGINT),
+                  sum(CASE WHEN nq AND nd THEN q END), sum(CASE WHEN nq AND nd THEN d END),
+                  sum(CASE WHEN nq AND nd THEN q*q END), sum(CASE WHEN nq AND nd THEN d*d END),
+                  sum(CASE WHEN nq AND nd THEN q*d END) FROM c
+           UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                  CAST(sum(CASE WHEN np AND nd THEN 1 ELSE 0 END) AS BIGINT),
+                  sum(CASE WHEN np AND nd THEN p END), sum(CASE WHEN np AND nd THEN d END),
+                  sum(CASE WHEN np AND nd THEN p*p END), sum(CASE WHEN np AND nd THEN d*d END),
+                  sum(CASE WHEN np AND nd THEN p*d END) FROM c)
+         SELECT col_x, col_y, n,
+                CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+                CAST(sxx AS VARCHAR) AS sum_xx, CAST(syy AS VARCHAR) AS sum_yy,
+                CAST(sxy AS VARCHAR) AS sum_xy,
+                CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+                      AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+                     THEN CAST(ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                          / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                          * 1000000) AS BIGINT) END AS pearson_fp
+         FROM s""",
     "v_drift_psi_fp" ->
       """WITH binned AS (
            SELECT source AS grp, CAST(floor(n_chars / 50.0) AS BIGINT) AS bin

@@ -48,4 +48,63 @@ object Stats {
     * first" view over a bucket report (global TakeOrdered, no full sort). */
   def topKWorstBuckets(report: DataFrame, k: Int): DataFrame =
     report.orderBy(desc("fail"), col("bucket_id")).limit(k)
+
+  /** EXACT pairwise correlation sufficient statistics over the cents
+    * domain, one row per (col_x, col_y) pair from `cols` (x before y in
+    * `cols` order): n (complete rows), the five sums Σx Σy Σx² Σy² Σxy as
+    * DECIMAL(38,0) — cents inputs are ≤ ~10^8 for real-world measures, so
+    * the squared sums stay exact past 10^12 rows where a double
+    * accumulation has long since lost integer precision — plus
+    * `pearson_fp`, the Pearson coefficient ×10^6 rounded to a LONG,
+    * computed FROM the exact sums in one fixed double expression (exact
+    * integer inputs ⇒ the float rounding is reproducible across engines,
+    * unlike a streamed float accumulation whose result depends on
+    * partition order).
+    *
+    * A pair's statistics are over its COMPLETE rows (both sides non-null),
+    * the standard pairwise-deletion convention. Scale shape: ONE
+    * aggregation for all pairs — O(k²) simple sums, no shuffle of values,
+    * the same single-pass profile shape as [[graft.Profiler.profile]]. */
+  def correlationStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlationStats: need >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"correlationStats: duplicates in $cols")
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"correlationStats: no such column '$c'")
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"correlationStats: column '$c' is ${df.schema(c).dataType.typeName}, need numeric")
+    }
+    val dec = DecimalType(18, 0)
+    def cents(c: String) = round(col(c) * 100).cast(dec)
+    val pairs = cols.combinations(2).toSeq
+    val aggs = pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
+      val complete = col(a).isNotNull && col(b).isNotNull
+      val x = when(complete, cents(a)); val y = when(complete, cents(b))
+      Seq(
+        sum(complete.cast(LongType)).as(s"__n_$i"),
+        sum(x).as(s"__sx_$i"), sum(y).as(s"__sy_$i"),
+        sum(x * x).as(s"__sxx_$i"), sum(y * y).as(s"__syy_$i"),
+        sum(x * y).as(s"__sxy_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val d38 = DecimalType(38, 0)
+    val rows = pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+      val n = col(s"__n_$i")
+      val (sx, sy) = (col(s"__sx_$i"), col(s"__sy_$i"))
+      val (sxx, syy, sxy) = (col(s"__sxx_$i"), col(s"__syy_$i"), col(s"__sxy_$i"))
+      // one fixed expression over exact integers: cov and variances scaled
+      // by n² cancel in the ratio; guard zero-variance columns to null
+      val nd = n.cast(DoubleType)
+      val num = nd * sxy.cast(DoubleType) - sx.cast(DoubleType) * sy.cast(DoubleType)
+      val vx = nd * sxx.cast(DoubleType) - sx.cast(DoubleType) * sx.cast(DoubleType)
+      val vy = nd * syy.cast(DoubleType) - sy.cast(DoubleType) * sy.cast(DoubleType)
+      val pearsonFp = when(vx > 0 && vy > 0,
+        round(num / sqrt(vx * vy) * 1000000).cast(LongType))
+      struct(
+        lit(a).as("col_x"), lit(b).as("col_y"), n.as("n"),
+        sx.cast(d38).as("sum_x"), sy.cast(d38).as("sum_y"),
+        sxx.cast(d38).as("sum_xx"), syy.cast(d38).as("sum_yy"),
+        sxy.cast(d38).as("sum_xy"), pearsonFp.as("pearson_fp"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

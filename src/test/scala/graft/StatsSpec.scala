@@ -86,4 +86,31 @@ class StatsSpec extends SparkSpec {
     val rows = spark.sql("select * from wvc").collect()
     assert(rows.map(_.getAs[Long]("violations")).sum === 2)
   }
+
+  test("correlationStats: exact sums, reproducible pearson_fp, null edges") {
+    // y = 2x (perfect), z = -x (perfect negative), w constant (zero var)
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("x", "y", "z", "w")
+    val rows = Stats.correlationStats(df, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = rows(("x", "y"))
+    assert(xy.getLong(2) == 3)
+    assert(xy.getDecimal(3).longValueExact == 600) // Σx cents
+    assert(xy.getDecimal(7).longValueExact == 280000) // Σxy = 100*200+...
+    assert(xy.getLong(8) == 1000000L) // pearson exactly +1
+    assert(rows(("x", "z")).getLong(8) == -1000000L)
+    assert(rows(("x", "w")).isNullAt(8)) // zero-variance guard -> null
+    // pairwise deletion: the null-y row drops from (x,y) but not (x,z)
+    val dfn = Seq((Option(1.0), Option(2.0), Option(10.0)),
+      (Option(2.0), Option.empty[Double], Option(20.0)),
+      (Option(3.0), Option(6.0), Option(30.0))).toDF("x", "y", "z")
+    val rn = Stats.correlationStats(dfn, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rn(("x", "y")).getLong(2) == 2 && rn(("x", "z")).getLong(2) == 3)
+    assert(rn(("x", "y")).getDecimal(3).longValueExact == 400) // row 2's x excluded
+    intercept[IllegalArgumentException](Stats.correlationStats(df, Seq("x")))
+    intercept[IllegalArgumentException](Stats.correlationStats(df, Seq("x", "x")))
+    intercept[IllegalArgumentException](
+      Stats.correlationStats(df.withColumn("s", lit("a")), Seq("x", "s")))
+  }
 }
