@@ -347,6 +347,24 @@ object Smoke {
         s"median n_chars=${med.getLong(3)}c; doubled-ingest shift=" +
           s"${shifted.getLong(0)}c breach=${shifted.getLong(1)} (shift == median, " +
           s"monotone commute); top lang=${topLang.getString(0)}×${topLang.getLong(1)}")
+
+      // 10c. cross-column face: ordering discovery compiles to checks that
+      // hold on their training frame; token OOV drift catches a vocab swap
+      val od = qd.withColumn("n_chars_2x", col("n_chars") * 2)
+      val orules = Suggest.orderings(od, Seq("n_chars", "n_chars_2x", "doc_id"))
+      val ochecks = Suggest.orderingChecks(orules)
+      val oholds = ochecks.forall(c => od.filter(!c.pred).count() == 0)
+      val oov = Drift.oovShift(
+        Drift.oovProfile(corpus, "tokens", "source", DataGen.VOCAB),
+        Drift.oovProfile(corpus, "tokens", "source", DataGen.VOCAB / 2),
+        "source", maxDeltaFp = 10000)
+      val oovBreached = oov.agg(sum("breach")).head().getLong(0)
+      val oovGroups = oov.count()
+      check("orderings-oov",
+        orules.exists(r => r.col_a == "n_chars" && r.col_b == "n_chars_2x") &&
+          ochecks.nonEmpty && oholds && oovBreached == oovGroups && oovGroups >= 5,
+        s"${orules.size} ordering rules -> ${ochecks.size} checks all holding; " +
+          s"halved-vocab OOV shift breached $oovBreached/$oovGroups sources")
     }
 
     spark.stop()

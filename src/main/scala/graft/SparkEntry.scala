@@ -313,6 +313,21 @@ object SparkEntry {
       Profiler.profileBy(ld(s, dir, "documents"), "lang", Seq("doc_id", "n_chars"))),
     "v_suggest" -> ((s, dir) => // deterministic rule derivation from the profile
       Suggest.suggestDf(s, ld(s, dir, "documents"))),
+    "v_col_order" -> ((s, dir) => { // cross-column ordering constraint: one
+      // frequently-violated <= and one always-holding strict <, both judged
+      // in one codegen'd scan (null-complete rows exempt per the leaf stance)
+      val le = ColOrder("l_discount", "l_tax")
+      val lt = ColOrder("l_quantity", "l_extendedprice", allowEqual = false)
+      ld(s, dir, "lineitem").agg(
+        sum((!le.pred).cast(LongType)).as("n_discount_gt_tax"),
+        sum((!lt.pred).cast(LongType)).as("n_qty_ge_price"),
+        count(lit(1)).as("n_rows"))
+    }),
+    "v_suggest_orderings" -> ((s, dir) => // cross-column ordering DISCOVERY:
+      // which a<=b / a<b / a==b invariants hold on every complete row —
+      // ONE aggregation judges all candidate pairs
+      Suggest.orderingsDf(s, ld(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "v_suggest_apply" -> ((s, dir) => // round trip: the suggested suite holds
       // on its own training table BY CONSTRUCTION -> the oracle asserts EMPTY
       Suggest.applyToSelf(ld(s, dir, "documents"), "doc_id")
@@ -709,6 +724,20 @@ object SparkEntry {
         .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
       compiled.run(corpus).violations
         .groupBy(col("constraint_id")).agg(count(lit(1)).as("n"))
+    }),
+    "v_oov_rate" -> ((s, dir) => // per-source OOV rate over the token
+      // arrays: one codegen'd array pass per row, three LONGs per group
+      // shuffled (never the tokens), exact fixed-point rate
+      Drift.oovProfile(DataGen.sequences(s, 20000, maxLen = 32),
+        "tokens", "source", DataGen.VOCAB)),
+    "v_oov_shift" -> ((s, dir) => { // tokenizer-change drill: the same
+      // corpus profiled under the real vocab vs a halved one — every
+      // source's rate jumps past 1% and breaches
+      val corpus = DataGen.sequences(s, 20000, maxLen = 32)
+      Drift.oovShift(
+        Drift.oovProfile(corpus, "tokens", "source", DataGen.VOCAB),
+        Drift.oovProfile(corpus, "tokens", "source", DataGen.VOCAB / 2),
+        "source", maxDeltaFp = 10000)
     }),
     "seq_decontaminate" -> ((s, dir) => { // rows-only: 64-bit span hashes
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
@@ -1110,6 +1139,35 @@ object SparkEntry {
          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
          GROUP BY l_orderkey, l_partkey
          HAVING count(*) > 1""",
+    "v_col_order" ->
+      """SELECT CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL
+                       AND NOT (l_discount <= l_tax) THEN 1 ELSE 0 END) AS BIGINT) AS n_discount_gt_tax,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                       AND NOT (l_quantity < l_extendedprice) THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_ge_price,
+                count(*) AS n_rows
+         FROM lineitem""",
+    "v_suggest_orderings" ->
+      // full mirror of the ordering-discovery derivation: per pair the four
+      // conditional counts, then the same emission CASE (direction flip when
+      // only b>a violates; eq when neither; lt when additionally tie-free)
+      ("""WITH s AS (""" +
+      Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+          ("l_extendedprice", "l_tax"), ("l_discount", "l_tax")).map { case (a, b) =>
+        s"""SELECT '$a' AS a, '$b' AS b,
+              CAST(sum(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL AND $a > $b THEN 1 ELSE 0 END) AS BIGINT) AS gab,
+              CAST(sum(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL AND $b > $a THEN 1 ELSE 0 END) AS BIGINT) AS gba,
+              CAST(sum(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL AND $a = $b THEN 1 ELSE 0 END) AS BIGINT) AS eq
+            FROM lineitem"""
+      }.mkString(" UNION ALL ") +
+      """)
+         SELECT CASE WHEN gab > 0 AND gba = 0 THEN b ELSE a END AS col_a,
+                CASE WHEN gab > 0 AND gba = 0 THEN a ELSE b END AS col_b,
+                CASE WHEN gab = 0 AND gba = 0 THEN 'eq'
+                     WHEN eq > 0 THEN 'le' ELSE 'lt' END AS kind,
+                n AS n_complete, eq AS n_eq
+         FROM s WHERE n > 0 AND (gab = 0 OR gba = 0)"""),
     "v_suggest_composite" ->
       // full mirror of the minimal-composite-key derivation over the same
       // per-user sequence frame: a pair is emitted when its complete rows
@@ -2096,6 +2154,42 @@ object SparkEntry {
     // seq_* oracles read the fixture Verify materializes from the SAME
     // deterministic generator the queries run (DataGen.Seq20kFixturePath) —
     // every standard-suite check re-expressed over the materialized rows
+    "v_oov_rate" ->
+      // list-lambda mirror of the codegen'd array pass; HUGEINT guards the
+      // n_oov*10^6 product and // is the same true integral division
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),
+         p AS (
+           SELECT source, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN tokens IS NULL THEN 0 ELSE len(tokens) END) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN tokens IS NULL THEN 0 ELSE
+                    len(list_filter(tokens, t -> t IS NULL OR t < 0 OR t >= 50257)) END) AS BIGINT) AS n_oov
+           FROM seq GROUP BY source)
+         SELECT source, n_rows, n_tokens, n_oov,
+                CASE WHEN n_tokens > 0
+                     THEN CAST((CAST(n_oov AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+                END AS oov_rate_fp
+         FROM p""",
+    "v_oov_shift" ->
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),
+         prof AS (
+           SELECT source,
+                  CAST(sum(CASE WHEN tokens IS NULL THEN 0 ELSE len(tokens) END) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN tokens IS NULL THEN 0 ELSE
+                    len(list_filter(tokens, t -> t IS NULL OR t < 0 OR t >= 50257)) END) AS BIGINT) AS oov_ref,
+                  CAST(sum(CASE WHEN tokens IS NULL THEN 0 ELSE
+                    len(list_filter(tokens, t -> t IS NULL OR t < 0 OR t >= 25128)) END) AS BIGINT) AS oov_cur
+           FROM seq GROUP BY source)
+         SELECT source,
+                CASE WHEN n_tokens > 0 THEN CAST((CAST(oov_ref AS HUGEINT) * 1000000) // n_tokens AS BIGINT) END AS ref_rate_fp,
+                CASE WHEN n_tokens > 0 THEN CAST((CAST(oov_cur AS HUGEINT) * 1000000) // n_tokens AS BIGINT) END AS cur_rate_fp,
+                CASE WHEN n_tokens > 0 THEN CAST((CAST(oov_cur AS HUGEINT) * 1000000) // n_tokens
+                                              - (CAST(oov_ref AS HUGEINT) * 1000000) // n_tokens AS BIGINT) END AS delta_fp,
+                CASE WHEN n_tokens > 0 AND abs((CAST(oov_cur AS HUGEINT) * 1000000) // n_tokens
+                                             - (CAST(oov_ref AS HUGEINT) * 1000000) // n_tokens) > 10000
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach
+         FROM prof""",
     "seq_validate" ->
       """WITH seq AS (
            SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),

@@ -356,6 +356,46 @@ final case class LengthBounds(col: String, min: Option[Int] = None, max: Option[
   protected def actualCol = length(org.apache.spark.sql.functions.col(col))
 }
 
+/** Cross-COLUMN ordering: `a <= b` (or `a < b` when `allowEqual=false`)
+  * must hold on every COMPLETE row — rows where either side is null pass
+  * (the leaf null-stance; assert presence separately with [[NonNull]]).
+  * The reference's checks are all single-value (schema.rs:390-612); this is
+  * the standard data-quality extension (Deequ's `isLessThan` family) a
+  * tokenized-corpus suite needs for invariants like `n_tok <= max_len_col`
+  * or `created_at <= ingested_at`. Compile-time comparability: both columns
+  * numeric (Spark's binary-comparison coercion applies — mixed
+  * integral/floating pairs compare in the double domain, same documented
+  * stance as [[Range]]), or the SAME orderable atomic type (string /
+  * timestamp / date / boolean). One codegen'd comparison, no shuffle. */
+final case class ColOrder(a: String, b: String, allowEqual: Boolean = true)
+    extends RowConstraint {
+  private def op = if (allowEqual) "<=" else "<"
+  val id = s"colOrder($a$op$b)"
+  def selfCheck(s: StructType): List[SuiteError] = {
+    val known = Constraints.requireCol(s, a, id) ++ Constraints.requireCol(s, b, id)
+    if (known.nonEmpty) known
+    else if (a == b) List(SuiteError.Unsupported(id, "a and b are the same column"))
+    else (Constraints.fieldType(s, a).get, Constraints.fieldType(s, b).get) match {
+      case (_: NumericType, _: NumericType) => Nil
+      case (x, y) if x == y &&
+          (x == StringType || x == TimestampType || x == DateType || x == BooleanType) => Nil
+      case (x, y) =>
+        List(SuiteError.TypeMismatch(b, s"comparable with $a (${x.typeName})", y, id))
+    }
+  }
+  def pred = {
+    val ca = org.apache.spark.sql.functions.col(a)
+    val cb = org.apache.spark.sql.functions.col(b)
+    ca.isNull || cb.isNull || (if (allowEqual) ca <= cb else ca < cb)
+  }
+  protected def pathStr = a
+  protected def boundStr = s"$op column $b"
+  protected def actualCol = concat(
+    coalesce(org.apache.spark.sql.functions.col(a).cast(StringType), lit("<null>")),
+    lit(s" vs $b="),
+    coalesce(org.apache.spark.sql.functions.col(b).cast(StringType), lit("<null>")))
+}
+
 /** C2 enum membership (macros.rs:116-241). Null passes.
   *
   * `epsilon > 0` switches to the reference's FLOAT-enum compare,

@@ -184,4 +184,74 @@ object Drift {
         .when(col("ref_c").isNull || col("cur_c").isNull, 1L)
         .otherwise((abs(col("shift_c")) > maxShiftC).cast(LongType)))
   }
+
+  /** Per-group OUT-OF-VOCABULARY rate over a token-array column: rows,
+    * total tokens, tokens outside [0, vocabSize), and `oov_rate_fp` — the
+    * rate ×10^6 as a floor-divided LONG (the division runs in DECIMAL(38,0)
+    * so `n_oov·10^6` cannot overflow a LONG at 10^15-token scale; EXACT, so
+    * the frame is hash-comparable across engines). A tokenizer/vocab
+    * mismatch upstream shows up here as one source's rate jumping while the
+    * table-wide scalar checks still pass.
+    *
+    * Scale shape: the per-row OOV count is ONE codegen'd array pass
+    * ([[graft.functions.ArrayCountOutOfRange]] — no explode: the exploded
+    * form shuffles every token, this shuffles three LONGs per group), then
+    * a partial-agg'd groupBy on the group key. Null arrays count as a row
+    * with zero tokens (assert presence separately with NonNull); null
+    * ELEMENTS count as OOV. */
+  def oovProfile(df: DataFrame, tokensCol: String, groupCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"oovProfile: vocabSize must be >= 1, got $vocabSize")
+    require(df.schema(tokensCol).dataType.isInstanceOf[ArrayType],
+      s"oovProfile: column '$tokensCol' is ${df.schema(tokensCol).dataType.typeName}, need array")
+    val t = col(tokensCol)
+    val nTok = when(t.isNull, 0L).otherwise(size(t).cast(LongType))
+    val nOov = when(t.isNull, 0L).otherwise(
+      graft.functions.VecFunctions.array_count_out_of_range(t, 0, vocabSize - 1))
+    val d38 = DecimalType(38, 0)
+    // TRUE integral division in the decimal domain (same contract as
+    // perplexityFp: no double round-trip, no half-up decimal rounding that
+    // could flip a floor by one ulp between engines)
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftShim
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      GraftShim.column(new IntegralDivide(
+        GraftShim.expression(a), GraftShim.expression(b)))
+    }
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(nTok).as("n_tokens"),
+        sum(nOov).as("n_oov"))
+      .withColumn("oov_rate_fp",
+        when(col("n_tokens") > 0,
+          intDiv(col("n_oov").cast(d38) * lit(1000000), col("n_tokens").cast(d38))
+            .cast(LongType)))
+  }
+
+  /** Ref-vs-current OOV-rate comparison per group: breach when the rate
+    * moved more than `maxDeltaFp` (×10^6 fixed point) in either direction,
+    * or when a group exists on only one side (appearance/disappearance
+    * always breaches — same convention as [[quantileShift]]). Pure LONG
+    * arithmetic on two tiny profile frames. */
+  def oovShift(refProf: DataFrame, curProf: DataFrame, groupCol: String,
+      maxDeltaFp: Long): DataFrame = {
+    require(maxDeltaFp >= 0, s"oovShift: maxDeltaFp must be >= 0, got $maxDeltaFp")
+    val r = refProf.select(col(groupCol),
+      col("oov_rate_fp").as("ref_rate_fp"), lit(true).as("__in_ref"))
+    val c = curProf.select(col(groupCol),
+      col("oov_rate_fp").as("cur_rate_fp"), lit(true).as("__in_cur"))
+    r.join(c, Seq(groupCol), "full_outer")
+      .withColumn("delta_fp",
+        when(col("ref_rate_fp").isNotNull && col("cur_rate_fp").isNotNull,
+          col("cur_rate_fp") - col("ref_rate_fp")))
+      .withColumn("breach",
+        // group appeared/disappeared -> breach; tokenless on BOTH sides ->
+        // unchanged; tokens appeared/disappeared within a group -> breach
+        when(col("__in_ref").isNull || col("__in_cur").isNull, 1L)
+          .when(col("ref_rate_fp").isNull && col("cur_rate_fp").isNull, 0L)
+          .when(col("ref_rate_fp").isNull || col("cur_rate_fp").isNull, 1L)
+          .otherwise((abs(col("delta_fp")) > maxDeltaFp).cast(LongType)))
+      .drop("__in_ref", "__in_cur")
+  }
 }

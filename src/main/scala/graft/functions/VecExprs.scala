@@ -297,6 +297,71 @@ case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** COUNT of array elements outside the closed range [lo, hi] — the
+  * quantified companion to [[ArrayAllInRange]] (which short-circuits on the
+  * first offender and so can't measure HOW out-of-domain a corpus is). A
+  * null ELEMENT counts as out-of-range (an invalid token, not an absent
+  * one); a null ARRAY is null (leaf null-stance — assert presence with
+  * NonNull). Backs per-group OOV-rate drift over token arrays: one
+  * codegen'd pass per row, no explode, no HOF lambda. */
+case class ArrayCountOutOfRange(child: Expression, lo: Double, hi: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val getter: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case ShortType => (a, i) => a.getShort(i).toDouble
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case ByteType => (a, i) => a.getByte(i).toDouble
+      case other => throw new IllegalStateException(s"non-numeric array: $other")
+    }
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bad = 0L
+    var i = 0
+    while (i < n) {
+      if (mayContainNull && x.isNullAt(i)) bad += 1
+      else {
+        val v = getter(x, i)
+        if (v < lo || v > hi) bad += 1
+      }
+      i += 1
+    }
+    bad
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val at = child.dataType.asInstanceOf[ArrayType]
+      val getV = CodeGenerator.getValue(arr, at.elementType, i)
+      val body =
+        if (at.containsNull)
+          s"""if ($arr.isNullAt($i)) { ${ev.value}++; }
+             |else {
+             |  final double $v = (double)($getV);
+             |  if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)}) ${ev.value}++;
+             |}""".stripMargin
+        else
+          s"""final double $v = (double)($getV);
+             |if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)}) ${ev.value}++;""".stripMargin
+      s"""
+         |final int $n = $arr.numElements();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $body
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Distinct lowercase word k-shingles of a text column in ONE pass:
   * tokenize on non-alphanumeric runs, lowercase, emit distinct k-grams
   * joined by single spaces. Replaces a 5-op HOF pipeline
@@ -518,6 +583,8 @@ object VecFunctions {
     c(LongArrayEqCount(e(a), e(b)))
   def array_all_in_range(a: Column, lo: Double, hi: Double): Column =
     c(ArrayAllInRange(e(a), lo, hi))
+  def array_count_out_of_range(a: Column, lo: Double, hi: Double): Column =
+    c(ArrayCountOutOfRange(e(a), lo, hi))
   def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(vec), centroids))

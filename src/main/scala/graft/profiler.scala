@@ -345,6 +345,12 @@ object Profiler {
   * integer/cents conventions as the profile so the frame is oracle-exact. */
 final case class SuggestedRule(col_name: String, rule: String, bound: String)
 
+/** One discovered cross-column ordering: `col_a kind col_b` holds on every
+  * complete row — kind ∈ le (≤, some ties), lt (<, no ties), eq (always
+  * equal). `n_complete` = rows with both sides non-null, `n_eq` = ties. */
+final case class OrderingRule(
+    col_a: String, col_b: String, kind: String, n_complete: Long, n_eq: Long)
+
 /** Deterministic rule derivation from an exact profile (no sampling, no
   * RNG): the same input table always yields the same suite. The SUGGESTED
   * suite holds on its own training table BY CONSTRUCTION (bounds are the
@@ -480,6 +486,72 @@ object Suggest {
           if row.getLong(2 * i) > 0 && row.getLong(2 * i + 1) == row.getLong(2 * i) =>
         p
     }
+  }
+
+  /** Cross-column ORDERING discovery: for each comparable pair from `cols`
+    * (both numeric, or the same orderable atomic type — [[ColOrder]]'s
+    * comparability rule), decide whether `a <= b`, `b <= a`, or `a == b`
+    * holds on EVERY complete row. Emission per pair (a before b in `cols`
+    * order), mirroring SQL ordering-dependency discovery:
+    *  - zero complete rows → nothing (vacuous)
+    *  - neither side ever greater → `eq` (the strongest finding: the
+    *    columns are equal wherever both exist)
+    *  - `a > b` never happens → `a le/lt b` (lt when additionally no ties)
+    *  - `b > a` never happens → `b le/lt a`
+    *  - violations both ways → nothing
+    * Incomparable pairs are skipped silently (discovery over a mixed
+    * candidate list is expected); a fully incomparable list yields Nil.
+    *
+    * Scale shape: ONE aggregation of 4·O(k²) conditional counters judges
+    * every pair — no shuffle of values, no per-pair scan, the same
+    * single-pass profile shape as [[Suggest.compositeKeys]]. */
+  def orderings(df: DataFrame, cols: Seq[String]): Seq[OrderingRule] = {
+    require(cols.size >= 2, s"orderings: need >= 2 candidate columns, got $cols")
+    require(cols.distinct.size == cols.size, s"orderings: duplicate columns in $cols")
+    cols.foreach(c => require(df.columns.contains(c), s"orderings: no such column '$c'"))
+    def comparable(x: DataType, y: DataType): Boolean = (x, y) match {
+      case (_: NumericType, _: NumericType) => true
+      case _ => x == y &&
+        (x == StringType || x == TimestampType || x == DateType || x == BooleanType)
+    }
+    val pairs = cols.combinations(2).toSeq.filter { case Seq(a, b) =>
+      comparable(df.schema(a).dataType, df.schema(b).dataType)
+    }
+    if (pairs.isEmpty) return Nil
+    val aggs = pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
+      val complete = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        coalesce(sum(complete.cast(LongType)), lit(0L)).as(s"__n_$i"),
+        coalesce(sum((complete && col(a) > col(b)).cast(LongType)), lit(0L)).as(s"__gab_$i"),
+        coalesce(sum((complete && col(b) > col(a)).cast(LongType)), lit(0L)).as(s"__gba_$i"),
+        coalesce(sum((complete && col(a) === col(b)).cast(LongType)), lit(0L)).as(s"__eq_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
+      val n = row.getLong(4 * i); val gab = row.getLong(4 * i + 1)
+      val gba = row.getLong(4 * i + 2); val eq = row.getLong(4 * i + 3)
+      if (n == 0) None
+      else if (gab == 0 && gba == 0) Some(OrderingRule(a, b, "eq", n, eq))
+      else if (gab == 0) Some(OrderingRule(a, b, if (eq > 0) "le" else "lt", n, eq))
+      else if (gba == 0) Some(OrderingRule(b, a, if (eq > 0) "le" else "lt", n, eq))
+      else None
+    }
+  }
+
+  /** The discovered orderings as a DataFrame — the oracle-checkable view. */
+  def orderingsDf(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    orderings(df, cols).toDF()
+  }
+
+  /** Compile discovered orderings into [[ColOrder]] checks: le → `a <= b`,
+    * lt → the strict form, eq → both directions (equality as two ≤). Every
+    * returned check holds on the training table BY CONSTRUCTION. */
+  def orderingChecks(rules: Seq[OrderingRule]): Seq[RowConstraint] = rules.flatMap {
+    case OrderingRule(a, b, "eq", _, _) => Seq(ColOrder(a, b), ColOrder(b, a))
+    case OrderingRule(a, b, "le", _, _) => Seq(ColOrder(a, b))
+    case OrderingRule(a, b, "lt", _, _) => Seq(ColOrder(a, b, allowEqual = false))
+    case r => throw new IllegalArgumentException(s"unknown ordering kind: $r")
   }
 
   /** The discovered composite keys in [[suggestDf]]'s rule shape

@@ -504,4 +504,132 @@ class QualitySpec extends SparkSpec {
       ("n_chars", "type_changed", "integer", "long"),
       ("quality", "removed", "double", "")))
   }
+
+  test("ColOrder: predicate, null exemption, strictness, selfCheck guards") {
+    val df = Seq(
+      (Option(1.0), Option(2.0)),  // a < b: passes both forms
+      (Option(3.0), Option(3.0)),  // tie: passes <=, violates <
+      (Option(5.0), Option(4.0)),  // a > b: violates both
+      (Option.empty[Double], Option(1.0)), // null side: exempt
+      (Option(1.0), Option.empty[Double])
+    ).toDF("a", "b")
+    def vioCount(c: RowConstraint): Long = df.filter(!c.pred).count()
+    assert(vioCount(ColOrder("a", "b")) == 1)
+    assert(vioCount(ColOrder("a", "b", allowEqual = false)) == 2)
+    assert(vioCount(ColOrder("b", "a")) == 1) // only (1,2) has b > a
+    // violation entry carries both sides
+    val v = df.select(explode(ColOrder("a", "b").vios).as("v")).select("v.*").head()
+    assert(v.getString(0) == "colOrder(a<=b)")
+    assert(v.getString(2) == "<= column b" && v.getString(3) == "5.0 vs b=4.0")
+    // selfCheck: unknown column, same column, incomparable types; mixed
+    // numerics and same-type timestamps are fine
+    val schema = df.schema
+      .add("s", StringType).add("i", IntegerType)
+      .add("t1", TimestampType).add("t2", TimestampType)
+    assert(ColOrder("a", "zzz").selfCheck(schema).nonEmpty)
+    assert(ColOrder("a", "a").selfCheck(schema).nonEmpty)
+    assert(ColOrder("a", "s").selfCheck(schema).nonEmpty)
+    assert(ColOrder("s", "t1").selfCheck(schema).nonEmpty)
+    assert(ColOrder("a", "i").selfCheck(schema).isEmpty)
+    assert(ColOrder("t1", "t2").selfCheck(schema).isEmpty)
+    assert(ColOrder("s", "s2").selfCheck(schema.add("s2", StringType)).isEmpty)
+  }
+
+  test("orderings: kinds, direction flip, vacuous + incomparable skips, checks hold") {
+    val df = Seq(
+      (1.0, 10.0, 1.0, 5.0, Option(2.0), "x"),
+      (2.0, 20.0, 2.0, 1.0, Option.empty[Double], "y"),
+      (3.0, 30.0, 3.0, 9.0, Option.empty[Double], "z")
+    ).toDF("lo", "hi", "eqlo", "mixed", "van", "s")
+    // lo < hi strictly; lo == eqlo everywhere; mixed violates both ways
+    // vs lo; van is null except one row (pair (lo,van): 2>? only one
+    // complete row, lo=1 < van=2 -> lt on n_complete=1); s incomparable
+    val rules = Suggest.orderings(df, Seq("lo", "hi", "eqlo", "mixed", "van", "s"))
+    val byPair = rules.map(r => (r.col_a, r.col_b) -> r).toMap
+    assert(byPair(("lo", "hi")).kind == "lt" && byPair(("lo", "hi")).n_complete == 3)
+    assert(byPair(("lo", "eqlo")).kind == "eq" && byPair(("lo", "eqlo")).n_eq == 3)
+    // direction flip: hi > mixed on every row, so the rule emits reversed
+    assert(byPair(("mixed", "hi")).kind == "lt")
+    assert(!byPair.contains(("lo", "mixed")) && !byPair.contains(("mixed", "lo")))
+    assert(byPair(("lo", "van")).kind == "lt" && byPair(("lo", "van")).n_complete == 1)
+    assert(rules.forall(r => r.col_a != "s" && r.col_b != "s"))
+    // every derived check holds on the training table by construction
+    val checks = Suggest.orderingChecks(rules)
+    assert(checks.nonEmpty)
+    checks.foreach(c => assert(df.filter(!c.pred).count() == 0, c.id))
+    // eq emits both directions
+    assert(checks.map(_.id).count(
+      Set("colOrder(lo<=eqlo)", "colOrder(eqlo<=lo)")) == 2)
+    // all-null pair is vacuous: never suggested
+    val allNull = Seq((Option.empty[Double], Option.empty[Double]))
+      .toDF("p", "q")
+    assert(Suggest.orderings(allNull, Seq("p", "q")).isEmpty)
+    // fully incomparable list yields Nil (not an error)
+    val mixedTypes = Seq((1.0, "a")).toDF("n", "t")
+    assert(Suggest.orderings(mixedTypes, Seq("n", "t")).isEmpty)
+    intercept[IllegalArgumentException](Suggest.orderings(df, Seq("lo")))
+    intercept[IllegalArgumentException](Suggest.orderings(df, Seq("lo", "lo")))
+    intercept[IllegalArgumentException](Suggest.orderings(df, Seq("lo", "nope")))
+  }
+
+  test("oovProfile: exact counts, null array/element edges, integral rate") {
+    val df = Seq(
+      ("a", Seq(Option(0), Option(5), Option(9))),          // all in [0,10)
+      ("a", Seq(Option(-1), Option(10), Option(3))),         // two OOV
+      ("a", Seq(Option(2), Option.empty[Int])),              // null elem = OOV
+      ("b", Seq.empty[Option[Int]]),                         // zero tokens
+      ("b", null)                                            // null array = 0 tokens
+    ).toDF("source", "tokens")
+    val p = Drift.oovProfile(df, "tokens", "source", vocabSize = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = p("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 8 && a.getLong(3) == 3)
+    assert(a.getLong(4) == 375000L) // floor(3*10^6 / 8)
+    val b = p("b")
+    assert(b.getLong(1) == 2 && b.getLong(2) == 0 && b.getLong(3) == 0)
+    assert(b.isNullAt(4)) // zero tokens -> rate undefined, not 0
+    intercept[IllegalArgumentException](Drift.oovProfile(df, "source", "source", 10))
+    intercept[IllegalArgumentException](Drift.oovProfile(df, "tokens", "source", 0))
+    // forced-codegen equality for the new kernel (no silent fallback)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.filter(col("tokens").isNotNull)
+        .select(graft.functions.VecFunctions
+          .array_count_out_of_range(col("tokens"), 0, 9).as("n"))
+        .collect().map(_.toString).toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
+  test("oovShift: breach on moved rate, appeared group, token appearance; quiet otherwise") {
+    val mk = (rows: Seq[(String, Seq[Int])]) =>
+      Drift.oovProfile(rows.toDF("source", "tokens"), "tokens", "source", 10)
+    val ref = mk(Seq(
+      ("web", Seq(1, 2, 3, 4)),         // rate 0
+      ("code", Seq(1, -5)),             // rate 500000
+      ("empty", Seq.empty[Int])))       // tokenless both sides
+    val cur = mk(Seq(
+      ("web", Seq(1, 2, 3, -9)),        // rate 250000: moved
+      ("code", Seq(2, -5)),             // rate 500000: unchanged
+      ("empty", Seq.empty[Int]),
+      ("new-src", Seq(1))))             // appeared
+    val s = Drift.oovShift(ref, cur, "source", maxDeltaFp = 100000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(s("web").getAs[Long]("breach") == 1 && s("web").getAs[Long]("delta_fp") == 250000L)
+    assert(s("code").getAs[Long]("breach") == 0 && s("code").getAs[Long]("delta_fp") == 0L)
+    assert(s("empty").getAs[Long]("breach") == 0) // null rates both sides
+    assert(s("new-src").getAs[Long]("breach") == 1) // appeared -> breach
+    // tokens appearing inside an existing group breaches even though the
+    // tokenless side has no defined rate
+    val cur2 = mk(Seq(("empty", Seq(1, 2))))
+    val s2 = Drift.oovShift(ref.filter(col("source") === "empty"), cur2, "source", 100000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(s2("empty").getAs[Long]("breach") == 1)
+    intercept[IllegalArgumentException](Drift.oovShift(ref, cur, "source", -1))
+  }
 }
