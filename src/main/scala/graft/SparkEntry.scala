@@ -682,6 +682,35 @@ object SparkEntry {
       ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
         .except(ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct())
     }),
+    // ---- temporal joins: as-of + interval range ----
+    "j_asof_purchase" -> ((s, dir) => { // each non-purchase event annotated
+      // with the user's most recent purchase at-or-before it: the shuffle-
+      // native sort-merge as-of (one exchange of both sides on the key, one
+      // sort, zero row amplification), adjudicated by DuckDB's NATIVE ASOF
+      // JOIN — two independent implementations of the operator
+      val ev = ld(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), cents(col("value")).as("p_value_c"))
+      Joins.asofJoin(
+        ev.filter(col("event_type") =!= "purchase")
+          .select("event_id", "user_id", "ts", "event_type"),
+        purchases, "user_id", "p_user", "ts", "p_ts",
+        Seq("p_event_id", "p_value_c"), tieBreak = Some("p_event_id"))
+    }),
+    "j_range_window" -> ((s, dir) => { // clicks landing inside any sampled
+      // purchase's 2-hour window: keyless interval containment as a bucketed
+      // EQUI-join (no BroadcastNestedLoopJoin), DuckDB's inequality join
+      // (IEJoin) as the independent oracle
+      val ev = ld(s, dir, "events")
+      val windows = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+        .select(col("event_id").as("w_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      Joins.rangeJoinBucketed(
+        ev.filter(col("event_type") === "click").select("event_id", "ts"),
+        windows, "ts", "w_start", "w_end", Seq("w_id"), bucketWidth = 7200)
+    }),
     // ---- multimodal plumbing (meta profile is oracle-exact) ----
     "m_meta" -> ((s, dir) =>
       Multimodal.metaProfile(Multimodal.asBinaryTable(ld(s, dir, "documents"), "doc_id", "text"))),
@@ -2123,6 +2152,28 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
          EXCEPT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+    "j_asof_purchase" ->
+      // DuckDB's NATIVE ASOF JOIN adjudicates the union+window sort-merge
+      // as-of — an independent implementation, not a SQL transliteration.
+      // The right side pre-reduces duplicate (user, ts) purchases to the
+      // max-event_id row, mirroring tieBreak.
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, p.p_event_id, p.p_value_c
+         FROM (SELECT event_id, user_id, ts, event_type FROM events
+               WHERE event_type <> 'purchase') e
+         ASOF LEFT JOIN (
+           SELECT user_id AS p_user, ts AS p_ts,
+                  max_by(event_id, event_id) AS p_event_id,
+                  max_by(CAST(round(value * 100) AS BIGINT), event_id) AS p_value_c
+           FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2
+         ) p ON e.user_id = p.p_user AND e.ts >= p.p_ts""",
+    "j_range_window" ->
+      """SELECT e.event_id, e.ts, w.w_id
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') e
+         JOIN (SELECT event_id AS w_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+               FROM events WHERE event_type = 'purchase' AND event_id % 10 = 0) w
+           ON e.ts >= w.w_start AND e.ts < w.w_end""",
     "m_meta" ->
       """SELECT 'image' AS media_type, 'png' AS format, count(*) AS n,
                 CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,

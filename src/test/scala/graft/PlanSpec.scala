@@ -406,4 +406,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p.take(3000))
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
   }
+
+  test("asofJoin: JOIN-FREE sort-merge shape — union + one window exchange, no row-amplifying join") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"), col("event_id").as("pid"))
+    val p = ops.Joins.asofJoin(
+        ev.filter(col("event_type") =!= "purchase").select("event_id", "user_id", "ts"),
+        right, "user_id", "pu", "ts", "pt", Seq("pid"))
+      .queryExecution.executedPlan.toString
+    // the whole operator is a union feeding ONE hash exchange on the key +
+    // one sort + one window — no join node of any kind, so no history-depth
+    // row amplification to pay before discarding matches
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("Union") && p.contains("Window"), p.take(3000))
+  }
+
+  test("j_range_window: bucketed interval join plans as an EQUI-join, never nested-loop") {
+    val p = planOf("j_range_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // containment became an equality on the bucket id (hash or sort-merge
+    // equi-join — either is hash-partitionable at 100 TB; tiny sides may
+    // broadcast, which is also equi)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
