@@ -260,6 +260,16 @@ object SparkEntry {
       // (order, part) collisions in the synthetic lineitem
       UniqueTuple(Seq("l_orderkey", "l_partkey")).run(ld(s, dir, "lineitem"))
         .select(col("key"), col("actual"))),
+    "v_compliance" -> ((s, dir) => // statistical gate: sources where fewer
+      // than 10% of docs reach 500 chars breach — exact fixed-point rates,
+      // two LONGs per group over the wire
+      Compliance(Range("n_chars", min = 500), minPassFp = 100000L,
+        groupBy = Some("source")).run(ld(s, dir, "documents"))),
+    "v_monotonic" -> ((s, dir) => // sequential gate: per-user purchase-value
+      // monotonicity along the event counter — one violation row PER GROUP
+      // with the break count and the first break (pay-per-defect)
+      MonotonicWithin("user_id", "event_id", "value_c")
+        .run(ld(s, dir, "events").withColumn("value_c", cents(col("value"))))),
     "v_suggest_composite" -> ((s, dir) => { // minimal composite keys over a
       // per-user event sequence: (user_id, seq) is the natural key by
       // construction; neither alone is; (event_type, seq) can't reach n
@@ -1168,6 +1178,46 @@ object SparkEntry {
          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
          GROUP BY l_orderkey, l_partkey
          HAVING count(*) > 1""",
+    "v_compliance" ->
+      // exact fixed-point rate mirror: HUGEINT product, // floor division,
+      // same null-passes leaf stance inside the compliance predicate
+      """WITH p AS (
+           SELECT CAST(source AS VARCHAR) AS key, count(*) AS n,
+                  CAST(sum(CASE WHEN n_chars IS NULL OR CAST(n_chars AS DOUBLE) >= 500
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+           FROM documents GROUP BY source)
+         SELECT 'compliance(range(n_chars) by source)' AS constraint_id,
+                'range(n_chars)' AS path,
+                'pass rate >= 100000/10^6' AS bound,
+                'pass_fp=' || CAST(CAST((CAST(n_pass AS HUGEINT) * 1000000) // n AS BIGINT) AS VARCHAR)
+                  || ' (' || CAST(n_pass AS VARCHAR) || ' of ' || CAST(n AS VARCHAR) || ')' AS actual,
+                key
+         FROM p
+         WHERE CAST((CAST(n_pass AS HUGEINT) * 1000000) // n AS BIGINT) < 100000""",
+    "v_monotonic" ->
+      // mirror of the sequential gate: same (order, value) tie-sort, same
+      // first-break selection, same integer-string violation entry
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS vc
+           FROM events
+           WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
+         s AS (
+           SELECT user_id, event_id, vc,
+                  lag(vc) OVER (PARTITION BY user_id ORDER BY event_id, vc) AS prev
+           FROM e),
+         b AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id, vc) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_breaks
+           FROM s WHERE prev > vc)
+         SELECT 'monotonic(value_c <= next by event_id within user_id)' AS constraint_id,
+                'value_c' AS path,
+                'monotone (<=) along event_id' AS bound,
+                'breaks=' || CAST(n_breaks AS VARCHAR) || ' first at event_id='
+                  || CAST(event_id AS VARCHAR) || ': ' || CAST(prev AS VARCHAR)
+                  || ' -> ' || CAST(vc AS VARCHAR) AS actual,
+                CAST(user_id AS VARCHAR) AS key
+         FROM b WHERE rn = 1""",
     "v_col_order" ->
       """SELECT CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL
                        AND NOT (l_discount <= l_tax) THEN 1 ELSE 0 END) AS BIGINT) AS n_discount_gt_tax,

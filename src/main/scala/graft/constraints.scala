@@ -137,6 +137,20 @@ object Constraints {
 
   private[graft] val jsonTypeNames: Set[String] =
     Set("string", "integer", "number", "boolean", "array", "object", "null")
+
+  /** `floor(num·10^6 / den)` with the division in DECIMAL(38,0) — TRUE
+    * integral division (no double round-trip, no half-up decimal rounding
+    * that could flip a floor by one ulp between engines), and num·10^6
+    * can't overflow a LONG mid-expression. The shared fixed-point-rate
+    * primitive (same contract as perplexityFp / oovProfile). */
+  private[graft] def intDivFp(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val d38 = DecimalType(38, 0)
+    GraftShim.column(new IntegralDivide(
+      GraftShim.expression(num.cast(d38) * lit(1000000)),
+      GraftShim.expression(den.cast(d38)))).cast(LongType)
+  }
 }
 
 sealed trait Constraint { def id: String }
@@ -1289,6 +1303,88 @@ final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String,
         lit(s"in dim.$dimCol").as("bound"),
         concat(lit("orphan rows="), org.apache.spark.sql.functions.col("cnt").cast(StringType)).as("actual"),
         org.apache.spark.sql.functions.col("key").as("key"))
+  }
+}
+
+/** STATISTICAL gate: at least `minPassFp`/10^6 of rows must satisfy the
+  * inner row constraint (Deequ's `compliance` — the "98% of rows have a
+  * valid email" stance, vs the all-rows-or-violate leaf stance). With
+  * `groupBy` the rate is judged PER GROUP, so one rotten source breaches
+  * while the table-wide rate still looks fine. Rates are EXACT fixed-point
+  * (×10^6, DECIMAL(38,0) floor division) — reproducible across engines.
+  * An empty table (or absent group) is vacuously compliant.
+  *
+  * Scale: one partial-agg'd groupBy — two LONGs per group cross the wire,
+  * the inner predicate runs codegen'd in the scan projection. */
+final case class Compliance(inner: RowConstraint, minPassFp: Long,
+    groupBy: Option[String] = None) extends AggConstraint {
+  val id = groupBy match {
+    case Some(g) => s"compliance(${inner.id} by $g)"
+    case None => s"compliance(${inner.id})"
+  }
+  def selfCheck(s: StructType): List[SuiteError] =
+    inner.selfCheck(s) ++
+      groupBy.toList.flatMap(g => Constraints.requireCol(s, g, id)) ++
+      (if (minPassFp < 0 || minPassFp > 1000000L)
+        List(SuiteError.Unsupported(id, s"minPassFp=$minPassFp not in [0, 10^6]")) else Nil)
+  def run(df: DataFrame): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val key = groupBy.map(g => c(g).cast(StringType)).getOrElse(lit("<table>"))
+    Sequential.passRate(df, inner.pred, key)
+      .filter(c("pass_fp") < minPassFp)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(inner.id).as("path"),
+        lit(s"pass rate >= $minPassFp/10^6").as("bound"),
+        concat(lit("pass_fp="), c("pass_fp").cast(StringType),
+          lit(" ("), c("n_pass").cast(StringType), lit(" of "),
+          c("n").cast(StringType), lit(")")).as("actual"),
+        c("key"))
+  }
+}
+
+/** SEQUENTIAL gate: within each group, `valueCol` must be monotone along
+  * `orderCol` (non-decreasing; `strict = true` for strictly increasing) —
+  * "a user's event timestamps never go backward along the event counter".
+  * Order-column ties pass iff SOME ordering of the tied rows is monotone
+  * (see [[Sequential.monotonicBreaks]]); rows with null group/order/value
+  * are excluded from the series (assert presence with [[NonNull]]).
+  * One violation row PER GROUP (pay-per-defect), carrying the break count
+  * and the first break.
+  *
+  * Scale: one hash exchange on the group + one sort — the floor for any
+  * per-group order-dependent semantics. */
+final case class MonotonicWithin(groupCol: String, orderCol: String,
+    valueCol: String, strict: Boolean = false) extends AggConstraint {
+  private def cmp = if (strict) "<" else "<="
+  val id = s"monotonic($valueCol $cmp next by $orderCol within $groupCol)"
+  def selfCheck(s: StructType): List[SuiteError] = {
+    val known = Seq(groupCol, orderCol, valueCol)
+      .flatMap(Constraints.requireCol(s, _, id)).toList
+    if (known.nonEmpty) known
+    else if (Seq(groupCol, orderCol, valueCol).distinct.size != 3)
+      List(SuiteError.Unsupported(id, "group/order/value must be distinct columns"))
+    else Seq(orderCol, valueCol).flatMap { cName =>
+      Constraints.fieldType(s, cName).get match {
+        case _: NumericType | TimestampType | TimestampNTZType | DateType |
+             StringType | BooleanType => Nil
+        case dt => List(SuiteError.TypeMismatch(cName, "orderable atomic", dt, id))
+      }
+    }.toList
+  }
+  def run(df: DataFrame): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    Sequential.monotonicBreaks(df, groupCol, orderCol, valueCol, strict)
+      .select(
+        lit(id).as("constraint_id"),
+        lit(valueCol).as("path"),
+        lit(s"monotone ($cmp) along $orderCol").as("bound"),
+        concat(lit("breaks="), c("n_breaks").cast(StringType),
+          lit(" first at "), lit(orderCol), lit("="),
+          coalesce(c("break_order").cast(StringType), lit("<null>")),
+          lit(": "), coalesce(c("prev_value").cast(StringType), lit("<null>")),
+          lit(" -> "), coalesce(c("value").cast(StringType), lit("<null>"))).as("actual"),
+        c(groupCol).cast(StringType).as("key"))
   }
 }
 

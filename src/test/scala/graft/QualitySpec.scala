@@ -606,6 +606,90 @@ class QualitySpec extends SparkSpec {
     assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
   }
 
+  test("Compliance: exact rate gate, boundary inclusive, grouped vs table-wide, vacuous empty") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", -1.0), ("a", -2.0), // a: 2/4 pass = 500000
+      ("b", 5.0), ("b", -9.0), ("b", -8.0),               // b: 1/3 pass = 333333
+      ("c", 1.0)                                          // c: 1/1 pass
+    ).toDF("src", "v")
+    val inner = Range("v", min = 0)
+    // grouped: only b is under 400000 (a is exactly 500000; floor(1/3*10^6)=333333)
+    val g = Compliance(inner, 400000L, Some("src")).run(df).collect()
+    assert(g.length == 1)
+    assert(g.head.getString(4) == "b" && g.head.getString(3) == "pass_fp=333333 (1 of 3)")
+    assert(g.head.getString(0) == "compliance(range(v) by src)")
+    // boundary: pass_fp == minPassFp is NOT a violation (>= semantics)
+    assert(Compliance(inner, 500000L, Some("src")).run(df)
+      .collect().map(_.getString(4)).toSet == Set("b"))
+    // table-wide: 4/8 = 500000 under 600000 -> one <table> row
+    val t = Compliance(inner, 600000L).run(df).collect()
+    assert(t.length == 1 && t.head.getString(4) == "<table>")
+    // null passes the inner leaf (leaf stance) and so counts as compliant
+    val withNull = Seq(("a", Option.empty[Double]), ("a", Option(-1.0))).toDF("src", "v")
+    val wn = Compliance(inner, 600000L, Some("src")).run(withNull).collect()
+    assert(wn.head.getString(3) == "pass_fp=500000 (1 of 2)")
+    // empty table: vacuously compliant, zero violation rows
+    assert(Compliance(inner, 1000000L).run(df.filter(lit(false))).count() == 0)
+    // selfCheck: inner errors propagate; bad ratio and unknown group caught
+    assert(Compliance(Range("zzz", min = 0), 1L).selfCheck(df.schema).nonEmpty)
+    assert(Compliance(inner, -1L).selfCheck(df.schema).nonEmpty)
+    assert(Compliance(inner, 1000001L).selfCheck(df.schema).nonEmpty)
+    assert(Compliance(inner, 1L, Some("nope")).selfCheck(df.schema).nonEmpty)
+    assert(Compliance(inner, 999999L, Some("src")).selfCheck(df.schema).isEmpty)
+  }
+
+  test("monotonicBreaks: breaks + first break, tie semantics, null exclusion, guards") {
+    val df = Seq(
+      // g1: 1,3,2,5 along o=1..4 -> one break (3 -> 2 at o=3)
+      ("g1", 1L, 10L), ("g1", 2L, 30L), ("g1", 3L, 20L), ("g1", 4L, 50L),
+      // g2: clean ascent -> no row
+      ("g2", 1L, 1L), ("g2", 2L, 2L),
+      // g3: order TIE with differing values: sorted by (o, v) -> passes non-strict
+      ("g3", 1L, 7L), ("g3", 1L, 3L), ("g3", 2L, 9L),
+      // g4: two breaks; first break must be the earliest in (o, v) order
+      ("g4", 1L, 9L), ("g4", 2L, 4L), ("g4", 3L, 1L)
+    ).toDF("g", "o", "v")
+    val b = Sequential.monotonicBreaks(df, "g", "o", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(b.keySet == Set("g1", "g4"))
+    assert(b("g1").getLong(1) == 1 && b("g1").getLong(2) == 3 &&
+      b("g1").getLong(3) == 30 && b("g1").getLong(4) == 20)
+    assert(b("g4").getLong(1) == 2 && b("g4").getLong(2) == 2 &&
+      b("g4").getLong(3) == 9 && b("g4").getLong(4) == 4)
+    // strict: equal adjacent values violate (g5), order-tie equal values too
+    val eq = Seq(("g5", 1L, 4L), ("g5", 2L, 4L)).toDF("g", "o", "v")
+    assert(Sequential.monotonicBreaks(eq, "g", "o", "v").count() == 0)
+    assert(Sequential.monotonicBreaks(eq, "g", "o", "v", strict = true).count() == 1)
+    // null group/order/value rows are excluded from the series
+    val withNulls = Seq(
+      (Option("g6"), Option(1L), Option(10L)),
+      (Option("g6"), Option(2L), Option.empty[Long]), // gap: ignored
+      (Option("g6"), Option(3L), Option(20L)),
+      (Option.empty[String], Option(4L), Option(5L)),
+      (Option("g6"), Option.empty[Long], Option(1L))
+    ).toDF("g", "o", "v")
+    assert(Sequential.monotonicBreaks(withNulls, "g", "o", "v").count() == 0)
+    intercept[IllegalArgumentException](Sequential.monotonicBreaks(df, "g", "o", "zzz"))
+    intercept[IllegalArgumentException](Sequential.monotonicBreaks(df, "g", "g", "v"))
+  }
+
+  test("MonotonicWithin: violation entry shape and selfCheck guards") {
+    val df = Seq(("g1", 1L, 10L), ("g1", 2L, 5L)).toDF("g", "o", "v")
+    val rows = MonotonicWithin("g", "o", "v").run(df).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "monotonic(v <= next by o within g)")
+    assert(r.getString(1) == "v" && r.getString(2) == "monotone (<=) along o")
+    assert(r.getString(3) == "breaks=1 first at o=2: 10 -> 5")
+    assert(r.getString(4) == "g1")
+    val s = df.schema
+    assert(MonotonicWithin("g", "o", "zzz").selfCheck(s).nonEmpty)
+    assert(MonotonicWithin("g", "g", "v").selfCheck(s).nonEmpty)
+    assert(MonotonicWithin("g", "o", "v").selfCheck(s).isEmpty)
+    val arr = s.add("a", ArrayType(LongType))
+    assert(MonotonicWithin("g", "o", "a").selfCheck(arr).nonEmpty)
+  }
+
   test("oovShift: breach on moved rate, appeared group, token appearance; quiet otherwise") {
     val mk = (rows: Seq[(String, Seq[Int])]) =>
       Drift.oovProfile(rows.toDF("source", "tokens"), "tokens", "source", 10)
