@@ -260,6 +260,32 @@ object SparkEntry {
       // (order, part) collisions in the synthetic lineitem
       UniqueTuple(Seq("l_orderkey", "l_partkey")).run(ld(s, dir, "lineitem"))
         .select(col("key"), col("actual"))),
+    "v_format" -> ((s, dir) => { // draft-07 format vocabulary: candidate
+      // strings derived deterministically from doc_id (planted-invalid on
+      // residue classes), judged by the SAME anchored regexes DuckDB runs —
+      // a cross-dialect (Java regex vs RE2) agreement check, one scan
+      val d = col("doc_id")
+      val base = ld(s, dir, "documents").select(
+        d,
+        when(d % 7 === 0, lit("bad email@@x"))
+          .otherwise(concat(lit("user"), d.cast(StringType), lit("@example.com"))).as("email"),
+        when(d % 5 === 0, lit("256.1.2.3"))
+          .otherwise(concat((d % 256).cast(StringType), lit(".10.20."),
+            (d % 250).cast(StringType))).as("ip"),
+        when(d % 3 === 0, lit("not-a-uuid"))
+          .otherwise(concat(lit("0000"), lpad((d % 10000).cast(StringType), 4, "0"),
+            lit("-0000-4000-8000-000000000000"))).as("uid"),
+        when(d % 4 === 0, lit("2024-13-01T12:00:00Z"))
+          .otherwise(concat(lit("2024-01-"),
+            lpad((d % 28 + 1).cast(StringType), 2, "0"), lit("T"),
+            lpad((d % 24).cast(StringType), 2, "0"), lit(":30:00Z"))).as("dt"))
+      base.agg(
+        sum((!FormatCheck("email", "email").pred).cast(LongType)).as("n_bad_email"),
+        sum((!FormatCheck("ip", "ipv4").pred).cast(LongType)).as("n_bad_ipv4"),
+        sum((!FormatCheck("uid", "uuid").pred).cast(LongType)).as("n_bad_uuid"),
+        sum((!FormatCheck("dt", "date-time").pred).cast(LongType)).as("n_bad_dt"),
+        count(lit(1)).as("n_rows"))
+    }),
     "v_compliance" -> ((s, dir) => // statistical gate: sources where fewer
       // than 10% of docs reach 500 chars breach — exact fixed-point rates,
       // two LONGs per group over the wire
@@ -1178,6 +1204,29 @@ object SparkEntry {
          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
          GROUP BY l_orderkey, l_partkey
          HAVING count(*) > 1""",
+    "v_format" ->
+      // the SAME pattern strings (interpolated from Formats.patterns, single
+      // quotes doubled for the SQL literal) run under DuckDB's RE2 — the
+      // patterns are written in the Java/RE2 common subset, so the verdicts
+      // must agree bit-for-bit
+      s"""WITH f AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN 'bad email@@x'
+                       ELSE 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END AS email,
+                  CASE WHEN doc_id % 5 = 0 THEN '256.1.2.3'
+                       ELSE CAST(doc_id % 256 AS VARCHAR) || '.10.20.' || CAST(doc_id % 250 AS VARCHAR) END AS ip,
+                  CASE WHEN doc_id % 3 = 0 THEN 'not-a-uuid'
+                       ELSE '0000' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-0000-4000-8000-000000000000' END AS uid,
+                  CASE WHEN doc_id % 4 = 0 THEN '2024-13-01T12:00:00Z'
+                       ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                            || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':30:00Z' END AS dt
+           FROM documents)
+         SELECT CAST(sum(CASE WHEN NOT regexp_matches(email, '${Formats.patterns("email").replace("'", "''")}') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_email,
+                CAST(sum(CASE WHEN NOT regexp_matches(ip, '${Formats.patterns("ipv4")}') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ipv4,
+                CAST(sum(CASE WHEN NOT regexp_matches(uid, '${Formats.patterns("uuid")}') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_uuid,
+                CAST(sum(CASE WHEN NOT regexp_matches(dt, '${Formats.patterns("date-time")}') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dt,
+                count(*) AS n_rows
+         FROM f""",
     "v_compliance" ->
       // exact fixed-point rate mirror: HUGEINT product, // floor division,
       // same null-passes leaf stance inside the compliance predicate

@@ -346,6 +346,78 @@ final case class Regex(col: String, pattern: String) extends RowConstraint {
   protected def actualCol = org.apache.spark.sql.functions.col(col)
 }
 
+/** Draft-07 `format` vocabulary as anchored regexes — PRAGMATIC
+  * (RFC-shaped, not full RFC parsers; precision notes per format below),
+  * written in the common Java-regex/RE2 subset (no lookaround, no
+  * backreferences) so any engine reproduces the verdicts bit-for-bit. */
+object Formats {
+  /** format name → anchored pattern. Precision stances:
+    *  - date/date-time: RFC 3339 shape with month 01-12 / day 01-31 /
+    *    hour 00-23 / leap-second 60 — NOT month-length/leap-year aware
+    *  - email: HTML5-style pragmatic form (dot-atom @ hostname)
+    *  - hostname: RFC 1123 labels (1-63 chars, LDH, no leading/trailing
+    *    hyphen) — the 253-char total cap needs lookahead, so it is
+    *    enforced by [[FormatCheck]] as a length conjunct, not the regex
+    *  - ipv6: full + `::`-compressed forms; no zone-id, no embedded IPv4
+    *  - uri: absolute form — scheme ':' then any non-whitespace */
+  private val time = "([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\\.[0-9]+)?"
+  private val tzOff = "([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])"
+  private val fullDate = "[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+  private val hostLabel = "[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+  private val hostname = s"$hostLabel(\\.$hostLabel)*"
+  private val ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+  private val h16 = "[0-9A-Fa-f]{1,4}"
+
+  val patterns: Map[String, String] = Map(
+    "date" -> s"^$fullDate$$",
+    "time" -> s"^$time$tzOff$$",
+    "date-time" -> s"^$fullDate[Tt]$time$tzOff$$",
+    "email" -> s"^[A-Za-z0-9.!#$$%&'*+/=?^_`{|}~-]+@$hostname$$",
+    "hostname" -> s"^$hostname$$",
+    "ipv4" -> s"^($ipv4Octet\\.){3}$ipv4Octet$$",
+    "ipv6" -> ("^(" +
+      s"($h16:){7}$h16" + "|" + // full form
+      s"($h16:){1,7}:" + "|" + // trailing ::
+      s"($h16:){1,6}:$h16" + "|" +
+      s"($h16:){1,5}(:$h16){1,2}" + "|" +
+      s"($h16:){1,4}(:$h16){1,3}" + "|" +
+      s"($h16:){1,3}(:$h16){1,4}" + "|" +
+      s"($h16:){1,2}(:$h16){1,5}" + "|" +
+      s"$h16:(:$h16){1,6}" + "|" +
+      s":((:$h16){1,7}|:)" + // leading ::
+      ")$"),
+    "uuid" -> "^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$",
+    "uri" -> "^[A-Za-z][A-Za-z0-9+.-]*:[^ \\t\\r\\n]*$")
+
+  val known: Set[String] = patterns.keySet
+}
+
+/** Draft-07 `format` check (string columns; null passes). The reference
+  * leaves format unimplemented (`// TODO format`, macros.rs:327) — this is
+  * parity-PLUS, like `dependencies`. Pragmatic RFC-shaped regexes (see
+  * [[Formats]] for the documented precision stance per format); unknown
+  * format names are a compile ERROR at the leaf (the draft-07 "ignore
+  * unknown formats" stance lives in the schema LOADER, which skips them —
+  * constructing the leaf by hand states intent to validate). */
+final case class FormatCheck(col: String, format: String) extends RowConstraint {
+  val id = s"format($col,$format)"
+  def selfCheck(s: StructType): List[SuiteError] =
+    Constraints.requireString(s, col, id) ++
+      (if (Formats.known(format)) Nil
+       else List(SuiteError.Unsupported(id,
+         s"unknown format '$format' (known: ${Formats.known.toSeq.sorted.mkString(", ")})")))
+  def pred = {
+    val c = org.apache.spark.sql.functions.col(col)
+    val base = c.isNull || c.rlike(Formats.patterns(format))
+    // RFC 1035/1123 total-length cap — regex-free conjunct (no lookahead
+    // in the RE2-safe subset)
+    if (format == "hostname") base && (c.isNull || length(c) <= 253) else base
+  }
+  protected def pathStr = col
+  protected def boundStr = s"format $format"
+  protected def actualCol = org.apache.spark.sql.functions.col(col)
+}
+
 /** C9/C10 string length in characters — reference counts chars not bytes
   * (macros.rs:357,368) and so does Spark's `length` on StringType.
   * NOTE the reference only enforces length when `pattern` is also present

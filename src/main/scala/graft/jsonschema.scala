@@ -68,8 +68,14 @@ object JsonSchema {
   /** Parse a root object schema into a suite keyed by `keyCol`.
     * All problems are accumulated, reference-style. `tableSchema` (optional)
     * routes nested object keywords to struct vs map constraints. */
+  /** `validateFormats = true` upgrades draft-07 `format` from annotation to
+    * assertion (the spec's opt-in stance): KNOWN formats ([[Formats.known]])
+    * on string schemas compile to [[FormatCheck]]; unknown format names stay
+    * ignored annotations per draft-07. The reference never implements format
+    * (`// TODO format`, macros.rs:327) — parity-PLUS. */
   def parse(json: String, keyCol: String, nBuckets: Int = 256,
-      tableSchema: Option[StructType] = None)
+      tableSchema: Option[StructType] = None,
+      validateFormats: Boolean = false)
       : Either[List[SuiteError], ConstraintSuite] = {
     val root =
       try mapper.readTree(json)
@@ -288,6 +294,10 @@ object JsonSchema {
       }
       num(node, "multipleOf").foreach(m => out += MultipleOf(col, m))
       patTxt(node, "pattern").foreach(p => out += Regex(col, p))
+      // format: assertion only when opted in AND the name is known —
+      // unknown names remain annotations (draft-07 "SHOULD ignore")
+      if (validateFormats)
+        txt(node, "format").filter(Formats.known).foreach(f => out += FormatCheck(col, f))
       val minL = intOpt(node, "minLength"); val maxL = intOpt(node, "maxLength")
       if (minL.isDefined || maxL.isDefined) out += LengthBounds(col, minL, maxL)
 
