@@ -41,6 +41,27 @@ object Smoke {
     check("report", rep.getLong(0) == 50000 && rep.getLong(1) + rep.getLong(2) == 50000,
       s"rows=${rep.getLong(0)} pass=${rep.getLong(1)} fail=${rep.getLong(2)}")
 
+    // 1b. padded-batch token layout: dynamic pad-boundary invariants
+    val padded = DataGen.paddedSequences(spark, 20000, maxLen = 32)
+    val padCompiled = ConstraintSuite("doc_id", Seq(
+      PadSuffixOnly("tokens", DataGen.PAD),
+      EndsWithToken("tokens", DataGen.EOS, DataGen.PAD),
+      PadAwareLength("tokens", "n_tok", DataGen.PAD)))
+      .compile(padded.schema)
+      .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+    val padVio = padCompiled.run(padded).violations.groupBy("constraint_id")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val padIds = 0L until 20000L
+    val expSuffix = padIds.count(_ % DataGen.INTERIOR_PAD_MOD == 0).toLong
+    val expEos = padIds.count(_ % DataGen.NO_EOS_MOD == 0).toLong
+    val expLen = padIds.count(i =>
+      i % DataGen.INTERIOR_PAD_MOD == 0 || i % DataGen.BAD_NTOK_MOD == 0).toLong
+    check("pad-layout",
+      padVio.get(s"padSuffix(tokens)").contains(expSuffix) &&
+        padVio.get(s"endsWith(tokens)").contains(expEos) &&
+        padVio.get(s"padAwareLength(tokens,n_tok)").contains(expLen),
+      s"violations $padVio == planted ($expSuffix,$expEos,$expLen)")
+
     // 2. checkpoint via TableIO + resume
     Checkpoint.write(result.report.filter(col("bucket_id") < 128), s"$out/ckpt", "run-1")
     val done = Checkpoint.completedBuckets(spark, s"$out/ckpt", "run-1")

@@ -804,6 +804,20 @@ object SparkEntry {
         Drift.oovProfile(corpus, "tokens", "source", DataGen.VOCAB / 2),
         "source", maxDeltaFp = 10000)
     }),
+    "v_pad_layout" -> ((s, dir) => { // right-padded batch layout: the three
+      // pad-boundary invariants positional checks can't express (the
+      // boundary is per-row dynamic) — each a one-pass zero-allocation
+      // codegen'd kernel; four LONGs per source over the wire, never tokens
+      val corpus = DataGen.paddedSequences(s, 20000, maxLen = 32)
+      val suffixOk = PadSuffixOnly("tokens", DataGen.PAD).pred
+      val endsOk = EndsWithToken("tokens", DataGen.EOS, DataGen.PAD).pred
+      val lenOk = PadAwareLength("tokens", "n_tok", DataGen.PAD).pred
+      corpus.groupBy(col("source")).agg(
+        sum((!suffixOk).cast(LongType)).as("n_interior_pad"),
+        sum((!endsOk).cast(LongType)).as("n_missing_eos"),
+        sum((!lenOk).cast(LongType)).as("n_len_mismatch"),
+        count(lit(1)).as("n_rows"))
+    }),
     "seq_decontaminate" -> ((s, dir) => { // rows-only: 64-bit span hashes
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
       // benchmark = a deterministic slice of the corpus itself -> those
@@ -2340,6 +2354,27 @@ object SparkEntry {
                                              - (CAST(oov_ref AS HUGEINT) * 1000000) // n_tokens) > 10000
                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach
          FROM prof""",
+    "v_pad_layout" ->
+      // re-derives all three layout verdicts from the raw materialized
+      // arrays with DuckDB list primitives: suffix-only ⇔ the first pad
+      // sits exactly (width - npads + 1) from the left (count+position
+      // pin every pad into the suffix), last real token via a pad-free
+      // filtered list's [-1]
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seqpad20k.parquet/*.parquet')),
+         m AS (
+           SELECT source, n_tok,
+                  len(tokens) AS width,
+                  len(list_filter(tokens, x -> x = 0)) AS npads,
+                  list_position(tokens, 0) AS first_pad,
+                  list_filter(tokens, x -> x <> 0) AS real_toks
+           FROM seq)
+         SELECT source,
+                CAST(sum(CASE WHEN npads > 0 AND first_pad <> width - npads + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_interior_pad,
+                CAST(sum(CASE WHEN len(real_toks) = 0 OR real_toks[-1] <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_eos,
+                CAST(sum(CASE WHEN width - npads <> n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+                count(*) AS n_rows
+         FROM m GROUP BY source""",
     "seq_validate" ->
       """WITH seq AS (
            SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),

@@ -21,6 +21,7 @@ object Verify {
     // materialize the synthetic-corpus fixture the seq_* oracle SQL reads
     // (the queries themselves regenerate it in-memory; see DataGen)
     DataGen.writeSeq20kFixture(spark)
+    DataGen.writeSeqPad20kFixture(spark)
     DataGen.writeLshFixtures(spark, sfDir)
     DataGen.writeSamplingIvfFixtures(spark, sfDir)
     DataGen.writeMediaFixture(spark)

@@ -108,6 +108,16 @@ object Constraints {
       case Some(dt) => List(SuiteError.TypeMismatch(c, "array<numeric (non-decimal)>", dt, ctx))
     }
 
+  /** Array column whose ELEMENTS are PRIMITIVE integrals — the guard for
+    * pad-layout checks, where equality against a token id must be exact
+    * (float == is a footgun, so FloatType/DoubleType are rejected too). */
+  private[graft] def requireIntegralArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
+    fieldType(schema, c) match {
+      case None => List(SuiteError.UnknownColumn(c, ctx))
+      case Some(ArrayType(ByteType | ShortType | IntegerType | LongType, _)) => Nil
+      case Some(dt) => List(SuiteError.TypeMismatch(c, "array<integral>", dt, ctx))
+    }
+
   /** Array column whose ELEMENTS are strings (items.pattern / items length). */
   private[graft] def requireStringArray(schema: StructType, c: String, ctx: String): List[SuiteError] =
     fieldType(schema, c) match {
@@ -777,6 +787,66 @@ final case class LengthConsistent(arrCol: String, lenCol: String) extends RowCon
   protected def actualCol =
     concat(size(org.apache.spark.sql.functions.col(arrCol)).cast(StringType), lit(" != "),
       org.apache.spark.sql.functions.col(lenCol).cast(StringType))
+}
+
+// ---------------------------------------------------------------------------
+// Token-layout leaves: the structural invariants of RIGHT-PADDED training
+// sequences ([content..., EOS, PAD*]) that positional checks can't express —
+// the pad boundary is per-row dynamic, so "element at index i" never reaches
+// it. All three ride the one-pass zero-allocation kernels in
+// graft.functions (ArrayCountEq / ArrayPadSuffixOk / ArrayLastNotEq); no
+// array copies, no HOF lambdas, whole-stage codegen throughout. Integral
+// element types only (exact token-id equality; see requireIntegralArray).
+// ---------------------------------------------------------------------------
+
+/** Pad tokens may only form a contiguous suffix: a pad followed by any
+  * non-pad (or null) element is corruption — a truncated write, a bad
+  * packing merge, or a detokenizer bug. Empty, all-pad, and pad-free arrays
+  * all pass; a null array passes (assert presence with NonNull). */
+final case class PadSuffixOnly(col: String, pad: Long) extends RowConstraint {
+  val id = s"padSuffix($col)"
+  def selfCheck(s: StructType) = Constraints.requireIntegralArray(s, col, id)
+  private def c = org.apache.spark.sql.functions.col(col)
+  def pred = c.isNull || graft.functions.VecFunctions.array_pad_suffix_ok(c, pad)
+  protected def pathStr = col
+  protected def boundStr = s"pad $pad only as suffix"
+  protected def actualCol = slice(c, 1, 8).cast(StringType)
+}
+
+/** The last REAL (non-pad) token must be `eos`: every sequence ends with an
+  * end-of-sequence marker before padding begins. Arrays with no non-pad
+  * element (empty / all-pad) FAIL — they contain no EOS to find. Null
+  * elements are skipped by the kernel (their validity is elemRange's job);
+  * a null array passes (leaf null-stance). */
+final case class EndsWithToken(col: String, eos: Long, pad: Long) extends RowConstraint {
+  val id = s"endsWith($col)"
+  def selfCheck(s: StructType) = Constraints.requireIntegralArray(s, col, id)
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def lastReal = graft.functions.VecFunctions.array_last_not_eq(c, pad)
+  def pred = c.isNull || coalesce(lastReal === eos, lit(false))
+  protected def pathStr = col
+  protected def boundStr = s"last non-pad token == $eos"
+  protected def actualCol = coalesce(lastReal.cast(StringType), lit("<none>"))
+}
+
+/** Pad-aware length consistency: `lenCol` must equal the NON-PAD token
+  * count — the padded-batch analog of [[LengthConsistent]] (which compares
+  * against the raw array size and so can't validate fixed-width padded
+  * layouts, where size(tokens) is the batch width, not the content length).
+  * Either side null passes (assert presence separately). */
+final case class PadAwareLength(arrCol: String, lenCol: String, pad: Long)
+    extends RowConstraint {
+  val id = s"padAwareLength($arrCol,$lenCol)"
+  def selfCheck(s: StructType) =
+    Constraints.requireIntegralArray(s, arrCol, id) ++ Constraints.requireNumeric(s, lenCol, id)
+  private def a = org.apache.spark.sql.functions.col(arrCol)
+  private def n = org.apache.spark.sql.functions.col(lenCol)
+  private def nonPad = size(a).cast(LongType) - graft.functions.VecFunctions.array_count_eq(a, pad)
+  def pred = a.isNull || n.isNull || nonPad === n.cast(LongType)
+  protected def pathStr = arrCol
+  protected def boundStr = s"non-pad count == $lenCol"
+  protected def actualCol =
+    concat(nonPad.cast(StringType), lit(" != "), n.cast(StringType))
 }
 
 // ---------------------------------------------------------------------------

@@ -27,6 +27,13 @@ object DataGen {
   val LEN_MISMATCH_MOD = 107 // size(tokens) = n_tok - 1
   val BAD_TOKEN_MOD = 109 // one token = -1
   val NO_BOS_MOD = 113 // sequence missing BOS
+  // Padded-layout defect classes (paddedSequences only; co-prime again)
+  val PAD = 0
+  val EOS = 2
+  val INTERIOR_PAD_MOD = 11 // a PAD planted at body index 1
+  val NO_EOS_MOD = 13 // EOS slot holds an ordinary token instead
+  val BAD_NTOK_MOD = 17 // n_tok reports content length + 1
+
   val NULL_ID_MOD = 127 // doc_id null
   val BAD_ID_MOD = 131 // malformed doc_id
   val DUP_ID_MOD = 997 // doc_id duplicates that of id-1
@@ -89,6 +96,50 @@ object DataGen {
       source.as("source"))
   }
 
+  /** `n` deterministic RIGHT-PADDED training rows of (doc_id, tokens, n_tok,
+    * source): every token array is exactly `maxLen` wide in the packed-batch
+    * layout [BOS, body..., EOS, PAD*]; `n_tok` reports the content (non-pad)
+    * length. Ordinary tokens live in [3, VOCAB) so they can never collide
+    * with PAD(0)/BOS(1)/EOS(2) and corrupt the planted ground truth.
+    * Planted layout defects, each an id-modulo class:
+    *  - id % INTERIOR_PAD_MOD: a PAD at body index 1 (breaks padSuffix AND
+    *    the non-pad count, so padAwareLength breaches too)
+    *  - id % NO_EOS_MOD: the EOS slot holds an ordinary token (endsWith)
+    *  - id % BAD_NTOK_MOD: n_tok = content length + 1 (padAwareLength only;
+    *    +1 can never equal the interior-pad row's length-1 count, so the
+    *    two length-breach classes stay disjoint in effect) */
+  def paddedSequences(spark: SparkSession, n: Long, maxLen: Int = 32,
+      parts: Int = 32): DataFrame = {
+    require(maxLen >= 5, s"maxLen $maxLen leaves no room for BOS+body+EOS+pad")
+    val ids = spark.range(0, n, 1, parts)
+    val h = (salt: Int) => abs(xxhash64(col("id"), lit(salt)))
+    val srcPick = pmod(h(21), lit(1000L))
+    val source =
+      when(srcPick < 500, "web").when(srcPick < 750, "books")
+        .when(srcPick < 900, "code").when(srcPick < 970, "wiki")
+        .otherwise("forums")
+    // content length incl BOS and EOS: 4..maxLen-1 (≥4 so index 1 is body
+    // and distinct from the EOS slot; ≤maxLen-1 so ≥1 real pad exists)
+    val contentLen = (pmod(h(22), lit((maxLen - 4).toLong)) + 4).cast(IntegerType)
+    val ordinary = (i: org.apache.spark.sql.Column) =>
+      (pmod(abs(xxhash64(col("id"), i, lit(23))), lit((VOCAB - 3).toLong)) + 3)
+        .cast(IntegerType)
+    val tokenAt = (i: org.apache.spark.sql.Column) =>
+      when(i === 0, BOS)
+        .when(i === 1 && col("id") % INTERIOR_PAD_MOD === 0, PAD)
+        .when(i === contentLen - 1,
+          when(col("id") % NO_EOS_MOD === 0, ordinary(i)).otherwise(EOS))
+        .when(i < contentLen - 1, ordinary(i))
+        .otherwise(PAD)
+    val nTok = when(col("id") % BAD_NTOK_MOD === 0, contentLen + 1)
+      .otherwise(contentLen).cast(IntegerType)
+    ids.select(
+      format_string("doc-%012d", col("id")).as("doc_id"),
+      transform(sequence(lit(0), lit(maxLen - 1)), tokenAt).as("tokens"),
+      nTok.as("n_tok"),
+      source.as("source"))
+  }
+
   /** The sources dimension (excludes the planted orphan "scraped-mystery"). */
   def sourcesDim(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -136,6 +187,14 @@ object DataGen {
       .select(col("tokens"))
       .write.mode("overwrite").parquet(Seq20kBenchFixturePath)
   }
+
+  /** The padded-layout corpus the v_pad_layout oracle reads (same
+    * generate-in-query / materialize-for-DuckDB pattern as seq20k). */
+  def SeqPad20kFixturePath = s"$fixtureRoot/seqpad20k.parquet"
+
+  def writeSeqPad20kFixture(spark: SparkSession): Unit =
+    paddedSequences(spark, 20000, maxLen = 32)
+      .write.mode("overwrite").parquet(SeqPad20kFixturePath)
 
   /** Signature/edge fixtures for the hash-dependent LSH queries. The
     * xxhash64-based signature kernels have no DuckDB analog, so Verify

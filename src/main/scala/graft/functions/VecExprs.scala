@@ -362,6 +362,153 @@ case class ArrayCountOutOfRange(child: Expression, lo: Double, hi: Double)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Integral-element reader shared by the pad-layout kernels: tokens are
+  * discrete symbols, so equality is exact long comparison — float arrays are
+  * rejected at selfCheck time (== on floats is a footgun, not a layout). */
+object IntGetter {
+  def forType(dt: DataType): (ArrayData, Int) => Long = dt match {
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i)
+    case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toLong
+    case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toLong
+    case other => throw new IllegalArgumentException(s"non-integral array: $other")
+  }
+}
+
+/** COUNT of array elements equal to `target` (exact integral equality) —
+  * the pad counter behind pad-aware length checks: non-pad count =
+  * size(arr) - ArrayCountEq(arr, pad), computed without materializing an
+  * `array_remove` copy of an 8k-token array per row. A null ELEMENT never
+  * equals anything; a null ARRAY is null (leaf null-stance). */
+case class ArrayCountEq(child: Expression, target: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val getter = IntGetter.forType(child.dataType)
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var eq = 0L
+    var i = 0
+    while (i < n) {
+      if (!(mayContainNull && x.isNullAt(i)) && getter(x, i) == target) eq += 1
+      i += 1
+    }
+    eq
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val at = child.dataType.asInstanceOf[ArrayType]
+      val getV = CodeGenerator.getValue(arr, at.elementType, i)
+      val guard = if (at.containsNull) s"!$arr.isNullAt($i) && " else ""
+      s"""
+         |final int $n = $arr.numElements();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($guard(long)($getV) == ${target}L) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** TRUE iff every `pad` element is part of a contiguous suffix — i.e. no
+  * non-pad element appears after the first pad. The layout invariant of a
+  * right-padded training batch: [content..., EOS, PAD, PAD, ...]. A null
+  * ELEMENT counts as non-pad (corruption after padding began is a layout
+  * violation, not an absent slot); empty and all-pad arrays are trivially
+  * ok. One forward pass, no allocation. */
+case class ArrayPadSuffixOk(child: Expression, pad: Long) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  @transient private lazy val getter = IntGetter.forType(child.dataType)
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var seenPad = false
+    var i = 0
+    while (i < n) {
+      val isPad = !(mayContainNull && x.isNullAt(i)) && getter(x, i) == pad
+      if (isPad) seenPad = true
+      else if (seenPad) return false
+      i += 1
+    }
+    true
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val seen = ctx.freshName("seenPad")
+      val isPad = ctx.freshName("isPad")
+      val at = child.dataType.asInstanceOf[ArrayType]
+      val getV = CodeGenerator.getValue(arr, at.elementType, i)
+      val guard = if (at.containsNull) s"!$arr.isNullAt($i) && " else ""
+      s"""
+         |final int $n = $arr.numElements();
+         |boolean $seen = false;
+         |${ev.value} = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final boolean $isPad = $guard(long)($getV) == ${pad}L;
+         |  if ($isPad) { $seen = true; }
+         |  else if ($seen) { ${ev.value} = false; break; }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Value of the LAST non-null element not equal to `skip` — "the last real
+  * token before padding", robust even when pads leak into the interior.
+  * NULL when the array is null, empty, all-pad, or all-null: there is no
+  * last real token to report (EOS checks coalesce that to a violation).
+  * Null elements are skipped here — their validity is elemRange's job. */
+case class ArrayLastNotEq(child: Expression, skip: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  @transient private lazy val getter = IntGetter.forType(child.dataType)
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    // backward scan: the common case (well-formed padded row) finds the
+    // last real token within the pad-suffix length, not O(n) from the front
+    var i = x.numElements() - 1
+    while (i >= 0) {
+      if (!(mayContainNull && x.isNullAt(i))) {
+        val v = getter(x, i)
+        if (v != skip) return v
+      }
+      i -= 1
+    }
+    null
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val found = ctx.freshName("found")
+      val at = child.dataType.asInstanceOf[ArrayType]
+      val getV = CodeGenerator.getValue(arr, at.elementType, i)
+      val guard = if (at.containsNull) s"!$arr.isNullAt($i) && " else ""
+      s"""
+         |boolean $found = false;
+         |${ev.value} = 0L;
+         |for (int $i = $arr.numElements() - 1; $i >= 0 && !$found; $i--) {
+         |  if ($guard true) {
+         |    final long $v = (long)($getV);
+         |    if ($v != ${skip}L) { ${ev.value} = $v; $found = true; }
+         |  }
+         |}
+         |${ev.isNull} = !$found;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Distinct lowercase word k-shingles of a text column in ONE pass:
   * tokenize on non-alphanumeric runs, lowercase, emit distinct k-grams
   * joined by single spaces. Replaces a 5-op HOF pipeline
@@ -585,6 +732,9 @@ object VecFunctions {
     c(ArrayAllInRange(e(a), lo, hi))
   def array_count_out_of_range(a: Column, lo: Double, hi: Double): Column =
     c(ArrayCountOutOfRange(e(a), lo, hi))
+  def array_count_eq(a: Column, target: Long): Column = c(ArrayCountEq(e(a), target))
+  def array_pad_suffix_ok(a: Column, pad: Long): Column = c(ArrayPadSuffixOk(e(a), pad))
+  def array_last_not_eq(a: Column, skip: Long): Column = c(ArrayLastNotEq(e(a), skip))
   def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(vec), centroids))

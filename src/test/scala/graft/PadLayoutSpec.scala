@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VecFunctions._
+
+/** Token-layout checks for right-padded training sequences: the pad-boundary
+  * invariants ([content..., EOS, PAD*]) whose boundary is per-row dynamic,
+  * so positional items can never reach them. Kernels are one-pass
+  * zero-allocation codegen'd expressions (graft.functions.ArrayCountEq /
+  * ArrayPadSuffixOk / ArrayLastNotEq). */
+class PadLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val PAD = 0L
+  private val EOS = 2L
+
+  test("kernels: hand vectors incl. empty, all-pad, null elements, null array") {
+    val df = Seq(
+      (1, Some(Seq(1, 5, 2, 0, 0))), // clean padded row
+      (2, Some(Seq(1, 0, 5, 2, 0))), // interior pad
+      (3, Some(Seq(0, 0, 0))), // all-pad
+      (4, Some(Seq.empty[Int])), // empty
+      (5, Some(Seq(1, 5, 2))), // pad-free
+      (6, None) // null array
+    ).toDF("id", "tokens")
+    val got = df.select(col("id"),
+      array_count_eq(col("tokens"), PAD).as("npad"),
+      array_pad_suffix_ok(col("tokens"), PAD).as("sfx"),
+      array_last_not_eq(col("tokens"), PAD).as("last"))
+      .collect().map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getBoolean(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got(1) === ((2L, true, 2L)))
+    assert(got(2) === ((2L, false, 2L))) // last REAL token robust to interior pad
+    assert(got(3) === ((3L, true, null))) // no non-pad element exists
+    assert(got(4) === ((0L, true, null)))
+    assert(got(5) === ((0L, true, 2L)))
+    assert(got(6) === ((null, null, null))) // null array -> null everywhere
+
+    // null ELEMENTS: never equal anything (count), non-pad for the suffix
+    // scan (corruption after padding began), skipped by the last-real scan
+    val ne = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1, Seq[Integer](1, null, 0, null)),
+        org.apache.spark.sql.Row(2, Seq[Integer](1, 7, 0, 0))),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("tokens", ArrayType(IntegerType, containsNull = true)))))
+    val g2 = ne.select(col("id"),
+      array_count_eq(col("tokens"), PAD).as("npad"),
+      array_pad_suffix_ok(col("tokens"), PAD).as("sfx"),
+      array_last_not_eq(col("tokens"), PAD).as("last"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(g2(1) === ((1L, false, 1L))) // null after pad breaks the suffix
+    assert(g2(2) === ((2L, true, 7L)))
+  }
+
+  test("kernels: FORCED codegen matches interpreted eval") {
+    val df = Seq(
+      Some(Seq(1, 5, 2, 0, 0)), Some(Seq(1, 0, 5, 2, 0)), Some(Seq(0, 0)),
+      Some(Seq.empty[Int]), Some(Seq(9, 9, 9)), None).toDF("tokens")
+    def evalAll(mode: String): Seq[String] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(
+        array_count_eq(col("tokens"), PAD).as("npad"),
+        array_pad_suffix_ok(col("tokens"), PAD).as("sfx"),
+        array_last_not_eq(col("tokens"), PAD).as("last"))
+        .collect().map(_.toString).toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    val compiled = evalAll("CODEGEN_ONLY")
+    assert(compiled === evalAll("NO_CODEGEN"))
+    assert(compiled.size == 6)
+  }
+
+  test("constraints: preds, violation entries, and accumulate-all through the suite") {
+    val df = Seq(
+      ("d1", Seq(1, 5, 2, 0, 0), 3), // clean
+      ("d2", Seq(1, 0, 5, 2, 0), 3), // interior pad only (non-pad count still 3)
+      ("d3", Seq(1, 5, 7, 0, 0), 3), // missing EOS
+      ("d4", Seq(1, 5, 2, 0, 0), 4), // wrong n_tok
+      ("d5", Seq(0, 0, 0, 0, 0), 0), // all-pad: no EOS to find, counts consistent
+      ("d6", Seq(1, 0, 7, 0, 0), 3) // interior pad + missing EOS + bad count (2 real)
+    ).toDF("doc_id", "tokens", "n_tok")
+    val suite = ConstraintSuite("doc_id", Seq(
+      PadSuffixOnly("tokens", PAD),
+      EndsWithToken("tokens", EOS, PAD),
+      PadAwareLength("tokens", "n_tok", PAD)))
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val v = compiled.run(df).violations
+      .select(col("doc_id"), col("constraint_id"), col("bound"), col("actual"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val byId = v.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byId("padSuffix(tokens)") === Set("d2", "d6"))
+    assert(byId("endsWith(tokens)") === Set("d3", "d5", "d6"))
+    assert(byId("padAwareLength(tokens,n_tok)") === Set("d4", "d6"))
+    // entry shape: bound states the invariant, actual carries evidence
+    val d5 = v.find(x => x._1 == "d5" && x._2 == "endsWith(tokens)").get
+    assert(d5._3 == s"last non-pad token == $EOS" && d5._4 == "<none>")
+    val d6len = v.find(x => x._1 == "d6" && x._2 == "padAwareLength(tokens,n_tok)").get
+    assert(d6len._4 == "2 != 3")
+  }
+
+  test("selfCheck: integral arrays only, numeric length, unknown columns") {
+    val s = StructType(Seq(
+      StructField("toks", ArrayType(IntegerType)),
+      StructField("ftoks", ArrayType(FloatType)),
+      StructField("txt", StringType),
+      StructField("n", IntegerType)))
+    assert(PadSuffixOnly("toks", PAD).selfCheck(s).isEmpty)
+    assert(PadSuffixOnly("ftoks", PAD).selfCheck(s).nonEmpty) // float == is rejected
+    assert(PadSuffixOnly("txt", PAD).selfCheck(s).nonEmpty)
+    assert(PadSuffixOnly("zzz", PAD).selfCheck(s).nonEmpty)
+    assert(EndsWithToken("ftoks", EOS, PAD).selfCheck(s).nonEmpty)
+    assert(PadAwareLength("toks", "n", PAD).selfCheck(s).isEmpty)
+    assert(PadAwareLength("toks", "txt", PAD).selfCheck(s).nonEmpty)
+    assert(PadAwareLength("ftoks", "n", PAD).selfCheck(s).nonEmpty)
+  }
+
+  test("paddedSequences: planted defect classes are exact ground truth") {
+    val n = 20000L
+    val corpus = DataGen.paddedSequences(spark, n, maxLen = 32).cache()
+    try {
+      val suffixOk = PadSuffixOnly("tokens", DataGen.PAD.toLong).pred
+      val endsOk = EndsWithToken("tokens", DataGen.EOS.toLong, DataGen.PAD.toLong).pred
+      val lenOk = PadAwareLength("tokens", "n_tok", DataGen.PAD.toLong).pred
+      val r = corpus.agg(
+        sum((!suffixOk).cast(LongType)),
+        sum((!endsOk).cast(LongType)),
+        sum((!lenOk).cast(LongType)),
+        sum((size(col("tokens")) =!= 32).cast(LongType))).collect().head
+      val ids = 0L until n
+      assert(r.getLong(0) == ids.count(_ % DataGen.INTERIOR_PAD_MOD == 0))
+      assert(r.getLong(1) == ids.count(_ % DataGen.NO_EOS_MOD == 0))
+      // interior pad shrinks the non-pad count; BAD_NTOK inflates n_tok —
+      // both breach the pad-aware length, and +1 vs -1 can never cancel
+      assert(r.getLong(2) == ids.count(i =>
+        i % DataGen.INTERIOR_PAD_MOD == 0 || i % DataGen.BAD_NTOK_MOD == 0))
+      assert(r.getLong(3) == 0L) // fixed batch width always
+    } finally corpus.unpersist()
+  }
+}
