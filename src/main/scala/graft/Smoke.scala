@@ -62,6 +62,16 @@ object Smoke {
         padVio.get(s"padAwareLength(tokens,n_tok)").contains(expLen),
       s"violations $padVio == planted ($expSuffix,$expEos,$expLen)")
 
+    // 1c. packed-batch segment structure (EOS-delimited document bounds)
+    val packed = DataGen.packedSequences(spark, 20000)
+    val segBad = graft.functions.VecFunctions.array_bad_segments(
+      col("tokens"), DataGen.EOS, 1L, DataGen.MAX_SEG)
+    val segRows = packed.agg(sum((segBad > 0).cast("long"))).collect()(0).getLong(0)
+    val expSegRows = padIds.count(i =>
+      i % DataGen.EMPTY_SEG_MOD == 0 || i % DataGen.LONG_SEG_MOD == 0).toLong
+    check("segments", segRows == expSegRows,
+      s"$segRows rows with bad segments == planted $expSegRows")
+
     // 2. checkpoint via TableIO + resume
     Checkpoint.write(result.report.filter(col("bucket_id") < 128), s"$out/ckpt", "run-1")
     val done = Checkpoint.completedBuckets(spark, s"$out/ckpt", "run-1")

@@ -818,6 +818,19 @@ object SparkEntry {
         sum((!lenOk).cast(LongType)).as("n_len_mismatch"),
         count(lit(1)).as("n_rows"))
     }),
+    "v_segments" -> ((s, dir) => { // packed-batch segment structure: every
+      // EOS-delimited document's length in [1, MAX_SEG] — empty segments
+      // (consecutive separators) and over-context documents breach; one
+      // codegen'd pass per row, three LONGs per source over the wire
+      val corpus = DataGen.packedSequences(s, 20000)
+      val ok = SegmentLengthBounds("tokens", DataGen.EOS, 1L, DataGen.MAX_SEG).pred
+      val bad = graft.functions.VecFunctions.array_bad_segments(
+        col("tokens"), DataGen.EOS, 1L, DataGen.MAX_SEG)
+      corpus.groupBy(col("source")).agg(
+        sum((!ok).cast(LongType)).as("n_bad_rows"),
+        sum(bad).as("n_bad_segments"),
+        count(lit(1)).as("n_rows"))
+    }),
     "seq_decontaminate" -> ((s, dir) => { // rows-only: 64-bit span hashes
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
       // benchmark = a deterministic slice of the corpus itself -> those
@@ -2375,6 +2388,35 @@ object SparkEntry {
                 CAST(sum(CASE WHEN width - npads <> n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
                 count(*) AS n_rows
          FROM m GROUP BY source""",
+    "v_segments" ->
+      // re-derives segment lengths from raw arrays: separator positions via
+      // generate_series + index, a sentinel at len+1 closes the trailing
+      // run (counted only when non-empty), lag() turns positions into
+      // lengths — the window re-derivation of the kernel's single pass
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seqpacked20k.parquet/*.parquet')),
+         sep AS (
+           SELECT s.doc_id, s.source, i.g AS p
+           FROM seq s, LATERAL (SELECT unnest(generate_series(1, len(s.tokens))) AS g) i
+           WHERE s.tokens[i.g] = 2),
+         allp AS (
+           SELECT doc_id, source, p, FALSE AS is_sentinel FROM sep
+           UNION ALL
+           SELECT doc_id, source, len(tokens) + 1, TRUE FROM seq),
+         segs AS (
+           SELECT doc_id, source, is_sentinel,
+                  p - COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) - 1 AS seg_len
+           FROM allp),
+         bad AS (
+           SELECT doc_id, source,
+                  sum(CASE WHEN (NOT is_sentinel OR seg_len > 0)
+                            AND (seg_len < 1 OR seg_len > 12) THEN 1 ELSE 0 END) AS n_bad
+           FROM segs GROUP BY doc_id, source)
+         SELECT source,
+                CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
+                CAST(sum(n_bad) AS BIGINT) AS n_bad_segments,
+                count(*) AS n_rows
+         FROM bad GROUP BY source""",
     "seq_validate" ->
       """WITH seq AS (
            SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),

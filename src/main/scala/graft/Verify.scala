@@ -22,6 +22,7 @@ object Verify {
     // (the queries themselves regenerate it in-memory; see DataGen)
     DataGen.writeSeq20kFixture(spark)
     DataGen.writeSeqPad20kFixture(spark)
+    DataGen.writeSeqPacked20kFixture(spark)
     DataGen.writeLshFixtures(spark, sfDir)
     DataGen.writeSamplingIvfFixtures(spark, sfDir)
     DataGen.writeMediaFixture(spark)

@@ -849,6 +849,30 @@ final case class PadAwareLength(arrCol: String, lenCol: String, pad: Long)
     concat(nonPad.cast(StringType), lit(" != "), n.cast(StringType))
 }
 
+/** Segment-structure check for PACKED sequences ([doc1..., EOS, doc2...,
+  * EOS, ...]): every separator-delimited segment's length must be in
+  * [minLen, maxLen]. minLen ≥ 1 rejects empty segments — consecutive
+  * separators or a leading separator, the classic packing-merge bug;
+  * maxLen bounds each packed document to the training context. Segments
+  * are runs between separators plus a non-empty trailing run (an array
+  * ending in a separator is fully terminated); a separator-free array is
+  * ONE segment — the whole row. Null array passes (leaf null-stance). */
+final case class SegmentLengthBounds(col: String, sep: Long, minLen: Long, maxLen: Long)
+    extends RowConstraint {
+  val id = s"segments($col)"
+  def selfCheck(s: StructType) =
+    Constraints.requireIntegralArray(s, col, id) ++
+      (if (minLen > maxLen)
+         List(SuiteError.InvalidBounds(id, minLen.toDouble, maxLen.toDouble))
+       else Nil)
+  private def c = org.apache.spark.sql.functions.col(col)
+  private def badCount = graft.functions.VecFunctions.array_bad_segments(c, sep, minLen, maxLen)
+  def pred = c.isNull || badCount === 0L
+  protected def pathStr = col
+  protected def boundStr = s"segments by $sep in [$minLen,$maxLen]"
+  protected def actualCol = concat(badCount.cast(StringType), lit(" bad segments"))
+}
+
 // ---------------------------------------------------------------------------
 // Map/object leaves (reference C17-C22) + static type check (C1)
 // ---------------------------------------------------------------------------

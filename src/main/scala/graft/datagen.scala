@@ -33,6 +33,11 @@ object DataGen {
   val INTERIOR_PAD_MOD = 11 // a PAD planted at body index 1
   val NO_EOS_MOD = 13 // EOS slot holds an ordinary token instead
   val BAD_NTOK_MOD = 17 // n_tok reports content length + 1
+  // Packed-layout defect classes (packedSequences only)
+  val MAX_SEG = 12 // longest valid packed document
+  val EMPTY_SEG_MOD = 19 // one zero-length segment (consecutive EOS)
+  val LONG_SEG_MOD = 23 // one segment of MAX_SEG + 3 tokens
+  val TRAIL_MOD = 29 // a VALID unterminated trailing segment (not a defect)
 
   val NULL_ID_MOD = 127 // doc_id null
   val BAD_ID_MOD = 131 // malformed doc_id
@@ -140,6 +145,51 @@ object DataGen {
       source.as("source"))
   }
 
+  /** `n` deterministic PACKED training rows: each token array concatenates
+    * 2-5 EOS-terminated documents ([doc1..., EOS, doc2..., EOS, ...]) of
+    * 1..10 ordinary tokens ([3, VOCAB) — never PAD/BOS/EOS). Planted
+    * defects by id-modulo class:
+    *  - id % EMPTY_SEG_MOD: the first document is EMPTY (consecutive EOS —
+    *    the classic packing-merge bug)
+    *  - id % LONG_SEG_MOD: the second document is MAX_SEG + 3 tokens long
+    *  - id % TRAIL_MOD: 3 ordinary tokens AFTER the last EOS — a valid
+    *    unterminated trailing document, NOT a defect (exercises the
+    *    trailing-run path without breaching) */
+  def packedSequences(spark: SparkSession, n: Long, parts: Int = 32): DataFrame = {
+    val ids = spark.range(0, n, 1, parts)
+    val h = (salt: Int) => abs(xxhash64(col("id"), lit(salt)))
+    val srcPick = pmod(h(31), lit(1000L))
+    val source =
+      when(srcPick < 500, "web").when(srcPick < 750, "books")
+        .when(srcPick < 900, "code").when(srcPick < 970, "wiki")
+        .otherwise("forums")
+    val segCount = (pmod(h(32), lit(4L)) + 2).cast(IntegerType) // 2..5 docs
+    val ordinary = (j: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+      (pmod(abs(xxhash64(col("id"), j, x, lit(33))), lit((VOCAB - 3).toLong)) + 3)
+        .cast(IntegerType)
+    val segLen = (j: org.apache.spark.sql.Column) =>
+      when(col("id") % EMPTY_SEG_MOD === 0 && j === 1, 0)
+        .when(col("id") % LONG_SEG_MOD === 0 && j === 2, MAX_SEG + 3)
+        .otherwise(pmod(abs(xxhash64(col("id"), j, lit(34))), lit(10L)) + 1)
+        .cast(IntegerType)
+    // sequence(1, 0) would generate a DESCENDING [1,0] — guard empty docs
+    val emptyInts = array().cast(ArrayType(IntegerType, containsNull = false))
+    val doc = (j: org.apache.spark.sql.Column) =>
+      concat(
+        when(segLen(j) === 0, emptyInts)
+          .otherwise(transform(sequence(lit(1), segLen(j)), x => ordinary(j, x))),
+        array(lit(EOS)))
+    val trailing = when(col("id") % TRAIL_MOD === 0,
+      transform(sequence(lit(1), lit(3)), x => ordinary(lit(99), x)))
+      .otherwise(emptyInts)
+    val tokens = concat(flatten(transform(sequence(lit(1), segCount), doc)), trailing)
+    ids.select(
+      format_string("doc-%012d", col("id")).as("doc_id"),
+      tokens.as("tokens"),
+      size(tokens).as("n_tok"),
+      source.as("source"))
+  }
+
   /** The sources dimension (excludes the planted orphan "scraped-mystery"). */
   def sourcesDim(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -195,6 +245,13 @@ object DataGen {
   def writeSeqPad20kFixture(spark: SparkSession): Unit =
     paddedSequences(spark, 20000, maxLen = 32)
       .write.mode("overwrite").parquet(SeqPad20kFixturePath)
+
+  /** The packed-layout corpus the v_segments oracle reads. */
+  def SeqPacked20kFixturePath = s"$fixtureRoot/seqpacked20k.parquet"
+
+  def writeSeqPacked20kFixture(spark: SparkSession): Unit =
+    packedSequences(spark, 20000)
+      .write.mode("overwrite").parquet(SeqPacked20kFixturePath)
 
   /** Signature/edge fixtures for the hash-dependent LSH queries. The
     * xxhash64-based signature kernels have no DuckDB analog, so Verify

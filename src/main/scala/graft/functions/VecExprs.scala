@@ -461,6 +461,68 @@ case class ArrayPadSuffixOk(child: Expression, pad: Long) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** COUNT of separator-delimited segments whose length falls outside
+  * [minLen, maxLen] — the structural check for PACKED training sequences
+  * ([doc1..., EOS, doc2..., EOS, ...]): an empty interior segment
+  * (consecutive separators, or a leading separator) is a packing bug, and a
+  * segment longer than the training context never fit a document boundary.
+  * Segments are the runs BETWEEN separators plus a trailing run only when
+  * non-empty (an array ending in a separator is fully terminated, not
+  * followed by an empty document). No separator at all ⇒ one segment, the
+  * whole array. Null elements count as ordinary tokens (their validity is
+  * elemRange's job). One forward pass, no allocation. */
+case class ArrayBadSegmentCount(child: Expression, sep: Long, minLen: Long, maxLen: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val getter = IntGetter.forType(child.dataType)
+  @transient private lazy val mayContainNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bad = 0L
+    var prev = -1 // index of the last separator seen
+    var i = 0
+    while (i < n) {
+      if (!(mayContainNull && x.isNullAt(i)) && getter(x, i) == sep) {
+        val segLen = i - prev - 1
+        if (segLen < minLen || segLen > maxLen) bad += 1
+        prev = i
+      }
+      i += 1
+    }
+    val trailing = n - prev - 1
+    if (trailing > 0 && (trailing < minLen || trailing > maxLen)) bad += 1
+    bad
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val prev = ctx.freshName("prevSep")
+      val seg = ctx.freshName("segLen")
+      val trail = ctx.freshName("trailing")
+      val at = child.dataType.asInstanceOf[ArrayType]
+      val getV = CodeGenerator.getValue(arr, at.elementType, i)
+      val guard = if (at.containsNull) s"!$arr.isNullAt($i) && " else ""
+      s"""
+         |final int $n = $arr.numElements();
+         |int $prev = -1;
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($guard(long)($getV) == ${sep}L) {
+         |    final int $seg = $i - $prev - 1;
+         |    if ($seg < ${minLen}L || $seg > ${maxLen}L) ${ev.value}++;
+         |    $prev = $i;
+         |  }
+         |}
+         |final int $trail = $n - $prev - 1;
+         |if ($trail > 0 && ($trail < ${minLen}L || $trail > ${maxLen}L)) ${ev.value}++;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Value of the LAST non-null element not equal to `skip` — "the last real
   * token before padding", robust even when pads leak into the interior.
   * NULL when the array is null, empty, all-pad, or all-null: there is no
@@ -735,6 +797,8 @@ object VecFunctions {
   def array_count_eq(a: Column, target: Long): Column = c(ArrayCountEq(e(a), target))
   def array_pad_suffix_ok(a: Column, pad: Long): Column = c(ArrayPadSuffixOk(e(a), pad))
   def array_last_not_eq(a: Column, skip: Long): Column = c(ArrayLastNotEq(e(a), skip))
+  def array_bad_segments(a: Column, sep: Long, minLen: Long, maxLen: Long): Column =
+    c(ArrayBadSegmentCount(e(a), sep, minLen, maxLen))
   def word_shingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(vec), centroids))

@@ -125,6 +125,82 @@ class PadLayoutSpec extends SparkSpec {
     assert(PadAwareLength("ftoks", "n", PAD).selfCheck(s).nonEmpty)
   }
 
+  test("segments: hand vectors — empty/overlong/trailing/sep-free/null") {
+    val df = Seq(
+      (1, Some(Seq(5, 6, 2, 7, 2))), // two docs of 2 and 1 -> ok
+      (2, Some(Seq(2, 5, 2))), // LEADING empty segment -> 1 bad
+      (3, Some(Seq(5, 2, 2, 6, 2))), // consecutive seps -> 1 bad
+      (4, Some(Seq(5, 6, 7, 8, 2))), // doc of 4 > max 3 -> 1 bad
+      (5, Some(Seq(5, 2, 6, 7))), // valid unterminated trailing doc of 2
+      (6, Some(Seq(5, 2, 6, 7, 8, 9))), // trailing doc of 4 > max -> 1 bad
+      (7, Some(Seq(5, 6))), // sep-free: ONE segment, len 2 -> ok
+      (8, Some(Seq(5, 6, 7, 8))), // sep-free segment of 4 > max -> 1 bad
+      (9, Some(Seq.empty[Int])), // empty array: zero segments -> ok
+      (10, Some(Seq(2))), // one leading empty segment -> 1 bad
+      (11, None) // null array -> null
+    ).toDF("id", "tokens")
+    val got = df.select(col("id"),
+      array_bad_segments(col("tokens"), 2L, 1L, 3L).as("bad"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got === Map(1 -> 0L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 5 -> 0L, 6 -> 1L,
+      7 -> 0L, 8 -> 1L, 9 -> 0L, 10 -> 1L, 11 -> null))
+
+    // forced codegen matches interpreted
+    def evalAll(mode: String): Seq[String] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(array_bad_segments(col("tokens"), 2L, 1L, 3L))
+        .collect().map(_.toString).toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(evalAll("CODEGEN_ONLY") === evalAll("NO_CODEGEN"))
+  }
+
+  test("SegmentLengthBounds: constraint wiring, selfCheck guards") {
+    val df = Seq(
+      ("d1", Seq(5, 6, 2, 7, 2)),
+      ("d2", Seq(5, 2, 2, 6, 2))).toDF("doc_id", "tokens")
+    val c = SegmentLengthBounds("tokens", 2L, 1L, 3L)
+    val suite = ConstraintSuite("doc_id", Seq(c))
+    val compiled = suite.compile(df.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val v = compiled.run(df).violations
+      .select(col("doc_id"), col("bound"), col("actual")).collect()
+    assert(v.length == 1)
+    assert(v.head.getString(0) == "d2")
+    assert(v.head.getString(1) == "segments by 2 in [1,3]")
+    assert(v.head.getString(2) == "1 bad segments")
+    val s = df.schema
+    assert(SegmentLengthBounds("zzz", 2L, 1L, 3L).selfCheck(s).nonEmpty)
+    assert(SegmentLengthBounds("doc_id", 2L, 1L, 3L).selfCheck(s).nonEmpty)
+    assert(SegmentLengthBounds("tokens", 2L, 5L, 3L).selfCheck(s).nonEmpty) // min > max
+    assert(c.selfCheck(s).isEmpty)
+  }
+
+  test("packedSequences: planted defect classes are exact ground truth") {
+    val n = 20000L
+    val corpus = DataGen.packedSequences(spark, n)
+    val bad = array_bad_segments(col("tokens"), DataGen.EOS.toLong, 1L,
+      DataGen.MAX_SEG.toLong)
+    val r = corpus.agg(
+      sum((bad > 0).cast(LongType)),
+      sum(bad),
+      sum((bad === 0).cast(LongType))).collect().head
+    val ids = 0L until n
+    val expBadRows = ids.count(i =>
+      i % DataGen.EMPTY_SEG_MOD == 0 || i % DataGen.LONG_SEG_MOD == 0).toLong
+    // one bad segment per defect class; rows in both classes carry two
+    val expBadSegs = ids.count(_ % DataGen.EMPTY_SEG_MOD == 0).toLong +
+      ids.count(_ % DataGen.LONG_SEG_MOD == 0).toLong
+    assert(r.getLong(0) == expBadRows)
+    assert(r.getLong(1) == expBadSegs)
+    assert(r.getLong(2) == n - expBadRows) // trailing-doc rows all pass
+  }
+
   test("paddedSequences: planted defect classes are exact ground truth") {
     val n = 20000L
     val corpus = DataGen.paddedSequences(spark, n, maxLen = 32).cache()
