@@ -201,6 +201,29 @@ class PadLayoutSpec extends SparkSpec {
     assert(r.getLong(2) == n - expBadRows) // trailing-doc rows all pass
   }
 
+  test("the validator certifies the packer: Packing output passes SegmentLengthBounds; a corrupted pack is caught") {
+    // close the produce->validate loop: packSequences with sep=EOS emits
+    // [doc1, EOS, doc2, EOS, doc3] — every segment is one document, so the
+    // packer's output contract IS SegmentLengthBounds(sep=EOS, 1, context)
+    val docs = DataGen.sequences(spark, 2000, maxLen = 24)
+      .filter(col("tokens").isNotNull && !array_contains(col("tokens"), DataGen.EOS)
+        && !array_contains(col("tokens"), DataGen.PAD) && col("doc_id").isNotNull)
+    val context = 64
+    val packs = ops.Packing.packSequences(docs, "tokens", "doc_id", context,
+      sep = Some(DataGen.EOS)).toDF()
+    val chk = SegmentLengthBounds("tokens", DataGen.EOS, 1L, context.toLong)
+    val bad = packs.filter(!coalesce(chk.pred, lit(false))).count()
+    assert(bad == 0L, s"packer output violated its own segment contract ($bad packs)")
+    assert(packs.count() > 0)
+    // corrupt one pack with a doubled separator; the validator must flag it
+    val corrupted = packs.withColumn("tokens",
+      when(col("pack_id") === packs.select(min("pack_id")).collect().head.getLong(0),
+        flatten(array(slice(col("tokens"), 1, 1),
+          array(lit(DataGen.EOS), lit(DataGen.EOS)),
+          slice(col("tokens"), 2, 100000)))).otherwise(col("tokens")))
+    assert(corrupted.filter(!coalesce(chk.pred, lit(false))).count() == 1L)
+  }
+
   test("paddedSequences: planted defect classes are exact ground truth") {
     val n = 20000L
     val corpus = DataGen.paddedSequences(spark, n, maxLen = 32).cache()
