@@ -398,6 +398,27 @@ object Smoke {
           s"halved-vocab OOV shift breached $oovBreached/$oovGroups sources")
     }
 
+    // 29. token-unigram drift: a tokenizer swap in ONE source (remap onto
+    // half the id space) must breach that source and no other
+    {
+      val base = DataGen.sequences(spark, 20000, maxLen = 32)
+        .filter(col("tokens").isNotNull && col("source").isNotNull)
+      val refToks = transform(col("tokens"), t => pmod(t, lit(101)))
+      val curToks = when(col("source") === "forums",
+        transform(col("tokens"), t => pmod(t, lit(51)))).otherwise(refToks)
+      val ref = Drift.tokenUnigramProfile(
+        base.select(col("source"), refToks.as("tokens")), "tokens", "source", 128)
+      val cur = Drift.tokenUnigramProfile(
+        base.select(col("source"), curToks.as("tokens")), "tokens", "source", 128)
+      val shift = Drift.tokenUnigramShift(ref, cur, "source", topK = 20, maxDeltaFp = 500)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("breach"), r.getAs[Long]("ref_err"))).toMap
+      check("token-drift",
+        shift("forums")._1 == 1L && shift.forall(_._2._2 == 0L) &&
+          shift.count(_._2._1 == 1L) == 1,
+        s"forums breached, ${shift.count(_._2._1 == 0L)} sources quiet, all sketches exact")
+    }
+
     spark.stop()
     println(s"[smoke] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"}")
     if (failures > 0) sys.exit(1)

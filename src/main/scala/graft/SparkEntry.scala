@@ -818,6 +818,24 @@ object SparkEntry {
         sum((!lenOk).cast(LongType)).as("n_len_mismatch"),
         count(lit(1)).as("n_rows"))
     }),
+    "v_token_drift" -> ((s, dir) => { // tokenizer-swap drill: token-unigram
+      // RATE drift per source via bounded MG summaries (no explode) — the
+      // current side remaps forums tokens onto HALF the id space, so every
+      // watchlist token's rate roughly doubles or vanishes; other sources
+      // are bit-identical. Vocab 101 < capacity 128 ⇒ err 0 ⇒ exact.
+      val base = DataGen.sequences(s, 20000, maxLen = 32)
+        .filter(col("tokens").isNotNull && col("source").isNotNull)
+      val refToks = transform(col("tokens"), t => pmod(t, lit(101)))
+      val curToks = when(col("source") === "forums",
+        transform(col("tokens"), t => pmod(t, lit(51)))).otherwise(refToks)
+      val ref = Drift.tokenUnigramProfile(
+        base.select(col("source"), refToks.as("tokens")), "tokens", "source", 128)
+      val cur = Drift.tokenUnigramProfile(
+        base.select(col("source"), curToks.as("tokens")), "tokens", "source", 128)
+      Drift.tokenUnigramShift(ref, cur, "source", topK = 20, maxDeltaFp = 500)
+        .select(col("source"), col("n_top"), col("n_breach"),
+          col("max_abs_delta_fp"), col("breach"))
+    }),
     "v_segments" -> ((s, dir) => { // packed-batch segment structure: every
       // EOS-delimited document's length in [1, MAX_SEG] — empty segments
       // (consecutive separators) and over-context documents breach; one
@@ -2388,6 +2406,44 @@ object SparkEntry {
                 CAST(sum(CASE WHEN width - npads <> n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
                 count(*) AS n_rows
          FROM m GROUP BY source""",
+    "v_token_drift" ->
+      // exact re-derivation: unnest the SAME remapped token streams (pmod
+      // mirrored as ((t % m) + m) % m for negative ids), exact per-source
+      // per-token counts, the same (cnt desc, token asc) top-20 watchlist,
+      // HUGEINT // fixed-point rates, LEFT-join current with 0 for absent
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')
+           WHERE tokens IS NOT NULL AND source IS NOT NULL),
+         tok AS (
+           SELECT s.source,
+                  ((t.tok % 101) + 101) % 101 AS rtok,
+                  CASE WHEN s.source = 'forums' THEN ((t.tok % 51) + 51) % 51
+                       ELSE ((t.tok % 101) + 101) % 101 END AS ctok
+           FROM seq s, LATERAL (SELECT unnest(s.tokens) AS tok) t),
+         totals AS (SELECT source, count(*) AS total FROM tok GROUP BY source),
+         refc AS (SELECT source, rtok AS token, count(*) AS cnt FROM tok GROUP BY source, rtok),
+         curc AS (SELECT source, ctok AS token, count(*) AS cnt FROM tok GROUP BY source, ctok),
+         reftop AS (
+           SELECT source, token, cnt,
+                  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rk
+           FROM refc),
+         deltas AS (
+           -- a watchlist token absent from current has rate 0, not NULL
+           SELECT r.source,
+                  CAST((CAST(COALESCE(c2.cnt, 0) AS HUGEINT) * 1000000) // t.total AS BIGINT)
+                    - CAST((CAST(r.cnt AS HUGEINT) * 1000000) // t.total AS BIGINT) AS d
+           FROM reftop r
+           JOIN totals t ON t.source = r.source
+           LEFT JOIN (SELECT source, token, cnt FROM curc) c2
+             ON c2.source = r.source AND c2.token = r.token
+           WHERE r.rk <= 20)
+         SELECT d0.source,
+                CAST(count(*) AS BIGINT) AS n_top,
+                CAST(sum(CASE WHEN abs(d) > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach,
+                CAST(max(abs(d)) AS BIGINT) AS max_abs_delta_fp,
+                CAST(CASE WHEN sum(CASE WHEN abs(d) > 500 THEN 1 ELSE 0 END) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach
+         FROM deltas d0 GROUP BY d0.source""",
     "v_segments" ->
       // re-derives segment lengths from raw arrays: separator positions via
       // generate_series + index, a sentinel at len+1 closes the trailing

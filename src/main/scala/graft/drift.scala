@@ -254,4 +254,84 @@ object Drift {
           .otherwise((abs(col("delta_fp")) > maxDeltaFp).cast(LongType)))
       .drop("__in_ref", "__in_cur")
   }
+
+  /** Per-group token-UNIGRAM profile: a bounded Misra-Gries summary over
+    * every token id in the group ([[graft.functions.TokenFreqSketch]] — no
+    * `explode`, each map task ships a `capacity`-counter summary) plus the
+    * group's exact token total. `sketch.err == 0` certifies the counts are
+    * exact (always when distinct tokens ≤ capacity); real vocabularies get
+    * heavy-hitter guarantees bounded by err. Output: (group, n_rows,
+    * n_tokens, sketch{items:[{token,cnt}...], err}). */
+  def tokenUnigramProfile(df: DataFrame, tokensCol: String, groupCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, s"tokenUnigramProfile: capacity must be > 0, got $capacity")
+    require(df.schema(tokensCol).dataType.isInstanceOf[ArrayType],
+      s"tokenUnigramProfile: column '$tokensCol' is ${df.schema(tokensCol).dataType.typeName}, need array")
+    val t = col(tokensCol)
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(t.isNull, 0L).otherwise(size(t).cast(LongType))).as("n_tokens"),
+        graft.functions.TokenFreqSketch.token_freq_sketch(t, capacity).as("sketch"))
+  }
+
+  /** Ref-vs-current token-unigram RATE drift per group: for each of the
+    * reference profile's top-`topK` tokens (cnt desc, token asc — the
+    * sketch's own order), compare its ×10^6 fixed-point rate against the
+    * current profile (absent ⇒ rate 0); breach when any top token's rate
+    * moved more than `maxDeltaFp`, or a group exists on only one side.
+    * Catches tokenizer swaps and content shifts that leave n_tok
+    * distributions untouched (χ²/KS on lengths are blind to WHICH tokens).
+    * DIRECTIONAL by design — ref's heavy hitters are the watchlist; run
+    * with the sides swapped to also catch newly-appearing heavy tokens.
+    * Exact when both sketches have err == 0; otherwise deltas inherit the
+    * summaries' ±err bounds (carried through as ref_err/cur_err). Pure
+    * LONG arithmetic over two capacity-bounded profile frames. */
+  def tokenUnigramShift(refProf: DataFrame, curProf: DataFrame, groupCol: String,
+      topK: Int, maxDeltaFp: Long): DataFrame = {
+    require(topK > 0, s"tokenUnigramShift: topK must be > 0, got $topK")
+    require(maxDeltaFp >= 0, s"tokenUnigramShift: maxDeltaFp must be >= 0, got $maxDeltaFp")
+    val d38 = DecimalType(38, 0)
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftShim
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      GraftShim.column(new IntegralDivide(
+        GraftShim.expression(a), GraftShim.expression(b)))
+    }
+    def rateFp(cnt: org.apache.spark.sql.Column, total: org.apache.spark.sql.Column) =
+      when(total > 0, intDiv(cnt.cast(d38) * lit(1000000), total.cast(d38)).cast(LongType))
+        .otherwise(lit(0L))
+    // ref watchlist: top-K rows of each group's (already-sorted) item array
+    val refTop = refProf.select(col(groupCol), col("n_tokens").as("__ref_total"),
+        col("sketch.err").as("ref_err"),
+        posexplode(col("sketch.items")).as(Seq("__pos", "__it")))
+      .filter(col("__pos") < topK)
+      .select(col(groupCol), col("ref_err"),
+        col("__it.token").as("token"),
+        rateFp(col("__it.cnt"), col("__ref_total")).as("ref_rate_fp"))
+    val curAll = curProf.select(col(groupCol), col("n_tokens").as("__cur_total"),
+        col("sketch.err").as("cur_err"),
+        explode(col("sketch.items")).as("__it"))
+      .select(col(groupCol), col("cur_err"),
+        col("__it.token").as("token"),
+        rateFp(col("__it.cnt"), col("__cur_total")).as("cur_rate_fp"))
+    val joined = refTop.join(curAll, Seq(groupCol, "token"), "left")
+      .withColumn("cur_rate_fp", coalesce(col("cur_rate_fp"), lit(0L)))
+      .withColumn("delta_fp", col("cur_rate_fp") - col("ref_rate_fp"))
+    val perGroup = joined.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_top"),
+      sum((abs(col("delta_fp")) > maxDeltaFp).cast(LongType)).as("n_breach"),
+      max(abs(col("delta_fp"))).as("max_abs_delta_fp"),
+      max(col("ref_err")).as("ref_err"),
+      max(coalesce(col("cur_err"), lit(0L))).as("cur_err"))
+    // group present on only one side always breaches (oovShift convention)
+    val refG = refProf.select(col(groupCol), lit(true).as("__in_ref"))
+    val curG = curProf.select(col(groupCol), lit(true).as("__in_cur"))
+    refG.join(curG, Seq(groupCol), "full_outer")
+      .join(perGroup, Seq(groupCol), "left")
+      .withColumn("breach",
+        when(col("__in_ref").isNull || col("__in_cur").isNull, 1L)
+          .otherwise((coalesce(col("n_breach"), lit(0L)) > 0).cast(LongType)))
+      .drop("__in_ref", "__in_cur")
+  }
 }

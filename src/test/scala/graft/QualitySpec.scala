@@ -716,4 +716,63 @@ class QualitySpec extends SparkSpec {
     assert(s2("empty").getAs[Long]("breach") == 1)
     intercept[IllegalArgumentException](Drift.oovShift(ref, cur, "source", -1))
   }
+
+  test("TokenFreqSketch: exact when distinct <= capacity, parallelism-stable; self-certified underestimates past it") {
+    import graft.functions.TokenFreqSketch.token_freq_sketch
+    val rows = Seq(
+      ("a", Seq(1, 1, 1, 2)), ("a", Seq(1, 3)),
+      ("b", Seq(2, 2, 2, 2, 9))).toDF("g", "tokens")
+    def prof(parts: Int) = rows.repartition(parts)
+      .groupBy(col("g")).agg(token_freq_sketch(col("tokens"), 16).as("sk"))
+      .select(col("g"), col("sk.items"), col("sk.err"))
+      .collect().map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))),
+        r.getLong(2))).sortBy(_._1).toSeq
+    val p1 = prof(1)
+    assert(p1 === prof(7)) // err == 0 => content-determined at any parallelism
+    val m = p1.map(x => x._1 -> x).toMap
+    assert(m("a")._2 === Seq((1L, 4L), (2L, 1L), (3L, 1L))) // cnt desc, token asc
+    assert(m("a")._3 == 0L && m("b")._3 == 0L)
+    assert(m("b")._2 === Seq((2L, 4L), (9L, 1L)))
+
+    // past capacity: the heavy hitter survives with a bounded underestimate
+    val heavy = Seq(("h", Seq(5, 5, 5, 5, 6, 7, 8))).toDF("g", "tokens")
+    val r = heavy.groupBy(col("g")).agg(token_freq_sketch(col("tokens"), 2).as("sk"))
+      .select(col("sk.items"), col("sk.err")).collect().head
+    val items = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getLong(0), x.getLong(1)))
+    val err = r.getLong(1)
+    assert(err > 0)
+    val five = items.find(_._1 == 5L).get._2
+    assert(five <= 4L && five >= 4L - err) // true - err <= cnt <= true
+  }
+
+  test("tokenUnigramShift: moved rates breach, absent watchlist token reads rate 0, one-sided group breaches") {
+    val mk = (rows: Seq[(String, Seq[Int])]) =>
+      Drift.tokenUnigramProfile(rows.toDF("g", "tokens"), "tokens", "g", 16)
+    val ref = mk(Seq(
+      ("a", Seq(1, 1, 1, 2)), ("a", Seq(1, 3)), // 1->4/6, 2->1/6, 3->1/6
+      ("c", Seq(7, 8)), // watchlist 7, 8 at 500000 each
+      ("gone", Seq(1))))
+    val cur = mk(Seq(
+      ("a", Seq(1, 1, 2, 2)), ("a", Seq(2, 3)), // 1->2/6, 2->3/6, 3->1/6
+      ("c", Seq(9, 9)))) // both watch tokens vanish
+    val s = Drift.tokenUnigramShift(ref, cur, "g", topK = 2, maxDeltaFp = 300000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // top-2 of a: token 1 (cnt 4) then token 2 (tie cnt 1, token asc beats 3)
+    assert(s("a").getAs[Long]("n_top") == 2L)
+    assert(s("a").getAs[Long]("n_breach") == 2L) // -333333 and +333334
+    assert(s("a").getAs[Long]("max_abs_delta_fp") == 333334L)
+    assert(s("a").getAs[Long]("breach") == 1L)
+    assert(s("c").getAs[Long]("max_abs_delta_fp") == 500000L) // absent -> 0 rate
+    assert(s("gone").getAs[Long]("breach") == 1L) // group only in ref
+    assert(s("a").getAs[Long]("ref_err") == 0L && s("a").getAs[Long]("cur_err") == 0L)
+    // quiet when nothing moved
+    val same = Drift.tokenUnigramShift(ref, ref, "g", topK = 2, maxDeltaFp = 0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("breach")).toMap
+    assert(same.values.forall(_ == 0L))
+    intercept[IllegalArgumentException](
+      Drift.tokenUnigramShift(ref, cur, "g", topK = 0, maxDeltaFp = 1))
+    intercept[IllegalArgumentException](
+      Drift.tokenUnigramProfile(ref, "g", "g", 4)) // non-array column
+  }
 }
