@@ -41,6 +41,22 @@ object ProbeLayout {
       require(r.getLong(3) == rows)
       s""""bad_suffix":${r.getLong(0)},"bad_eos":${r.getLong(1)},"bad_len":${r.getLong(2)}"""
     }
+    timed("token-sketch", rows, rows * width) {
+      // array-consuming MG summary: tokens never leave their map task
+      val prof = Drift.tokenUnigramProfile(padded, "tokens", "source", 1024)
+        .select(col("source"), size(col("sketch.items")).as("k"), col("sketch.err"))
+        .collect()
+      s""""groups":${prof.length},"max_err":${prof.map(_.getLong(2)).max}"""
+    }
+    timed("token-explode-exact", rows, rows * width) {
+      // the formulation the sketch replaces: explode + exact counts (partial
+      // agg collapses map-side, but every token row still enters an agg)
+      val r = padded.select(col("source"), explode(col("tokens")).as("t"))
+        .groupBy(col("source"), col("t")).count()
+        .groupBy(col("source")).agg(count(lit(1)).as("distinct"), max("count"))
+        .collect()
+      s""""groups":${r.length},"max_distinct":${r.map(_.getLong(1)).max}"""
+    }
     timed("segment-scan", rows, packTokens) {
       val bad = graft.functions.VecFunctions.array_bad_segments(
         col("tokens"), DataGen.EOS, 1L, DataGen.MAX_SEG)

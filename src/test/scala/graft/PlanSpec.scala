@@ -399,6 +399,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Sort"), p.take(3000))
   }
 
+  test("tokenUnigramProfile: no explode, one exchange of bounded summaries") {
+    val seq = DataGen.sequences(spark, 1000, maxLen = 16)
+    val p = Drift.tokenUnigramProfile(seq, "tokens", "source", 64)
+      .queryExecution.executedPlan.toString
+    // the array-consuming sketch folds tokens in update() — the plan must
+    // contain NO row-amplifying Generate/Explode, and the single exchange
+    // carries capacity-bounded summaries, never (token, count) pairs
+    assert(!p.contains("Generate") && !p.toLowerCase.contains("explode"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    val exch = p.indexOf("Exchange")
+    assert(p.lastIndexOf("ObjectHashAggregate") > exch, p.take(3000))
+  }
+
   test("profileQuantilesApprox: one pass — single scan, no Expand") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = Profiler.profileQuantilesApprox(docs, Seq("doc_id", "n_chars"))
