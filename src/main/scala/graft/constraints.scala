@@ -820,7 +820,13 @@ final case class PadSuffixOnly(col: String, pad: Long) extends RowConstraint {
   * a null array passes (leaf null-stance). */
 final case class EndsWithToken(col: String, eos: Long, pad: Long) extends RowConstraint {
   val id = s"endsWith($col)"
-  def selfCheck(s: StructType) = Constraints.requireIntegralArray(s, col, id)
+  def selfCheck(s: StructType) =
+    Constraints.requireIntegralArray(s, col, id) ++
+      // eos == pad can never pass: the last-real scan skips every pad-valued
+      // (= eos-valued) element, so the check would silently always fail
+      (if (eos == pad)
+         List(SuiteError.Unsupported(id, s"eos token $eos equals pad token — the check can never pass"))
+       else Nil)
   private def c = org.apache.spark.sql.functions.col(col)
   private def lastReal = graft.functions.VecFunctions.array_last_not_eq(c, pad)
   def pred = c.isNull || coalesce(lastReal === eos, lit(false))

@@ -303,16 +303,14 @@ object Drift {
         .otherwise(lit(0L))
     // ref watchlist: top-K rows of each group's (already-sorted) item array
     val refTop = refProf.select(col(groupCol), col("n_tokens").as("__ref_total"),
-        col("sketch.err").as("ref_err"),
         posexplode(col("sketch.items")).as(Seq("__pos", "__it")))
       .filter(col("__pos") < topK)
-      .select(col(groupCol), col("ref_err"),
+      .select(col(groupCol),
         col("__it.token").as("token"),
         rateFp(col("__it.cnt"), col("__ref_total")).as("ref_rate_fp"))
     val curAll = curProf.select(col(groupCol), col("n_tokens").as("__cur_total"),
-        col("sketch.err").as("cur_err"),
         explode(col("sketch.items")).as("__it"))
-      .select(col(groupCol), col("cur_err"),
+      .select(col(groupCol),
         col("__it.token").as("token"),
         rateFp(col("__it.cnt"), col("__cur_total")).as("cur_rate_fp"))
     val joined = refTop.join(curAll, Seq(groupCol, "token"), "left")
@@ -321,12 +319,16 @@ object Drift {
     val perGroup = joined.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_top"),
       sum((abs(col("delta_fp")) > maxDeltaFp).cast(LongType)).as("n_breach"),
-      max(abs(col("delta_fp"))).as("max_abs_delta_fp"),
-      max(col("ref_err")).as("ref_err"),
-      max(coalesce(col("cur_err"), lit(0L))).as("cur_err"))
-    // group present on only one side always breaches (oovShift convention)
-    val refG = refProf.select(col(groupCol), lit(true).as("__in_ref"))
-    val curG = curProf.select(col(groupCol), lit(true).as("__in_cur"))
+      max(abs(col("delta_fp"))).as("max_abs_delta_fp"))
+    // group present on only one side always breaches (oovShift convention).
+    // The err columns come from the GROUP-level profiles, never from the
+    // item-match rows: a current sketch that evicted every watchlist token
+    // still reports its true err, so a consumer trusting err == 0 can never
+    // mistake an MG eviction artifact for a confirmed breach.
+    val refG = refProf.select(col(groupCol), lit(true).as("__in_ref"),
+      col("sketch.err").as("ref_err"))
+    val curG = curProf.select(col(groupCol), lit(true).as("__in_cur"),
+      col("sketch.err").as("cur_err"))
     refG.join(curG, Seq(groupCol), "full_outer")
       .join(perGroup, Seq(groupCol), "left")
       .withColumn("breach",

@@ -118,32 +118,8 @@ case class FreqSketch(
 object FreqSketch {
   import org.apache.spark.sql.GraftShim
 
-  /** Mutable MG state: bounded counter map + accumulated decrement offset.
-    * `add` folds in `weight` occurrences of `value` (weight > capacity-many
-    * merges fold in whole counters at once — the PODS-2012 mergeable form:
-    * sum, then subtract the (capacity+1)-th largest counter from all and
-    * evict non-positives). */
-  private[graft] final class State {
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    var err = 0L
-
-    def add(value: String, weight: Long, capacity: Int): Unit = {
-      counts.updateWith(value) {
-        case Some(c) => Some(c + weight)
-        case None => Some(weight)
-      }
-      if (counts.size > capacity) {
-        // subtract the (capacity+1)-th largest counter (here: with the map
-        // one over capacity, the minimum counter) from every counter; at
-        // least one entry zeroes out, restoring the bound. All surviving
-        // counters stay underestimates within the enlarged err.
-        val d = counts.valuesIterator.min
-        err += d
-        counts.filterInPlace((_, c) => c > d)
-        counts.mapValuesInPlace((_, c) => c - d)
-      }
-    }
-  }
+  /** String-keyed instance of the shared [[MgState]] algebra. */
+  private[graft] type State = MgState[String]
 
   /** Column wrapper: struct(items: array(struct(value, cnt)), err). */
   def freq_sketch(value: Column, capacity: Int): Column =
@@ -253,27 +229,40 @@ case class TokenFreqSketch(
 object TokenFreqSketch {
   import org.apache.spark.sql.GraftShim
 
-  /** Long-keyed MG state; same algebra as [[FreqSketch.State]]. */
-  private[graft] final class State {
-    val counts = scala.collection.mutable.HashMap.empty[Long, Long]
-    var err = 0L
-
-    def add(token: Long, weight: Long, capacity: Int): Unit = {
-      counts.updateWith(token) {
-        case Some(c) => Some(c + weight)
-        case None => Some(weight)
-      }
-      if (counts.size > capacity) {
-        val d = counts.valuesIterator.min
-        err += d
-        counts.filterInPlace((_, c) => c > d)
-        counts.mapValuesInPlace((_, c) => c - d)
-      }
-    }
-  }
+  /** Long-keyed instance of the shared [[MgState]] algebra. */
+  private[graft] type State = MgState[Long]
 
   /** Column wrapper: struct(items: array(struct(token, cnt)), err). */
   def token_freq_sketch(tokens: Column, capacity: Int): Column =
     GraftShim.column(
       TokenFreqSketch(GraftShim.expression(tokens), capacity).toAggregateExpression())
+}
+
+/** Mutable Misra-Gries state shared by the string- and Long-keyed sketches:
+  * bounded counter map + accumulated decrement offset. `add` folds in
+  * `weight` occurrences of `key` (weight > 1 merges fold in whole counters
+  * at once — the PODS-2012 mergeable form: sum, then subtract the
+  * (capacity+1)-th largest counter from all and evict non-positives). ONE
+  * copy of the algebra so an eviction/merge fix can never diverge between
+  * the two aggregates. */
+private[graft] final class MgState[K] {
+  val counts = scala.collection.mutable.HashMap.empty[K, Long]
+  var err = 0L
+
+  def add(key: K, weight: Long, capacity: Int): Unit = {
+    counts.updateWith(key) {
+      case Some(c) => Some(c + weight)
+      case None => Some(weight)
+    }
+    if (counts.size > capacity) {
+      // subtract the (capacity+1)-th largest counter (here: with the map
+      // one over capacity, the minimum counter) from every counter; at
+      // least one entry zeroes out, restoring the bound. All surviving
+      // counters stay underestimates within the enlarged err.
+      val d = counts.valuesIterator.min
+      err += d
+      counts.filterInPlace((_, c) => c > d)
+      counts.mapValuesInPlace((_, c) => c - d)
+    }
+  }
 }

@@ -663,12 +663,7 @@ case class TokenNgramHashes(child: Expression, n: Int)
   require(n > 0, "n > 0")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val get: (ArrayData, Int) => Long =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case IntegerType => (a, i) => a.getInt(i).toLong
-      case LongType => (a, i) => a.getLong(i)
-      case ShortType => (a, i) => a.getShort(i).toLong
-      case other => throw new IllegalArgumentException(s"non-integral token array: $other")
-    }
+    IntGetter.forType(child.dataType)
   @transient private lazy val mayContainNull =
     child.dataType.asInstanceOf[ArrayType].containsNull
   def compute(x: ArrayData): ArrayData = {

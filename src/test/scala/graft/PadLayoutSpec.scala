@@ -120,6 +120,8 @@ class PadLayoutSpec extends SparkSpec {
     assert(PadSuffixOnly("txt", PAD).selfCheck(s).nonEmpty)
     assert(PadSuffixOnly("zzz", PAD).selfCheck(s).nonEmpty)
     assert(EndsWithToken("ftoks", EOS, PAD).selfCheck(s).nonEmpty)
+    assert(EndsWithToken("toks", PAD, PAD).selfCheck(s).nonEmpty) // eos == pad can never pass
+    assert(EndsWithToken("toks", EOS, PAD).selfCheck(s).isEmpty)
     assert(PadAwareLength("toks", "n", PAD).selfCheck(s).isEmpty)
     assert(PadAwareLength("toks", "txt", PAD).selfCheck(s).nonEmpty)
     assert(PadAwareLength("ftoks", "n", PAD).selfCheck(s).nonEmpty)

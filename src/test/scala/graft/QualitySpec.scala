@@ -774,5 +774,19 @@ class QualitySpec extends SparkSpec {
       Drift.tokenUnigramShift(ref, cur, "g", topK = 0, maxDeltaFp = 1))
     intercept[IllegalArgumentException](
       Drift.tokenUnigramProfile(ref, "g", "g", 4)) // non-array column
+
+    // err comes from the GROUP-level sketch, not the item-match rows: a
+    // current sketch that evicted every watchlist token must still report
+    // its true err, so err == 0 can never falsely certify an MG-eviction
+    // artifact as a confirmed breach
+    val refE = Drift.tokenUnigramProfile(
+      Seq(("e", Seq(1, 1, 2))).toDF("g", "tokens"), "tokens", "g", 16)
+    val curE = Drift.tokenUnigramProfile(
+      Seq(("e", Seq(3, 4, 5))).toDF("g", "tokens"), "tokens", "g", 2) // eviction
+    val se = Drift.tokenUnigramShift(refE, curE, "g", topK = 2, maxDeltaFp = 1)
+      .collect().head
+    assert(se.getAs[Long]("cur_err") > 0L)
+    assert(se.getAs[Long]("ref_err") == 0L)
+    assert(se.getAs[Long]("breach") == 1L)
   }
 }
