@@ -67,6 +67,34 @@ object StreamValidate {
         } finally result.annotated.unpersist()
       }
 
+  /** Per-micro-batch token-unigram drift alarm against a STATIC reference
+    * profile (built once from an accepted corpus via
+    * [[graft.Drift.tokenUnigramProfile]] — capacity-bounded, cached here).
+    * Each batch is profiled with the same explode-free sketch and compared
+    * via [[graft.Drift.tokenUnigramShift]]; `onBreach` receives only the
+    * breaching groups. Groups ABSENT from a micro-batch are skipped (a
+    * small batch naturally misses sources — that is ingest cadence, not
+    * drift), while a group present in the batch but unknown to the
+    * reference still breaches (an unknown source at ingest is always worth
+    * an alarm). Stateless per batch: no state store, safe under replay
+    * (re-alarming a replayed batch is idempotent for monitoring). */
+  def tokenDriftForeachBatch(
+      refProfile: DataFrame, stream: DataFrame, tokensCol: String,
+      groupCol: String, capacity: Int, topK: Int, maxDeltaFp: Long,
+      onBreach: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val ref = refProfile.persist() // groups × capacity counters — tiny
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = Drift.tokenUnigramProfile(batch, tokensCol, groupCol, capacity)
+        val shift = Drift.tokenUnigramShift(ref, cur, groupCol, topK, maxDeltaFp)
+        val breaches = shift
+          .join(cur.select(col(groupCol)), Seq(groupCol), "left_semi")
+          .filter(col("breach") === 1)
+        onBreach(breaches, batchId)
+      }
+  }
+
   /** Watermarked windowed violation-rate monitor: per (window, constraint)
     * counts over the violation stream — the operational dashboard feed. */
   def windowedViolationCounts(

@@ -227,6 +227,35 @@ class QualitySpec extends SparkSpec {
     assert(!seen.values.exists(_.contains("rows"))) // constant metric never flags
   }
 
+  test("streaming: per-batch token drift alarms on the swapped source, skips absent groups, flags unknown sources") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference profile from an accepted corpus: two sources with disjoint
+    // heavy tokens
+    val ref = Drift.tokenUnigramProfile(Seq(
+      ("web", Seq(1, 1, 1, 2)), ("web", Seq(1, 2, 3)),
+      ("code", Seq(7, 7, 8))).toDF("source", "tokens"), "tokens", "source", 16)
+    val mem = MemoryStream[(String, Seq[Int])]
+    val seen = scala.collection.mutable.Map.empty[Long, Set[String]]
+    val q = streaming.StreamValidate.tokenDriftForeachBatch(
+      ref, mem.toDF().toDF("source", "tokens"), "tokens", "source",
+      capacity = 16, topK = 2, maxDeltaFp = 200000,
+      onBreach = (df, id) =>
+        seen.synchronized { seen(id) = df.select("source").as[String].collect().toSet })
+      .start()
+    try {
+      // batch 0: same rates as ref, and 'code' entirely absent -> quiet
+      mem.addData(("web", Seq(1, 1, 1, 2)), ("web", Seq(1, 2, 3)))
+      q.processAllAvailable()
+      // batch 1: web's heavy token vanishes (tokenizer swap) -> breach;
+      // an unknown source arrives -> breach
+      mem.addData(("web", Seq(9, 9, 9, 9, 9, 9, 9)), ("mystery", Seq(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen(0) == Set.empty[String]) // absent 'code' is cadence, not drift
+    assert(seen(1) == Set("web", "mystery"))
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
