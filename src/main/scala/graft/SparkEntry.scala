@@ -836,6 +836,11 @@ object SparkEntry {
         .select(col("source"), col("n_top"), col("n_breach"),
           col("max_abs_delta_fp"), col("breach"))
     }),
+    "v_pad_waste" -> ((s, dir) => // padding-waste efficiency profile: the
+      // fraction of scanned tokens that are pad, per source — the compute
+      // cost of the padded layout, exact ×10^6 fixed point
+      Stats.padWasteProfile(DataGen.paddedSequences(s, 20000, maxLen = 32),
+        "tokens", "source", DataGen.PAD)),
     "v_segments" -> ((s, dir) => { // packed-batch segment structure: every
       // EOS-delimited document's length in [1, MAX_SEG] — empty segments
       // (consecutive separators) and over-context documents breach; one
@@ -2444,6 +2449,22 @@ object SparkEntry {
                 CAST(CASE WHEN sum(CASE WHEN abs(d) > 500 THEN 1 ELSE 0 END) > 0
                      THEN 1 ELSE 0 END AS BIGINT) AS breach
          FROM deltas d0 GROUP BY d0.source""",
+    "v_pad_waste" ->
+      // exact mirror over the materialized padded corpus: pad counts via
+      // list_filter, HUGEINT floor division for the fixed-point rate
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seqpad20k.parquet/*.parquet')),
+         m AS (
+           SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(len(tokens)) AS BIGINT) AS n_tokens,
+                  CAST(sum(len(list_filter(tokens, x -> x = 0))) AS BIGINT) AS n_pad
+           FROM seq GROUP BY source)
+         SELECT source, n_rows, n_tokens, n_pad,
+                CASE WHEN n_tokens > 0
+                     THEN CAST((CAST(n_pad AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS waste_fp
+         FROM m""",
     "v_segments" ->
       // re-derives segment lengths from raw arrays: separator positions via
       // generate_series + index, a sentinel at len+1 closes the trailing

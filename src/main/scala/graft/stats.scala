@@ -46,6 +46,35 @@ object Stats {
 
   /** Top-k worst buckets by violation count — the operational "where to look
     * first" view over a bucket report (global TakeOrdered, no full sort). */
+  /** Per-group PADDING-WASTE profile over fixed-width padded batches: the
+    * fraction of scanned tokens that are pad (×10^6 fixed point, TRUE floor
+    * division — bit-identical across engines) plus the raw counts. The
+    * training-efficiency twin of the pad-layout CHECKS: layout says the
+    * rows are well-formed, waste says how much compute the padding burns —
+    * rising waste means the packer (or the length distribution) regressed.
+    * One zero-shuffle codegen'd pass ([[graft.functions.ArrayCountEq]]);
+    * three LONGs per group over the wire. Null arrays contribute nothing. */
+  def padWasteProfile(df: DataFrame, tokensCol: String, groupCol: String,
+      pad: Long): DataFrame = {
+    val t = col(tokensCol)
+    val d38 = DecimalType(38, 0)
+    def intDiv(a: Column, b: Column) = {
+      import org.apache.spark.sql.GraftShim
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      GraftShim.column(new IntegralDivide(
+        GraftShim.expression(a), GraftShim.expression(b)))
+    }
+    df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(t.isNull, 0L).otherwise(size(t).cast(LongType))).as("n_tokens"),
+        sum(when(t.isNull, 0L).otherwise(
+          graft.functions.VecFunctions.array_count_eq(t, pad))).as("n_pad"))
+      .withColumn("waste_fp",
+        when(col("n_tokens") > 0,
+          intDiv(col("n_pad").cast(d38) * lit(1000000), col("n_tokens").cast(d38))
+            .cast(LongType)).otherwise(lit(0L)))
+  }
+
   def topKWorstBuckets(report: DataFrame, k: Int): DataFrame =
     report.orderBy(desc("fail"), col("bucket_id")).limit(k)
 

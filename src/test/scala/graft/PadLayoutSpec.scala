@@ -226,6 +226,35 @@ class PadLayoutSpec extends SparkSpec {
     assert(corrupted.filter(!coalesce(chk.pred, lit(false))).count() == 1L)
   }
 
+  test("padWasteProfile: exact fixed-point waste; composes with the Compliance gate") {
+    val df = Seq(
+      ("web", Seq(1, 5, 2, 0, 0)), // 2 pads of 5
+      ("web", Seq(1, 2, 0, 0, 0)), // 3 pads of 5 -> web: 5/10 = 500000
+      ("code", Seq(1, 5, 6, 7, 2))) // 0 pads -> 0
+      .toDF("source", "tokens")
+    val w = Stats.padWasteProfile(df, "tokens", "source", PAD)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_pad"), r.getAs[Long]("waste_fp"))).toMap
+    assert(w("web") === ((10L, 5L, 500000L)))
+    assert(w("code") === ((5L, 0L, 0L)))
+
+    // layout checks are ordinary RowConstraints: the statistical Compliance
+    // gate composes without special cases — per-source pass rates of
+    // PadSuffixOnly, breaching sources carry the planted ~1/11 defect rate
+    val corpus = DataGen.paddedSequences(spark, 5000, maxLen = 32)
+    val gate = Compliance(PadSuffixOnly("tokens", DataGen.PAD),
+      minPassFp = 950000, groupBy = Some("source"))
+    val suite = ConstraintSuite("doc_id", Nil, aggChecks = Seq(gate))
+    val compiled = suite.compile(corpus.schema)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    // ~9.1% of every source's rows carry the interior-pad defect, so a
+    // 95% gate breaches every source
+    val breached = compiled.run(corpus).violations
+      .filter(col("constraint_id").startsWith("compliance("))
+      .select("actual").collect()
+    assert(breached.length == 5)
+  }
+
   test("paddedSequences: planted defect classes are exact ground truth") {
     val n = 20000L
     val corpus = DataGen.paddedSequences(spark, n, maxLen = 32).cache()
