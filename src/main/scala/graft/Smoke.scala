@@ -41,6 +41,13 @@ object Smoke {
     check("report", rep.getLong(0) == 50000 && rep.getLong(1) + rep.getLong(2) == 50000,
       s"rows=${rep.getLong(0)} pass=${rep.getLong(1)} fail=${rep.getLong(2)}")
 
+    // 1a. quarantine split: clean/quarantined counts agree with the report
+    val (cleanS, quarS) = compiled.split(corpus)
+    check("quarantine",
+      cleanS.count() == rep.getLong(1) && quarS.count() == rep.getLong(2) &&
+        cleanS.columns.sameElements(corpus.columns),
+      s"clean=${rep.getLong(1)} quarantined=${rep.getLong(2)}, original schema kept")
+
     // 1b. padded-batch token layout: dynamic pad-boundary invariants
     val padded = DataGen.paddedSequences(spark, 20000, maxLen = 32)
     val padCompiled = ConstraintSuite("doc_id", Seq(

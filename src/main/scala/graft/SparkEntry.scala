@@ -864,6 +864,18 @@ object SparkEntry {
         benchmark, "tokens", n = 13)
         .agg(count(lit(1)).as("n_contaminated"), sum("n_overlap").as("total_overlap"))
     }),
+    "seq_quarantine" -> ((s, dir) => { // the produce-side split: clean rows
+      // (original schema) for training, quarantined rows carrying their
+      // violation entries — counts must agree with the report by
+      // construction, and the oracle re-derives both sides per-row
+      val corpus = DataGen.sequences(s, 20000, maxLen = 32)
+      val compiled = DataGen.standardSuite(s, maxLen = 32).compile(Seq_.schema)
+        .fold(es => throw new IllegalStateException(es.map(_.msg).mkString("; ")), identity)
+      val (clean, quarantined) = compiled.split(corpus)
+      clean.agg(count(lit(1)).as("n_clean")).crossJoin(
+        quarantined.agg(count(lit(1)).as("n_quarantined"),
+          sum(size(col("violations"))).as("n_entries")))
+    }),
     "seq_report" -> ((s, dir) => {
       val corpus = DataGen.sequences(s, 20000, maxLen = 32)
       val compiled = DataGen.standardSuite(s, maxLen = 32).compile(Seq_.schema)
@@ -2494,6 +2506,29 @@ object SparkEntry {
                 CAST(sum(n_bad) AS BIGINT) AS n_bad_segments,
                 count(*) AS n_rows
          FROM bad GROUP BY source""",
+    "seq_quarantine" ->
+      // per-row re-derivation of the ROW-LOCAL verdicts (the split ignores
+      // cross-row checks by contract): entry counts follow the engine's
+      // conventions — one entry per failing leaf, except the element-domain
+      // check which emits one entry PER offending element
+      """WITH seq AS (
+           SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),
+         f AS (
+           SELECT
+             CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END
+               + CASE WHEN doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{12}$') THEN 1 ELSE 0 END
+               + CASE WHEN source IS NULL THEN 1 ELSE 0 END
+               + CASE WHEN n_tok IS NOT NULL AND NOT (n_tok >= 1 AND n_tok <= 8192) THEN 1 ELSE 0 END
+               + CASE WHEN tokens IS NOT NULL AND n_tok IS NOT NULL AND len(tokens) <> n_tok THEN 1 ELSE 0 END
+               + CASE WHEN tokens IS NOT NULL THEN len(list_filter(tokens, x -> x IS NULL OR x < 0 OR x > 50256)) ELSE 0 END
+               + CASE WHEN tokens IS NOT NULL AND NOT list_contains(tokens, 1) THEN 1 ELSE 0 END
+               + CASE WHEN tokens IS NOT NULL AND NOT (len(tokens) >= 1 AND len(tokens) <= 8192) THEN 1 ELSE 0 END
+               AS entries
+           FROM seq)
+         SELECT CAST(sum(CASE WHEN entries = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                CAST(sum(CASE WHEN entries > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+                CAST(sum(CASE WHEN entries > 0 THEN entries ELSE 0 END) AS BIGINT) AS n_entries
+         FROM f""",
     "seq_validate" ->
       """WITH seq AS (
            SELECT * FROM read_parquet('/root/repo/target/fixtures/seq20k.parquet/*.parquet')),

@@ -136,4 +136,24 @@ final case class CompiledSuite(
     val vio = aggViolations(df).map(rowV.unionByName(_)).getOrElse(rowV)
     ValidationResult(ann, vio, bucketReport(ann, metrics))
   }
+
+  /** QUARANTINE split on the row-local verdict: (clean, quarantined).
+    * Clean keeps the ORIGINAL schema — it feeds downstream training
+    * unchanged; quarantined rows carry their full violation-entry array
+    * (pay-per-defect holds: the interpreted span constructors run only on
+    * the failing side of the filter). Counts agree with `report` by
+    * construction — both derive from the same row-local flags. Cross-row
+    * checks (uniqueness / referential / drift) are corpus-level facts, not
+    * per-row verdicts; gate on them via `run(...).violations` before
+    * shipping the clean side. Each returned frame is its own action over
+    * the one annotate plan — persist the input (or the frames) when the
+    * upstream scan is expensive. */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val ann = annotate(df)
+    val orig = df.columns.toSeq.map(col)
+    val clean = ann.filter(allOkCol).select(orig: _*)
+    val quarantined = ann.filter(!allOkCol)
+      .select(orig :+ viosOf.as("violations"): _*)
+    (clean, quarantined)
+  }
 }

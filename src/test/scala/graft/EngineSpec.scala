@@ -126,4 +126,27 @@ class EngineSpec extends SparkSpec {
     val b = DataGen.sequences(spark, 2000, maxLen = 16, parts = 7).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("split: clean side keeps the original schema; counts agree with the report") {
+    val (clean, quarantined) = compiled.split(corpus)
+    assert(clean.columns.toSeq == corpus.columns.toSeq) // original schema, no flags
+    assert(quarantined.columns.toSeq == corpus.columns.toSeq :+ "violations")
+    val nClean = clean.count()
+    val nQuar = quarantined.count()
+    assert(nClean + nQuar == N)
+    // split and report derive from the same row-local flags — exact agreement
+    val rep = result.report.agg(sum("pass"), sum("fail")).head()
+    assert(rep.getLong(0) == nClean && rep.getLong(1) == nQuar)
+    // every quarantined row carries at least one entry; entry total equals
+    // the row-local violation frame's row count (same accumulate-all rules)
+    val entries = quarantined.agg(
+      min(size(col("violations"))), sum(size(col("violations")))).head()
+    assert(entries.getInt(0) >= 1)
+    val rowLocal = result.violations
+      .filter(!col("constraint_id").startsWith("unique(") &&
+        !col("constraint_id").startsWith("ref(") &&
+        !col("constraint_id").startsWith("drift("))
+      .count()
+    assert(entries.getLong(1) == rowLocal)
+  }
 }
