@@ -67,6 +67,49 @@ object StreamValidate {
         } finally result.annotated.unpersist()
       }
 
+  /** Streaming QUARANTINE split — the daily-ingest shape: each micro-batch's
+    * clean rows (original schema) append to `cleanDir/batch=<id>` and its
+    * quarantined rows (plus their violation-entry array) to
+    * `quarantineDir/batch=<id>`, both EXACTLY-ONCE under the crash-safe
+    * DONE-marker protocol shared with [[graft.MetricsRepo.append]]: data
+    * first, marker after, so a replayed batch is a no-op and a crash
+    * mid-write leaves data invisible to the marker-gated reader and
+    * overwritten by the retry. Training jobs read ONLY marker-complete
+    * clean partitions via [[readCompletedBatches]]. */
+  def splitForeachBatch(suite: CompiledSuite, stream: DataFrame,
+      cleanDir: String, quarantineDir: String,
+      io: TableIO = TableIO.default): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def appendOnce(df: DataFrame, dir: String): Unit = {
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+          val marker = new org.apache.hadoop.fs.Path(s"$dir/_appended_$batchId")
+          if (!fs.exists(marker)) {
+            io.writer(df, "overwrite").save(s"$dir/batch=$batchId")
+            fs.create(marker, true).close()
+          }
+        }
+        val (clean, quarantined) = suite.split(batch)
+        appendOnce(clean, cleanDir)
+        appendOnce(quarantined, quarantineDir)
+      }
+
+  /** Marker-gated reader for [[splitForeachBatch]] output: only batches
+    * whose DONE marker exists are listed, so a crash mid-append can never
+    * leak half-written rows into training. */
+  def readCompletedBatches(spark: SparkSession, dir: String,
+      io: TableIO = TableIO.default): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val completed = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_appended_")).map(_.stripPrefix("_appended_"))
+      .map(_.toLong).sorted
+    require(completed.nonEmpty, s"no completed batches under $dir")
+    io.readUnder(spark, dir, completed.toSeq.map(s => s"$dir/batch=$s"))
+  }
+
   /** Per-micro-batch token-unigram drift alarm against a STATIC reference
     * profile (built once from an accepted corpus via
     * [[graft.Drift.tokenUnigramProfile]] — capacity-bounded, cached here).

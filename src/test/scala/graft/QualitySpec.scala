@@ -256,6 +256,36 @@ class QualitySpec extends SparkSpec {
     assert(seen(1) == Set("web", "mystery"))
   }
 
+  test("streaming: quarantine split writes marker-complete batches; reader skips uncommitted partials") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = Seq(("x", 1)).toDF("doc_id", "n_tok").schema
+    val compiled = ConstraintSuite("doc_id",
+      Seq(NonNull("doc_id"), Range("n_tok", 0, 100)))
+      .compile(schema).fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val cleanDir = Files.createTempDirectory("graft-clean").toString
+    val quarDir = Files.createTempDirectory("graft-quar").toString
+    val mem = MemoryStream[(String, Int)]
+    val q = streaming.StreamValidate.splitForeachBatch(
+      compiled, mem.toDF().toDF("doc_id", "n_tok"), cleanDir, quarDir).start()
+    try {
+      mem.addData(("a", 10), ("b", 20)); q.processAllAvailable()
+      mem.addData(("c", 10), ("d", 900), (null, 10)); q.processAllAvailable()
+    } finally q.stop()
+    val clean = streaming.StreamValidate.readCompletedBatches(spark, cleanDir)
+    assert(clean.count() == 3)
+    assert(clean.columns.toSet == Set("doc_id", "n_tok", "batch"))
+    val quar = streaming.StreamValidate.readCompletedBatches(spark, quarDir)
+    assert(quar.count() == 2)
+    val ids = quar.select(explode(col("violations.constraint_id")))
+      .as[String].collect().toSet
+    assert(ids == Set("range(n_tok)", "nonnull(doc_id)"))
+    // an uncommitted partial (data, no marker) is invisible to the reader
+    Seq(("zz", 5)).toDF("doc_id", "n_tok")
+      .write.parquet(s"$cleanDir/batch=99")
+    assert(streaming.StreamValidate.readCompletedBatches(spark, cleanDir).count() == 3)
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
