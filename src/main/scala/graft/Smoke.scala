@@ -41,12 +41,16 @@ object Smoke {
     check("report", rep.getLong(0) == 50000 && rep.getLong(1) + rep.getLong(2) == 50000,
       s"rows=${rep.getLong(0)} pass=${rep.getLong(1)} fail=${rep.getLong(2)}")
 
-    // 1a. quarantine split: clean/quarantined counts agree with the report
+    // 1a. quarantine split: clean/quarantined counts agree with the report,
+    // and the split CONSERVES the input key multiset exactly (Reconcile)
     val (cleanS, quarS) = compiled.split(corpus)
+    val conserved = ops.Reconcile.conservation(corpus, "doc_id", Seq(cleanS, quarS))
+      .collect().map(_.getString(0)).toSet
     check("quarantine",
       cleanS.count() == rep.getLong(1) && quarS.count() == rep.getLong(2) &&
-        cleanS.columns.sameElements(corpus.columns),
-      s"clean=${rep.getLong(1)} quarantined=${rep.getLong(2)}, original schema kept")
+        cleanS.columns.sameElements(corpus.columns) && conserved == Set("match"),
+      s"clean=${rep.getLong(1)} quarantined=${rep.getLong(2)}, original schema kept, " +
+        s"key multiset conserved=$conserved")
 
     // 1b. padded-batch token layout: dynamic pad-boundary invariants
     val padded = DataGen.paddedSequences(spark, 20000, maxLen = 32)

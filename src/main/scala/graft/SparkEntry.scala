@@ -836,6 +836,17 @@ object SparkEntry {
         .select(col("source"), col("n_top"), col("n_breach"),
           col("max_abs_delta_fp"), col("breach"))
     }),
+    "v_reconcile" -> ((s, dir) => { // pipeline row accounting: bidirectional
+      // multiplicity-aware key parity between a corpus and a deterministic
+      // mutation of it (dropped / duplicated / invented keys) — per-key
+      // counts collapse map-side, ONE full-outer join on the key
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val right = docs.filter(col("doc_id") % 13 =!= 0)
+        .unionByName(docs.filter(col("doc_id") % 17 === 0))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id")))
+      Reconcile.keyParity(docs, right, "doc_id")
+    }),
     "v_pad_waste" -> ((s, dir) => // padding-waste efficiency profile: the
       // fraction of scanned tokens that are pad, per source — the compute
       // cost of the padded layout, exact ×10^6 fixed point
@@ -2461,6 +2472,27 @@ object SparkEntry {
                 CAST(CASE WHEN sum(CASE WHEN abs(d) > 500 THEN 1 ELSE 0 END) > 0
                      THEN 1 ELSE 0 END AS BIGINT) AS breach
          FROM deltas d0 GROUP BY d0.source""",
+    "v_reconcile" ->
+      // mirror of the mutation + full-outer per-key count compare
+      """WITH docs AS (SELECT doc_id FROM documents),
+         rightt AS (
+           SELECT doc_id FROM docs WHERE doc_id % 13 <> 0
+           UNION ALL SELECT doc_id FROM docs WHERE doc_id % 17 = 0
+           UNION ALL SELECT doc_id + 10000000 FROM docs WHERE doc_id % 19 = 0),
+         l AS (SELECT doc_id, count(*) AS nl FROM docs WHERE doc_id IS NOT NULL GROUP BY doc_id),
+         r AS (SELECT doc_id, count(*) AS nr FROM rightt WHERE doc_id IS NOT NULL GROUP BY doc_id),
+         j AS (
+           SELECT CASE WHEN r.nr IS NULL THEN 'left_only'
+                       WHEN l.nl IS NULL THEN 'right_only'
+                       WHEN l.nl <> r.nr THEN 'count_mismatch'
+                       ELSE 'match' END AS disposition,
+                  COALESCE(l.nl, 0) AS nl, COALESCE(r.nr, 0) AS nr
+           FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id)
+         SELECT disposition,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(nl) AS BIGINT) AS n_rows_left,
+                CAST(sum(nr) AS BIGINT) AS n_rows_right
+         FROM j GROUP BY disposition""",
     "v_pad_waste" ->
       // exact mirror over the materialized padded corpus: pad counts via
       // list_filter, HUGEINT floor division for the fixed-point rate

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset RECONCILIATION: row accounting between two stages of a pipeline
+  * ("did dedup lose rows it shouldn't have? did the rewrite duplicate
+  * keys?"). The bidirectional, multiplicity-aware complement of the
+  * one-directional [[graft.RefIntegrity]] foreign-key check.
+  *
+  * Scale shape: each side collapses to per-key counts FIRST (partial
+  * aggregation map-side, so the shuffle carries one row per distinct key,
+  * never the corpus), then ONE full-outer sort-merge join on the key hash.
+  * No broadcasts required — both sides may be corpus-sized.
+  */
+object Reconcile {
+
+  /** Per-key multiplicity compare of `left` vs `right` on `keyCol`:
+    * one row per DISPOSITION —
+    *  - `left_only`  — keys present only in left (rows lost downstream)
+    *  - `right_only` — keys present only in right (rows invented)
+    *  - `count_mismatch` — key in both, different multiplicities
+    *  - `match` — key in both with identical multiplicities
+    * with `n_keys` (distinct keys) and `n_rows_left`/`n_rows_right` (row
+    * mass in each side carried by that disposition). NULL keys are excluded
+    * on both sides (assert presence with NonNull upstream — a null key has
+    * no identity to reconcile). Exact LONG arithmetic throughout. */
+  def keyParity(left: DataFrame, right: DataFrame, keyCol: String): DataFrame = {
+    def counted(df: DataFrame, out: String) =
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as(out))
+    val l = counted(left, "__n_l")
+    val r = counted(right, "__n_r")
+    val joined = l.join(r, Seq(keyCol), "full_outer")
+      .select(
+        when(col("__n_r").isNull, "left_only")
+          .when(col("__n_l").isNull, "right_only")
+          .when(col("__n_l") =!= col("__n_r"), "count_mismatch")
+          .otherwise("match").as("disposition"),
+        coalesce(col("__n_l"), lit(0L)).as("__n_l"),
+        coalesce(col("__n_r"), lit(0L)).as("__n_r"))
+    joined.groupBy(col("disposition")).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__n_l")).as("n_rows_left"),
+      sum(col("__n_r")).as("n_rows_right"))
+  }
+
+  /** Gate form: true iff the two sides carry EXACTLY the same key
+    * multiset — no lost, invented, or re-multiplied keys. One job. */
+  def identical(left: DataFrame, right: DataFrame, keyCol: String): Boolean =
+    keyParity(left, right, keyCol)
+      .filter(col("disposition") =!= "match").isEmpty
+
+  /** CONSERVATION check for a split step (e.g. dedup, quarantine,
+    * sampling): every input key must land in EXACTLY ONE of the outputs,
+    * with its multiplicity preserved — `outputs` must partition `input`.
+    * Returns the keyParity frame of input vs the union of outputs; an
+    * all-`match` result proves nothing was lost, duplicated across
+    * outputs, or invented. Output schemas may differ from the input's —
+    * only the key column is read. */
+  def conservation(input: DataFrame, keyCol: String, outputs: Seq[DataFrame]): DataFrame = {
+    require(outputs.nonEmpty, "conservation: need at least one output frame")
+    val union = outputs.map(_.select(col(keyCol))).reduce(_.unionByName(_))
+    keyParity(input.select(col(keyCol)), union, keyCol)
+  }
+}

@@ -286,6 +286,36 @@ class QualitySpec extends SparkSpec {
     assert(streaming.StreamValidate.readCompletedBatches(spark, cleanDir).count() == 3)
   }
 
+  test("Reconcile: multiplicity-aware key parity, identical gate, split conservation") {
+    val left = Seq("a", "a", "b", "c", null).toDF("k")
+    val right = Seq("a", "b", "b", "d", null, null).toDF("k")
+    val p = ops.Reconcile.keyParity(left, right, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: 2 vs 1 and b: 1 vs 2 -> count_mismatch; c lost; d invented;
+    // null keys excluded on BOTH sides (no identity to reconcile)
+    assert(p("count_mismatch") === ((2L, 3L, 3L)))
+    assert(p("left_only") === ((1L, 1L, 0L)))
+    assert(p("right_only") === ((1L, 0L, 1L)))
+    assert(!p.contains("match"))
+    assert(!ops.Reconcile.identical(left, right, "k"))
+    assert(ops.Reconcile.identical(left, left, "k"))
+
+    // conservation: a clean split partitions the input exactly
+    val input = Seq("x", "x", "y", "z").toDF("k")
+    val out1 = Seq("x", "x").toDF("k")
+    val out2 = Seq("y", "z").toDF("k")
+    val cons = ops.Reconcile.conservation(input, "k", Seq(out1, out2))
+      .collect().map(r => r.getString(0)).toSet
+    assert(cons == Set("match"))
+    // an output overlap (y lands in both) breaks conservation
+    val bad = ops.Reconcile.conservation(input, "k",
+      Seq(out1, out2, Seq("y").toDF("k")))
+      .filter(col("disposition") === "count_mismatch").count()
+    assert(bad == 1L)
+    intercept[IllegalArgumentException](ops.Reconcile.conservation(input, "k", Nil))
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
