@@ -52,6 +52,61 @@ object Reconcile {
     keyParity(left, right, keyCol)
       .filter(col("disposition") =!= "match").isEmpty
 
+  /** CONTENT-level parity: [[keyParity]] catches lost / invented /
+    * re-multiplied keys but is blind to a rewrite that keeps every key and
+    * silently CHANGES row content. rowParity compares, per key, the full
+    * MULTISET of row contents (all columns, canonicalized by sorted column
+    * name so projection order never matters). Per-key dispositions:
+    *  - `left_only` / `right_only` / `count_mismatch` — as [[keyParity]]
+    *  - `content_mismatch` — key multiplicities AGREE but at least one row's
+    *    content differs (the silent-rewrite case keyParity cannot see)
+    *  - `match` — identical content multisets
+    * Both frames must carry the same column SET. NULL keys excluded as in
+    * [[keyParity]].
+    *
+    * Scale shape: row contents collapse to a 64-bit `xxhash64` fingerprint
+    * AND per-(key, fingerprint) counts map-side, so the first shuffle
+    * carries one row per DISTINCT (key, content) — never the corpus; the
+    * per-key rollup and the final disposition agg ride the same key
+    * partitioning. Column ordinals are interleaved into the hash so a null
+    * field keeps its position (Spark's hash fold skips nulls; bare
+    * `xxhash64(a, b)` would equate ("x", null) with (null, "x")). A 64-bit
+    * collision can only turn a true `content_mismatch` into `match`
+    * (never the reverse) at ~2^-64 per colliding pair. */
+  def rowParity(left: DataFrame, right: DataFrame, keyCol: String): DataFrame = {
+    val cols = left.columns.sorted
+    require(right.columns.sorted.sameElements(cols),
+      s"rowParity: column sets differ — left ${left.columns.sorted.mkString(",")} " +
+        s"vs right ${right.columns.sorted.mkString(",")}")
+    def cells(df: DataFrame, out: String) = {
+      val fp = xxhash64(cols.zipWithIndex.flatMap {
+        case (c, i) => Seq(lit(i), col(c)) }: _*)
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol), fp.as("__fp"))
+        .agg(count(lit(1)).as(out))
+    }
+    val joined = cells(left, "__n_l")
+      .join(cells(right, "__n_r"), Seq(keyCol, "__fp"), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("__n_l"), lit(0L)).as("__n_l"),
+        coalesce(col("__n_r"), lit(0L)).as("__n_r"))
+    val perKey = joined.groupBy(col(keyCol)).agg(
+      sum(col("__n_l")).as("__nl"),
+      sum(col("__n_r")).as("__nr"),
+      max(when(col("__n_l") =!= col("__n_r"), 1L).otherwise(0L)).as("__cell_diff"))
+    perKey.select(
+      when(col("__nl") === 0L, "right_only")
+        .when(col("__nr") === 0L, "left_only")
+        .when(col("__nl") =!= col("__nr"), "count_mismatch")
+        .when(col("__cell_diff") === 1L, "content_mismatch")
+        .otherwise("match").as("disposition"),
+      col("__nl"), col("__nr"))
+      .groupBy(col("disposition")).agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__nl")).as("n_rows_left"),
+        sum(col("__nr")).as("n_rows_right"))
+  }
+
   /** CONSERVATION check for a split step (e.g. dedup, quarantine,
     * sampling): every input key must land in EXACTLY ONE of the outputs,
     * with its multiplicity preserved — `outputs` must partition `input`.

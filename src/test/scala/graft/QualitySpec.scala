@@ -316,6 +316,47 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](ops.Reconcile.conservation(input, "k", Nil))
   }
 
+  test("Reconcile.rowParity: content multisets per key, keyParity's blind spot covered") {
+    val left = Seq((1L, "a", 10), (2L, "b", 20), (2L, "b2", 21),
+      (3L, "c", 30), (4L, "d", 40), (5L, "e", 50)).toDF("k", "t", "n")
+    val right = Seq(
+      (1L, "a", 10),            // untouched -> match
+      (2L, "b", 20), (2L, "b2", 21), // both copies intact -> match
+      (3L, "c", 31),            // same key, edited n -> content_mismatch
+      (4L, "d", 40), (4L, "d", 40), // re-multiplied -> count_mismatch
+      (6L, "f", 60))            // invented; 5 lost
+      .toDF("k", "t", "n")
+    val p = ops.Reconcile.rowParity(left, right, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p("match") === ((2L, 3L, 3L)))
+    assert(p("content_mismatch") === ((1L, 1L, 1L)))
+    assert(p("count_mismatch") === ((1L, 1L, 2L)))
+    assert(p("left_only") === ((1L, 1L, 0L)))
+    assert(p("right_only") === ((1L, 0L, 1L)))
+
+    // the blind spot: keyParity calls the edited-content frame all-match
+    val kp = ops.Reconcile.keyParity(left.filter(col("k") === 3L),
+      right.filter(col("k") === 3L), "k")
+      .collect().map(_.getString(0)).toSet
+    assert(kp == Set("match"))
+
+    // column ORDER never matters (canonicalized); column SET does (guard)
+    val reordered = right.select(col("n"), col("k"), col("t"))
+    val p2 = ops.Reconcile.rowParity(left, reordered, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p2 === p.map { case (d, (nk, _, _)) => d -> nk })
+    intercept[IllegalArgumentException](
+      ops.Reconcile.rowParity(left, right.drop("n"), "k"))
+
+    // null CONTENT fields keep positional identity: ("x", null) != (null, "x")
+    val ln = Seq((1L, Some("x"), Option.empty[String])).toDF("k", "a", "b")
+    val rn = Seq((1L, Option.empty[String], Some("x"))).toDF("k", "a", "b")
+    val pn = ops.Reconcile.rowParity(ln, rn, "k")
+      .collect().map(_.getString(0)).toSet
+    assert(pn == Set("content_mismatch"))
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
