@@ -863,6 +863,22 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 10000000L))
       Reconcile.rowParity(docs, right, "doc_id")
     }),
+    "v_col_diff" -> ((s, dir) => { // rowParity's diagnostic tail: WHICH
+      // column did the rewrite corrupt — per-column multiset-fingerprint
+      // compare over keys with matching multiplicity. Deterministic
+      // mutation: text on %7, n_chars on %11, lang on %23; %13 dropped and
+      // %17 duplicated prove the compared-key scope excludes them
+      val docs = ld(s, dir, "documents")
+      val mut = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("x"))).otherwise(col("text")))
+        .withColumn("n_chars", when(col("doc_id") % 11 === 0,
+          col("n_chars") + 1L).otherwise(col("n_chars")))
+        .withColumn("lang", when(col("doc_id") % 23 === 0,
+          concat(col("lang"), lit("x"))).otherwise(col("lang")))
+      val right = mut.unionByName(docs.filter(col("doc_id") % 17 === 0))
+      Reconcile.columnDiff(docs, right, "doc_id")
+    }),
     "v_pad_waste" -> ((s, dir) => // padding-waste efficiency profile: the
       // fraction of scanned tokens that are pad, per source — the compute
       // cost of the padded layout, exact ×10^6 fixed point
@@ -2509,6 +2525,44 @@ object SparkEntry {
                 CAST(sum(nl) AS BIGINT) AS n_rows_left,
                 CAST(sum(nr) AS BIGINT) AS n_rows_right
          FROM j GROUP BY disposition""",
+    "v_col_diff" ->
+      // mirror of the per-column multiset compare: DuckDB compares
+      // list_sort'd value lists per key per column where Spark compares
+      // hi/lo-split hash-sum fingerprints — same multiset semantics;
+      // compared keys = present both sides with equal multiplicity
+      """WITH docs AS (SELECT * FROM documents),
+         mut AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || 'x' ELSE text END AS text,
+                CASE WHEN doc_id % 23 = 0 THEN lang || 'x' ELSE lang END AS lang,
+                source,
+                CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+           FROM docs WHERE doc_id % 13 <> 0),
+         rightt AS (
+           SELECT doc_id, text, lang, source, n_chars FROM mut
+           UNION ALL SELECT doc_id, text, lang, source, n_chars
+             FROM docs WHERE doc_id % 17 = 0),
+         l AS (SELECT doc_id, count(*) AS n,
+                      list_sort(list(text)) AS m_text, list_sort(list(lang)) AS m_lang,
+                      list_sort(list(source)) AS m_source, list_sort(list(n_chars)) AS m_nc
+               FROM docs WHERE doc_id IS NOT NULL GROUP BY doc_id),
+         r AS (SELECT doc_id, count(*) AS n,
+                      list_sort(list(text)) AS m_text, list_sort(list(lang)) AS m_lang,
+                      list_sort(list(source)) AS m_source, list_sort(list(n_chars)) AS m_nc
+               FROM rightt WHERE doc_id IS NOT NULL GROUP BY doc_id),
+         j AS (SELECT l.m_text AS lt, l.m_lang AS lg, l.m_source AS ls, l.m_nc AS ln,
+                      r.m_text AS rt, r.m_lang AS rg, r.m_source AS rs, r.m_nc AS rn
+               FROM l JOIN r ON l.doc_id = r.doc_id AND l.n = r.n)
+         SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_keys_compared,
+                CAST(COALESCE(sum(CASE WHEN lg <> rg THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keys_differing FROM j
+         UNION ALL
+         SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(CASE WHEN ln <> rn THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+         UNION ALL
+         SELECT 'source', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(CASE WHEN ls <> rs THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+         UNION ALL
+         SELECT 'text', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(CASE WHEN lt <> rt THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j""",
     "v_row_parity" ->
       // mirror of the content mutation + per-(key, full-row) count compare:
       // DuckDB groups on the raw column tuple where Spark groups on the

@@ -107,6 +107,61 @@ object Reconcile {
         sum(col("__nr")).as("n_rows_right"))
   }
 
+  /** Per-COLUMN diff diagnostic — [[rowParity]] says THAT content changed;
+    * columnDiff says WHERE: for every non-key column, the number of keys
+    * whose value multiset for that column differs between the sides.
+    * Compared keys are those present on BOTH sides with EQUAL multiplicity
+    * (`n_keys_compared`, same for every column) — lost / invented /
+    * re-multiplied keys are [[keyParity]]'s jurisdiction and would read as
+    * all-columns-differ noise here. Output: one row per non-key column,
+    * `(col_name, n_keys_compared, n_keys_differing)`.
+    *
+    * Scale shape: ONE aggregation per side computes, per key, an
+    * order-independent multiset fingerprint for ALL columns at once — the
+    * sum of per-value xxhash64, split into hi/lo 32-bit halves so the sums
+    * stay exact LONGs under ANSI up to 2^31 rows per key (a wrapped 64-bit
+    * sum would throw on overflow; XOR would let paired duplicates cancel).
+    * Shuffle carries one row per distinct key; one equi-join; the final
+    * per-column rollup is a single agg row unpivoted driver-free via
+    * `stack`. Fingerprint equality is probabilistic the same way
+    * [[rowParity]]'s is: a collision can only UNDER-report a diff. */
+  def columnDiff(left: DataFrame, right: DataFrame, keyCol: String): DataFrame = {
+    val cols = left.columns.filterNot(_ == keyCol).sorted
+    require(right.columns.sorted.sameElements(left.columns.sorted),
+      s"columnDiff: column sets differ — left ${left.columns.sorted.mkString(",")} " +
+        s"vs right ${right.columns.sorted.mkString(",")}")
+    require(cols.nonEmpty, "columnDiff: no non-key columns to compare")
+    def summarized(df: DataFrame, suffix: String) = {
+      val aggs = count(lit(1)).as(s"__n$suffix") +: cols.zipWithIndex.flatMap {
+        case (c, i) =>
+          // ordinal-salted so identical values in different columns get
+          // independent fingerprints; shiftRightUnsigned/mask keep each
+          // summand < 2^32
+          val h = xxhash64(lit(i), col(c))
+          Seq(sum(shiftrightunsigned(h, 32)).as(s"__hi_$i$suffix"),
+            sum(h.bitwiseAND(lit(0xFFFFFFFFL))).as(s"__lo_$i$suffix"))
+      }
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    }
+    val j = summarized(left, "_l").join(summarized(right, "_r"), Seq(keyCol))
+      .filter(col("__n_l") === col("__n_r"))
+    val flags = cols.indices.map { i =>
+      sum(when(col(s"__hi_${i}_l") =!= col(s"__hi_${i}_r") ||
+        col(s"__lo_${i}_l") =!= col(s"__lo_${i}_r"), 1L).otherwise(0L))
+        .as(s"__d_$i")
+    }
+    val one = j.agg(count(lit(1)).as("__total"), flags: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'${c.replace("'", "''")}', __d_$i" }
+      .mkString(", ")
+    one.selectExpr("__total",
+      s"stack(${cols.length}, $stackArgs) AS (col_name, __d)")
+      .select(col("col_name"),
+        coalesce(col("__total"), lit(0L)).as("n_keys_compared"),
+        coalesce(col("__d"), lit(0L)).as("n_keys_differing"))
+  }
+
   /** CONSERVATION check for a split step (e.g. dedup, quarantine,
     * sampling): every input key must land in EXACTLY ONE of the outputs,
     * with its multiplicity preserved — `outputs` must partition `input`.

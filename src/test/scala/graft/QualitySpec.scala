@@ -357,6 +357,51 @@ class QualitySpec extends SparkSpec {
     assert(pn == Set("content_mismatch"))
   }
 
+  test("Reconcile.columnDiff: per-column diff localization, multiplicity scoping") {
+    val left = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L), (4L, "d", 40L), (5L, "e", 50L)).toDF("k", "t", "n")
+    val right = Seq(
+      (1L, "a", 10L),   // untouched
+      (2L, "B", 20L),   // t edited
+      (3L, "c", 31L),   // n edited
+      (4L, "d", 40L),   // re-multiplied (2 vs 1) -> excluded from compare
+      (6L, "f", 60L))   // invented; 5 lost -> both excluded
+      .toDF("k", "t", "n")
+    val d = ops.Reconcile.columnDiff(left, right, "k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d === Map("t" -> ((3L, 1L)), "n" -> ((3L, 1L))))
+
+    // same values SWAPPED between columns is a diff in both (ordinal salt)
+    val swapped = Seq((1L, "x", "y")).toDF("k", "a", "b")
+    val swapped2 = Seq((1L, "y", "x")).toDF("k", "a", "b")
+    val ds = ops.Reconcile.columnDiff(swapped, swapped2, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ds === Map("a" -> 1L, "b" -> 1L))
+
+    // per-key value multisets are ORDER-independent: the same rows in a
+    // different order (different value pairing across columns) still match
+    // column-wise — columnDiff localizes columns, rowParity owns row identity
+    val m1 = Seq((1L, "p", 1L), (1L, "q", 2L)).toDF("k", "t", "n")
+    val m2 = Seq((1L, "q", 1L), (1L, "p", 2L)).toDF("k", "t", "n")
+    val dm = ops.Reconcile.columnDiff(m1, m2, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dm === Map("t" -> 0L, "n" -> 0L))
+
+    // null vs value is a diff; empty comparable set yields zero rows counted
+    val n1 = Seq((1L, Some("x"))).toDF("k", "t")
+    val n2 = Seq((1L, Option.empty[String])).toDF("k", "t")
+    assert(ops.Reconcile.columnDiff(n1, n2, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap === Map("t" -> 1L))
+    val disjoint = ops.Reconcile.columnDiff(
+      Seq((1L, "a")).toDF("k", "t"), Seq((2L, "a")).toDF("k", "t"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(disjoint.toSeq === Seq(("t", 0L, 0L)))
+    intercept[IllegalArgumentException](
+      ops.Reconcile.columnDiff(left, right.drop("n"), "k"))
+    intercept[IllegalArgumentException](
+      ops.Reconcile.columnDiff(left.select("k"), left.select("k"), "k"))
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
