@@ -879,6 +879,21 @@ object SparkEntry {
       val right = mut.unionByName(docs.filter(col("doc_id") % 17 === 0))
       Reconcile.columnDiff(docs, right, "doc_id")
     }),
+    "v_diff_examples" -> ((s, dir) => { // bounded examples after a red
+      // parity gate: the 25 smallest non-match keys with their disposition —
+      // ordered limit plans as TakeOrderedAndProject, deterministic at any
+      // parallelism (same mutation as v_row_parity)
+      val docs = ld(s, dir, "documents")
+      val kept = docs.filter(col("doc_id") % 13 =!= 0)
+      val mutated = kept.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("x")))
+          .otherwise(col("text")))
+      val right = mutated
+        .unionByName(docs.filter(col("doc_id") % 17 === 0))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Reconcile.diffExamples(docs, right, "doc_id", 25)
+    }),
     "v_pad_waste" -> ((s, dir) => // padding-waste efficiency profile: the
       // fraction of scanned tokens that are pad, per source — the compute
       // cost of the padded layout, exact ×10^6 fixed point
@@ -2525,6 +2540,48 @@ object SparkEntry {
                 CAST(sum(nl) AS BIGINT) AS n_rows_left,
                 CAST(sum(nr) AS BIGINT) AS n_rows_right
          FROM j GROUP BY disposition""",
+    "v_diff_examples" ->
+      // v_row_parity's per-key mirror, keeping the key, non-match only,
+      // smallest 25 keys
+      """WITH docs AS (SELECT * FROM documents),
+         kept AS (SELECT * FROM docs WHERE doc_id % 13 <> 0),
+         mutated AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || 'x' ELSE text END AS text,
+                lang, source, n_chars FROM kept),
+         rightt AS (
+           SELECT * FROM mutated
+           UNION ALL SELECT * FROM docs WHERE doc_id % 17 = 0
+           UNION ALL SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
+             FROM docs WHERE doc_id % 19 = 0),
+         l AS (SELECT doc_id, text, lang, source, n_chars, count(*) AS nl
+               FROM docs WHERE doc_id IS NOT NULL GROUP BY ALL),
+         r AS (SELECT doc_id, text, lang, source, n_chars, count(*) AS nr
+               FROM rightt WHERE doc_id IS NOT NULL GROUP BY ALL),
+         cells AS (
+           SELECT COALESCE(l.doc_id, r.doc_id) AS k,
+                  COALESCE(l.nl, 0) AS nl, COALESCE(r.nr, 0) AS nr
+           FROM l FULL OUTER JOIN r
+             ON l.doc_id = r.doc_id
+            AND l.text IS NOT DISTINCT FROM r.text
+            AND l.lang IS NOT DISTINCT FROM r.lang
+            AND l.source IS NOT DISTINCT FROM r.source
+            AND l.n_chars IS NOT DISTINCT FROM r.n_chars),
+         perkey AS (
+           SELECT k, sum(nl) AS nl, sum(nr) AS nr,
+                  max(CASE WHEN nl <> nr THEN 1 ELSE 0 END) AS cell_diff
+           FROM cells GROUP BY k),
+         d AS (
+           SELECT k, CASE WHEN nl = 0 THEN 'right_only'
+                          WHEN nr = 0 THEN 'left_only'
+                          WHEN nl <> nr THEN 'count_mismatch'
+                          WHEN cell_diff = 1 THEN 'content_mismatch'
+                          ELSE 'match' END AS disposition, nl, nr
+           FROM perkey)
+         SELECT k AS doc_id, disposition,
+                CAST(nl AS BIGINT) AS n_rows_left,
+                CAST(nr AS BIGINT) AS n_rows_right
+         FROM d WHERE disposition <> 'match'
+         ORDER BY doc_id LIMIT 25""",
     "v_col_diff" ->
       // mirror of the per-column multiset compare: DuckDB compares
       // list_sort'd value lists per key per column where Spark compares

@@ -73,39 +73,12 @@ object Reconcile {
     * `xxhash64(a, b)` would equate ("x", null) with (null, "x")). A 64-bit
     * collision can only turn a true `content_mismatch` into `match`
     * (never the reverse) at ~2^-64 per colliding pair. */
-  def rowParity(left: DataFrame, right: DataFrame, keyCol: String): DataFrame = {
-    val cols = left.columns.sorted
-    require(right.columns.sorted.sameElements(cols),
-      s"rowParity: column sets differ — left ${left.columns.sorted.mkString(",")} " +
-        s"vs right ${right.columns.sorted.mkString(",")}")
-    def cells(df: DataFrame, out: String) = {
-      val fp = xxhash64(cols.zipWithIndex.flatMap {
-        case (c, i) => Seq(lit(i), col(c)) }: _*)
-      df.filter(col(keyCol).isNotNull)
-        .groupBy(col(keyCol), fp.as("__fp"))
-        .agg(count(lit(1)).as(out))
-    }
-    val joined = cells(left, "__n_l")
-      .join(cells(right, "__n_r"), Seq(keyCol, "__fp"), "full_outer")
-      .select(col(keyCol),
-        coalesce(col("__n_l"), lit(0L)).as("__n_l"),
-        coalesce(col("__n_r"), lit(0L)).as("__n_r"))
-    val perKey = joined.groupBy(col(keyCol)).agg(
-      sum(col("__n_l")).as("__nl"),
-      sum(col("__n_r")).as("__nr"),
-      max(when(col("__n_l") =!= col("__n_r"), 1L).otherwise(0L)).as("__cell_diff"))
-    perKey.select(
-      when(col("__nl") === 0L, "right_only")
-        .when(col("__nr") === 0L, "left_only")
-        .when(col("__nl") =!= col("__nr"), "count_mismatch")
-        .when(col("__cell_diff") === 1L, "content_mismatch")
-        .otherwise("match").as("disposition"),
-      col("__nl"), col("__nr"))
+  def rowParity(left: DataFrame, right: DataFrame, keyCol: String): DataFrame =
+    rowParityPerKey(left, right, keyCol)
       .groupBy(col("disposition")).agg(
         count(lit(1)).as("n_keys"),
-        sum(col("__nl")).as("n_rows_left"),
-        sum(col("__nr")).as("n_rows_right"))
-  }
+        sum(col("n_rows_left")).as("n_rows_left"),
+        sum(col("n_rows_right")).as("n_rows_right"))
 
   /** Per-COLUMN diff diagnostic — [[rowParity]] says THAT content changed;
     * columnDiff says WHERE: for every non-key column, the number of keys
@@ -160,6 +133,58 @@ object Reconcile {
       .select(col("col_name"),
         coalesce(col("__total"), lit(0L)).as("n_keys_compared"),
         coalesce(col("__d"), lit(0L)).as("n_keys_differing"))
+  }
+
+  /** Bounded EXAMPLES of disagreement — the counts above gate a pipeline;
+    * the first question after a red gate is "show me some". One row per
+    * non-`match` key, `(keyCol, disposition, n_rows_left, n_rows_right)`,
+    * the `maxExamples` SMALLEST keys (deterministic across reruns and
+    * parallelism — a bare limit() would return an arbitrary task's rows).
+    * Content compared as in [[rowParity]] (same fingerprint, same
+    * dispositions). Scale shape: the ordered limit plans as
+    * TakeOrderedAndProject (per-partition top-k, never a global sort), on
+    * top of rowParity's collapsed per-key frame. */
+  def diffExamples(left: DataFrame, right: DataFrame, keyCol: String,
+      maxExamples: Int = 100): DataFrame = {
+    require(maxExamples > 0, "maxExamples > 0")
+    val perKey = rowParityPerKey(left, right, keyCol)
+    perKey.filter(col("disposition") =!= "match")
+      .orderBy(col(keyCol))
+      .limit(maxExamples)
+  }
+
+  /** The per-key frame [[rowParity]] aggregates and [[diffExamples]]
+    * samples: one row per key, `(keyCol, disposition, n_rows_left,
+    * n_rows_right)`. */
+  private def rowParityPerKey(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    val cols = left.columns.sorted
+    require(right.columns.sorted.sameElements(cols),
+      s"rowParity: column sets differ — left ${left.columns.sorted.mkString(",")} " +
+        s"vs right ${right.columns.sorted.mkString(",")}")
+    def cells(df: DataFrame, out: String) = {
+      val fp = xxhash64(cols.zipWithIndex.flatMap {
+        case (c, i) => Seq(lit(i), col(c)) }: _*)
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol), fp.as("__fp"))
+        .agg(count(lit(1)).as(out))
+    }
+    val joined = cells(left, "__n_l")
+      .join(cells(right, "__n_r"), Seq(keyCol, "__fp"), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("__n_l"), lit(0L)).as("__n_l"),
+        coalesce(col("__n_r"), lit(0L)).as("__n_r"))
+    joined.groupBy(col(keyCol)).agg(
+      sum(col("__n_l")).as("__nl"),
+      sum(col("__n_r")).as("__nr"),
+      max(when(col("__n_l") =!= col("__n_r"), 1L).otherwise(0L)).as("__cell_diff"))
+      .select(col(keyCol),
+        when(col("__nl") === 0L, "right_only")
+          .when(col("__nr") === 0L, "left_only")
+          .when(col("__nl") =!= col("__nr"), "count_mismatch")
+          .when(col("__cell_diff") === 1L, "content_mismatch")
+          .otherwise("match").as("disposition"),
+        col("__nl").as("n_rows_left"), col("__nr").as("n_rows_right"))
   }
 
   /** CONSERVATION check for a split step (e.g. dedup, quarantine,

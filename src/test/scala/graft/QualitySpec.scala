@@ -402,6 +402,29 @@ class QualitySpec extends SparkSpec {
       ops.Reconcile.columnDiff(left.select("k"), left.select("k"), "k"))
   }
 
+  test("Reconcile.diffExamples: bounded, deterministic, non-match only, top-k plan") {
+    val left = Seq((5L, "e"), (1L, "a"), (3L, "c"), (2L, "b"), (4L, "d"))
+      .toDF("k", "t")
+    val right = Seq((5L, "e"), (1L, "A"), (3L, "c"), (2L, "b"), (2L, "b"),
+      (6L, "f")).toDF("k", "t")
+    // non-match keys: 1 content, 2 count, 4 lost, 6 invented — smallest 3
+    val ex = ops.Reconcile.diffExamples(left, right, "k", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(ex.toSeq === Seq(
+      (1L, "content_mismatch", 1L, 1L),
+      (2L, "count_mismatch", 1L, 2L),
+      (4L, "left_only", 1L, 0L)))
+    // widening the bound surfaces the invented key; identical frames: empty
+    assert(ops.Reconcile.diffExamples(left, right, "k", 100).count() === 4L)
+    assert(ops.Reconcile.diffExamples(left, left, "k").isEmpty)
+    intercept[IllegalArgumentException](
+      ops.Reconcile.diffExamples(left, right, "k", 0))
+    // the ordered limit must be per-partition top-k, never a global sort
+    val plan = ops.Reconcile.diffExamples(left, right, "k", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
