@@ -41,6 +41,17 @@ object Smoke {
     check("report", rep.getLong(0) == 50000 && rep.getLong(1) + rep.getLong(2) == 50000,
       s"rows=${rep.getLong(0)} pass=${rep.getLong(1)} fail=${rep.getLong(2)}")
 
+    // 1aa. coverage audit: the standard suite checks every input column —
+    // an audit over a suite with n_tok checks removed flags exactly n_tok
+    val covered = Coverage.uncovered(spark, compiled, Seq_.schema)
+    val gutted = suite.copy(
+      rowChecks = suite.rowChecks.filterNot(_.id.contains("n_tok")),
+      aggChecks = suite.aggChecks.filterNot(_.id.contains("n_tok"))).compile(Seq_.schema)
+      .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+    val guttedUncov = Coverage.uncovered(spark, gutted, Seq_.schema)
+    check("coverage", covered.isEmpty && guttedUncov == Seq("n_tok"),
+      s"standard suite uncovered=$covered; n_tok-less suite uncovered=$guttedUncov")
+
     // 1a. quarantine split: clean/quarantined counts agree with the report,
     // and the split CONSERVES the input key multiset exactly (Reconcile)
     val (cleanS, quarS) = compiled.split(corpus)

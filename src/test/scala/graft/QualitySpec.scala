@@ -425,6 +425,38 @@ class QualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("Coverage audit: expression-derived column attribution, uncovered columns flagged") {
+    val base = Seq((1L, Seq(1, 2), 2, "src0", "x"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "extra")
+    val dim = Seq("src0").toDF("s")
+    val suite = ConstraintSuite(
+      keyCol = "doc_id",
+      rowChecks = Seq(NonNull("doc_id"), Range("n_tok", min = 1),
+        LengthConsistent("tokens", "n_tok")),
+      aggChecks = Seq(Unique("doc_id"), RefIntegrity("source", dim, "s")))
+    val compiled = suite.compile(base.schema).toOption.get
+    val cov = Coverage.audit(spark, compiled, base.schema)
+      .map(c => c.column -> c.checkIds).toMap
+    assert(cov("doc_id") === Seq("nonnull(doc_id)", "unique(doc_id)"))
+    assert(cov("tokens") === Seq("lengthConsistent(tokens,n_tok)"))
+    assert(cov("n_tok") === Seq("lengthConsistent(tokens,n_tok)", "range(n_tok)"))
+    // the dimension table's own column never mis-attributes to the input
+    assert(cov("source") === Seq("ref(source->s)"))
+    assert(cov("extra") === Nil)
+    assert(Coverage.uncovered(spark, compiled, base.schema) === Seq("extra"))
+
+    val df = Coverage.auditDf(spark, compiled, base.schema)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("doc_id" -> 2L, "tokens" -> 1L, "n_tok" -> 2L,
+      "source" -> 1L, "extra" -> 0L))
+
+    // a fully-covering suite reports nothing uncovered
+    val full = ConstraintSuite("doc_id", rowChecks = Seq(NonNull("doc_id"),
+      NonNull("tokens"), NonNull("n_tok"), NonNull("source"), NonNull("extra")))
+      .compile(base.schema).toOption.get
+    assert(Coverage.uncovered(spark, full, base.schema).isEmpty)
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
