@@ -894,6 +894,18 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 10000000L))
       Reconcile.diffExamples(docs, right, "doc_id", 25)
     }),
+    "v_triage" -> ((s, dir) => { // violation triage: top error CLASSES per
+      // check (digit runs folded to '#') with counts + exemplars — the
+      // human-entry point after a 10^9-violation run; bounded-heap top-k,
+      // no window sort. Violations-shaped frame derived from documents
+      val docs = ld(s, dir, "documents")
+      val vios = docs.select(
+        col("source").as("constraint_id"),
+        concat(lit("lang="), col("lang"), lit(" n="), col("n_chars"))
+          .as("actual"),
+        col("doc_id").cast(StringType).as("doc_id"))
+      Triage.topViolations(vios, k = 3, normalize = true)
+    }),
     "v_pad_waste" -> ((s, dir) => // padding-waste efficiency profile: the
       // fraction of scanned tokens that are pad, per source — the compute
       // cost of the padded layout, exact ×10^6 fixed point
@@ -2540,6 +2552,23 @@ object SparkEntry {
                 CAST(sum(nl) AS BIGINT) AS n_rows_left,
                 CAST(sum(nr) AS BIGINT) AS n_rows_right
          FROM j GROUP BY disposition""",
+    "v_triage" ->
+      // mirror: same synthetic violations frame, same digit-fold, top-3 per
+      // check via row_number (the oracle may window-sort; the engine may not)
+      """WITH v AS (SELECT source AS constraint_id,
+                'lang=' || lang || ' n=' || CAST(n_chars AS VARCHAR) AS actual,
+                CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+         g AS (SELECT constraint_id,
+                      regexp_replace(actual, '[0-9]+', '#', 'g') AS pattern,
+                      count(*) AS n, min(actual) AS exemplar_actual,
+                      min(doc_id) AS exemplar_doc_id
+               FROM v GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY constraint_id
+                                            ORDER BY n DESC, pattern ASC) AS rk
+               FROM g)
+         SELECT constraint_id, pattern, CAST(n AS BIGINT) AS n,
+                exemplar_actual, exemplar_doc_id
+         FROM r WHERE rk <= 3""",
     "v_diff_examples" ->
       // v_row_parity's per-key mirror, keeping the key, non-match only,
       // smallest 25 keys

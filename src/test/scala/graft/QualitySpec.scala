@@ -457,6 +457,44 @@ class QualitySpec extends SparkSpec {
     assert(Coverage.uncovered(spark, full, base.schema).isEmpty)
   }
 
+  test("Triage.topViolations: digit-fold classes, tie-break, bound, engine composition") {
+    val vios = Seq(
+      ("range(n)", "size 17 != 5", "d3"),
+      ("range(n)", "size 9 != 3", "d1"),
+      ("range(n)", "size 9 != 3", "d2"),
+      ("range(n)", "oops", "d9"),
+      ("nonnull(x)", "null seen", "d5")).toDF("constraint_id", "actual", "doc_id")
+    val top = Triage.topViolations(vios, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    // three value-carrying messages fold into ONE class; independent minima
+    assert(top === Set(
+      ("range(n)", "size # != #", 3L, "size 17 != 5", "d1"),
+      ("range(n)", "oops", 1L, "oops", "d9"),
+      ("nonnull(x)", "null seen", 1L, "null seen", "d5")))
+    // k bounds per check, count-desc: k=1 keeps only the folded class
+    val k1 = Triage.topViolations(vios, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(k1 === Set("range(n)" -> "size # != #", "nonnull(x)" -> "null seen"))
+    // normalize=false: every distinct actual is its own class
+    assert(Triage.topViolations(vios, k = 10, normalize = false)
+      .filter(col("constraint_id") === "range(n)").count() === 3L)
+    // ties break by pattern ascending (deterministic at any parallelism)
+    val tied = Seq(("c", "b", "1"), ("c", "a", "2")).toDF("constraint_id", "actual", "doc_id")
+    assert(Triage.topViolations(tied, k = 1, normalize = false)
+      .collect().map(_.getString(1)).toSeq === Seq("a"))
+    intercept[IllegalArgumentException](Triage.topViolations(vios, k = 0))
+
+    // composes with the engine's real violations frame unchanged
+    val corpus = DataGen.sequences(spark, 2000, maxLen = 16)
+    val compiled = DataGen.standardSuite(spark, maxLen = 16).compile(Seq_.schema)
+      .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+    val t = Triage.topViolations(compiled.run(corpus).violations, k = 3)
+    val perCheck = t.groupBy("constraint_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCheck.nonEmpty && perCheck.values.forall(n => n >= 1 && n <= 3))
+  }
+
   test("exact signatures: sha256 option drops the same rows; algos never mix in an index") {
     val store = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
     val batch = Seq((10L, "aa"), (11L, "cc")).toDF("doc_id", "text")
