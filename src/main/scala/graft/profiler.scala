@@ -624,3 +624,59 @@ object SchemaDiff {
     diff(expected, actual).toDF()
   }
 }
+
+/** SUITE-drift detection — [[SchemaDiff]]'s counterpart one level up: the
+  * validation SUITE is itself versioned config, and a quietly loosened
+  * bound ships as silently as a quietly widened column. Compares two
+  * suites check-by-check (id = identity, full parameterization = payload)
+  * plus the suite-level knobs. Pure driver-side, no session needed for the
+  * Seq form. */
+object SuiteDiff {
+
+  final case class SuiteChange(
+      check_id: String, change: String, expected: String, actual: String)
+
+  /** Changes ordered by (check_id, change):
+    *  - `removed` / `added`  — check present on one side only (by id)
+    *  - `params_changed`     — same id, different parameterization (e.g. a
+    *    Range bound moved; a Unique gained salting)
+    *  - suite-level rows under ids `(keyCol)` / `(nBuckets)`
+    * Duplicate ids on a side (legal: two overlapping ranges on one column)
+    * compare as multisets of parameterizations. */
+  def diff(expected: ConstraintSuite, actual: ConstraintSuite): Seq[SuiteChange] = {
+    def byId(s: ConstraintSuite): Map[String, Seq[String]] =
+      (s.rowChecks.map(c => c.id -> c.toString) ++
+        s.aggChecks.map(c => c.id -> c.toString))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
+    val exp = byId(expected)
+    val act = byId(actual)
+    val checkChanges = (exp.keySet ++ act.keySet).toSeq.flatMap { id =>
+      (exp.get(id), act.get(id)) match {
+        case (Some(e), None) => Seq(SuiteChange(id, "removed", e.mkString("; "), ""))
+        case (None, Some(a)) => Seq(SuiteChange(id, "added", "", a.mkString("; ")))
+        case (Some(e), Some(a)) if e != a =>
+          Seq(SuiteChange(id, "params_changed", e.mkString("; "), a.mkString("; ")))
+        case _ => Nil
+      }
+    }
+    val suiteLevel =
+      (if (expected.keyCol != actual.keyCol)
+        Seq(SuiteChange("(keyCol)", "params_changed", expected.keyCol, actual.keyCol))
+      else Nil) ++
+        (if (expected.nBuckets != actual.nBuckets)
+          Seq(SuiteChange("(nBuckets)", "params_changed",
+            expected.nBuckets.toString, actual.nBuckets.toString))
+        else Nil)
+    (checkChanges ++ suiteLevel).sortBy(c => (c.check_id, c.change))
+  }
+
+  /** True iff the suites are check-for-check identical (gate form). */
+  def identical(expected: ConstraintSuite, actual: ConstraintSuite): Boolean =
+    diff(expected, actual).isEmpty
+
+  def diffDf(spark: SparkSession, expected: ConstraintSuite,
+      actual: ConstraintSuite): DataFrame = {
+    import spark.implicits._
+    diff(expected, actual).toDF()
+  }
+}

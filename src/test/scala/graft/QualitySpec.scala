@@ -722,6 +722,43 @@ class QualitySpec extends SparkSpec {
     assert(SchemaDiff.diff(expected, expected).isEmpty)
   }
 
+  test("suite diff: added/removed/params_changed, multiset ids, suite-level knobs") {
+    val dim = Seq("web").toDF("source")
+    val v1 = ConstraintSuite("doc_id",
+      rowChecks = Seq(NonNull("doc_id"), Range("n_tok", 1, 8192),
+        Regex("doc_id", "^doc-[0-9]+$")),
+      aggChecks = Seq(Unique("doc_id"), RefIntegrity("source", dim, "source")))
+    // v2: range bound quietly loosened, regex dropped, salting added, a
+    // new length check appears
+    val v2 = ConstraintSuite("doc_id",
+      rowChecks = Seq(NonNull("doc_id"), Range("n_tok", 1, 16384),
+        ArraySizeBounds("tokens", min = Some(1), max = None)),
+      aggChecks = Seq(Unique("doc_id", salted = true),
+        RefIntegrity("source", dim, "source")))
+    val d = SuiteDiff.diff(v1, v2).map(c => (c.check_id, c.change))
+    assert(d === Seq(
+      ("range(n_tok)", "params_changed"),
+      ("regex(doc_id)", "removed"),
+      ("sizeBounds(tokens)", "added"),
+      ("unique(doc_id)", "params_changed")))
+    // the loosened bound is visible in the payload
+    val rangeRow = SuiteDiff.diff(v1, v2).find(_.check_id == "range(n_tok)").get
+    assert(rangeRow.expected.contains("8192") && rangeRow.actual.contains("16384"))
+    assert(SuiteDiff.identical(v1, v1) && !SuiteDiff.identical(v1, v2))
+    // duplicate ids compare as multisets: two overlapping ranges vs one
+    val dup1 = ConstraintSuite("k", Seq(Range("n", 1, 10), Range("n", 5, 20)))
+    val dup2 = ConstraintSuite("k", Seq(Range("n", 5, 20), Range("n", 1, 10)))
+    assert(SuiteDiff.identical(dup1, dup2)) // order never matters
+    assert(SuiteDiff.diff(dup1, ConstraintSuite("k", Seq(Range("n", 1, 10))))
+      .map(_.change) === Seq("params_changed"))
+    // suite-level knobs
+    val knobs = SuiteDiff.diff(ConstraintSuite("a", Nil, nBuckets = 64),
+      ConstraintSuite("b", Nil, nBuckets = 128)).map(c => (c.check_id, c.change))
+    assert(knobs === Seq(("(keyCol)", "params_changed"), ("(nBuckets)", "params_changed")))
+    // DataFrame form round-trips
+    assert(SuiteDiff.diffDf(spark, v1, v2).count() === 4L)
+  }
+
   test("plan: profileApprox is Expand-free (one pass); exact profile pays Expand") {
     val approx = Profiler.profileApprox(sampleDf).queryExecution.executedPlan.toString
     assert(!approx.contains("Expand"),
