@@ -105,7 +105,7 @@ object JsonSchema {
     }
 
     def keysOf(n: JsonNode): List[String] =
-      n.properties().asScala.map(_.getKey).toList
+      n.properties().asScala.toList.map(_.getKey)
 
     /** Error on structural keywords outside `handled` (annotations pass). */
     def flagUnsupported(n: JsonNode, handled: Set[String], ctx: String): Unit =
@@ -469,7 +469,7 @@ object JsonSchema {
       // ---- nested object keywords: struct column ⇒ static/dotted, else map
       val objProps: List[(String, JsonNode)] =
         Option(node.get("properties"))
-          .map(p => p.properties().asScala.map(e => e.getKey -> e.getValue).toList)
+          .map(p => p.properties().asScala.toList.map(e => e.getKey -> e.getValue))
           .getOrElse(Nil)
       val nestedRequired: List[String] =
         Option(node.get("required")).filter(_.isArray)
@@ -647,14 +647,14 @@ object JsonSchema {
     // / dependencies / definitions are compiled.
     flagUnsupported(rootR,
       Set("type", "properties", "required", "additionalProperties", "definitions",
-        "dependencies"),
+        "dependencies", "x-graft-checks", "x-graft-agg"),
       "<root>")
     val rootTypes = jsonTypes(rootR)
     if (rootTypes.nonEmpty && rootTypes != List("object"))
       errors += SuiteError.Unsupported("<root>",
         s"root type must be 'object', got ${rootTypes.mkString("|")}")
     val props = Option(rootR.get("properties"))
-      .map(p => p.properties().asScala.map(e => e.getKey -> e.getValue).toList)
+      .map(p => p.properties().asScala.toList.map(e => e.getKey -> e.getValue))
       .getOrElse {
         errors += SuiteError.Unsupported("jsonschema", "root schema has no 'properties'")
         Nil
@@ -693,7 +693,7 @@ object JsonSchema {
               val vr = resolve(v, 1)
               flagUnsupported(vr, Set("properties", "required"), s"<root>.dependencies.$k")
               val subProps = Option(vr.get("properties"))
-                .map(p => p.properties().asScala.map(x => x.getKey -> x.getValue).toList)
+                .map(p => p.properties().asScala.toList.map(x => x.getKey -> x.getValue))
                 .getOrElse(Nil)
               val subReq = Option(vr.get("required")).filter(_.isArray)
                 .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil)
@@ -709,13 +709,107 @@ object JsonSchema {
         }
       }
 
+    // ---- x-graft extensions: the engine-native checks draft-07 cannot
+    // express, carried under a vendor namespace so a rendered suite
+    // ([[JsonSchema.render]]) round-trips losslessly. Unknown kinds are LOUD
+    // errors — a silently-dropped check under-validates.
+    def xLong(o: JsonNode, k: String, ctx: String): Option[Long] =
+      Option(o.get(k)).filter(_.isNumber).map(_.asLong()).orElse {
+        errors += SuiteError.Unsupported(ctx, s"missing/non-numeric '$k'"); None
+      }
+    def xDouble(o: JsonNode, k: String, ctx: String): Option[Double] =
+      Option(o.get(k)).filter(_.isNumber).map(_.asDouble()).orElse {
+        errors += SuiteError.Unsupported(ctx, s"missing/non-numeric '$k'"); None
+      }
+    def xTxt(o: JsonNode, k: String, ctx: String): Option[String] =
+      txt(o, k).orElse {
+        errors += SuiteError.Unsupported(ctx, s"missing/non-string '$k'"); None
+      }
+    def xBool(o: JsonNode, k: String, default: Boolean): Boolean =
+      Option(o.get(k)).filter(_.isBoolean).map(_.asBoolean()).getOrElse(default)
+    def xElements(key: String): List[JsonNode] =
+      Option(rootR.get(key)).toList.flatMap { a =>
+        if (!a.isArray) {
+          errors += SuiteError.Unsupported(key, "must be an array"); Nil
+        } else a.elements().asScala.toList
+      }
+
+    val xRowChecks: List[RowConstraint] = xElements("x-graft-checks").flatMap { o =>
+      val ctx = "x-graft-checks"
+      txt(o, "kind") match {
+        case Some("typeIs") =>
+          for {
+            c <- xTxt(o, "col", ctx)
+            dtJson <- xTxt(o, "dataType", ctx)
+            dt <- (try Some(org.apache.spark.sql.types.DataType.fromJson(dtJson))
+            catch {
+              case e: Exception =>
+                errors += SuiteError.Unsupported(ctx, s"bad dataType: ${e.getMessage}"); None
+            })
+          } yield TypeIs(c, dt)
+        case Some("colOrder") =>
+          for (a <- xTxt(o, "a", ctx); b <- xTxt(o, "b", ctx))
+            yield ColOrder(a, b, xBool(o, "allowEqual", default = true))
+        case Some("lengthConsistent") =>
+          for (a <- xTxt(o, "arrCol", ctx); l <- xTxt(o, "lenCol", ctx))
+            yield LengthConsistent(a, l)
+        case Some("padSuffixOnly") =>
+          for (c <- xTxt(o, "col", ctx); p <- xLong(o, "pad", ctx))
+            yield PadSuffixOnly(c, p)
+        case Some("endsWithToken") =>
+          for (c <- xTxt(o, "col", ctx); e <- xLong(o, "eos", ctx); p <- xLong(o, "pad", ctx))
+            yield EndsWithToken(c, e, p)
+        case Some("padAwareLength") =>
+          for (a <- xTxt(o, "arrCol", ctx); l <- xTxt(o, "lenCol", ctx); p <- xLong(o, "pad", ctx))
+            yield PadAwareLength(a, l, p)
+        case Some("segmentLengthBounds") =>
+          for {
+            c <- xTxt(o, "col", ctx); s <- xLong(o, "sep", ctx)
+            lo <- xLong(o, "minLen", ctx); hi <- xLong(o, "maxLen", ctx)
+          } yield SegmentLengthBounds(c, s, lo, hi)
+        case k =>
+          errors += SuiteError.Unsupported(ctx, s"unknown kind '${k.getOrElse("<missing>")}'")
+          None
+      }
+    }
+
+    val xAggChecks: List[AggConstraint] = xElements("x-graft-agg").flatMap { o =>
+      val ctx = "x-graft-agg"
+      def buckets = Option(o.get("saltBuckets")).filter(_.isNumber).map(_.asInt()).getOrElse(64)
+      def drift3(mk: (String, String, Double, Double) => AggConstraint) =
+        for {
+          v <- xTxt(o, "valueCol", ctx); g <- xTxt(o, "groupCol", ctx)
+          w <- xDouble(o, "binWidth", ctx); t <- xDouble(o, "threshold", ctx)
+        } yield mk(v, g, w, t)
+      txt(o, "kind") match {
+        case Some("unique") =>
+          xTxt(o, "col", ctx).map(Unique(_, xBool(o, "salted", default = false), buckets))
+        case Some("uniqueTuple") =>
+          Option(o.get("cols")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .orElse { errors += SuiteError.Unsupported(ctx, "missing 'cols' array"); None }
+            .map(UniqueTuple(_, xBool(o, "salted", default = false), buckets))
+        case Some("driftChiSquare") => drift3(DriftChiSquare(_, _, _, _))
+        case Some("driftPSI") => drift3(DriftPSI(_, _, _, _))
+        case Some("driftKS") => drift3(DriftKS(_, _, _, _))
+        case Some("monotonicWithin") =>
+          for (g <- xTxt(o, "groupCol", ctx); ord <- xTxt(o, "orderCol", ctx);
+               v <- xTxt(o, "valueCol", ctx))
+            yield MonotonicWithin(g, ord, v, xBool(o, "strict", default = false))
+        case k =>
+          errors += SuiteError.Unsupported(ctx, s"unknown kind '${k.getOrElse("<missing>")}'")
+          None
+      }
+    }
+
     val checks: List[RowConstraint] =
       required.toList.sorted.map(NonNull(_)) ++
         rootKeys ++
         rootDeps ++
-        props.flatMap { case (col, sub) => compileProp(col, sub, 0, topLevel = true) }
+        props.flatMap { case (col, sub) => compileProp(col, sub, 0, topLevel = true) } ++
+        xRowChecks
 
     if (errors.nonEmpty) Left(errors.toList)
-    else Right(ConstraintSuite(keyCol, checks, nBuckets = nBuckets))
+    else Right(ConstraintSuite(keyCol, checks, aggChecks = xAggChecks, nBuckets = nBuckets))
   }
 }

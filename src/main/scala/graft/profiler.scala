@@ -644,18 +644,28 @@ object SuiteDiff {
     * Duplicate ids on a side (legal: two overlapping ranges on one column)
     * compare as multisets of parameterizations. */
   def diff(expected: ConstraintSuite, actual: ConstraintSuite): Seq[SuiteChange] = {
-    def byId(s: ConstraintSuite): Map[String, Seq[String]] =
-      (s.rowChecks.map(c => c.id -> c.toString) ++
-        s.aggChecks.map(c => c.id -> c.toString))
-        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
+    def byId(s: ConstraintSuite): Map[String, Seq[Constraint]] =
+      (s.rowChecks: Seq[Constraint]).concat(s.aggChecks)
+        .groupBy(_.id).map { case (id, xs) => id -> xs }
+    // STRUCTURAL equality (case-class ==), not toString: two equal suites
+    // must not diff because one holds List and the other ArraySeq
+    def multisetEq(e: Seq[Constraint], a: Seq[Constraint]): Boolean = {
+      val rem = scala.collection.mutable.ArrayBuffer(a: _*)
+      e.size == a.size && e.forall { x =>
+        val i = rem.indexOf(x)
+        if (i >= 0) { rem.remove(i); true } else false
+      }
+    }
+    def show(cs: Seq[Constraint]): String =
+      cs.map(_.toString).sorted.mkString("; ")
     val exp = byId(expected)
     val act = byId(actual)
     val checkChanges = (exp.keySet ++ act.keySet).toSeq.flatMap { id =>
       (exp.get(id), act.get(id)) match {
-        case (Some(e), None) => Seq(SuiteChange(id, "removed", e.mkString("; "), ""))
-        case (None, Some(a)) => Seq(SuiteChange(id, "added", "", a.mkString("; ")))
-        case (Some(e), Some(a)) if e != a =>
-          Seq(SuiteChange(id, "params_changed", e.mkString("; "), a.mkString("; ")))
+        case (Some(e), None) => Seq(SuiteChange(id, "removed", show(e), ""))
+        case (None, Some(a)) => Seq(SuiteChange(id, "added", "", show(a)))
+        case (Some(e), Some(a)) if !multisetEq(e, a) =>
+          Seq(SuiteChange(id, "params_changed", show(e), show(a)))
         case _ => Nil
       }
     }

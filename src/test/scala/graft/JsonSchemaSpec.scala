@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, MapType, StringType}
 
 /** Runtime JSON Schema loading — ports the shape of the reference's
   * hand-written schema test (`verify/tests/schemars.rs:38-105`: type +
@@ -275,6 +276,153 @@ class JsonSchemaSpec extends SparkSpec {
     assert(errs.exists(e => e.msg.contains("example.com") || e.msg.toLowerCase.contains("external")),
       errs.map(_.msg).mkString("; "))
     assert(errs.size >= 3)
+  }
+
+  // ------------------------------------------------------------------
+  // render: the loader's inverse (suites as versioned draft-07 config)
+  // ------------------------------------------------------------------
+
+  private val rtSchema = org.apache.spark.sql.types.StructType(Seq(
+    sf("doc_id", StringType), sf("uid", StringType), sf("n_tok", LongType),
+    sf("score", DoubleType), sf("source", StringType), sf("ratio", DoubleType),
+    sf("tokens", ArrayType(LongType)), sf("tup", ArrayType(DoubleType)),
+    sf("meta", MapType(StringType, LongType)),
+    sf("attrs", MapType(StringType, StringType)),
+    sf("hdr", org.apache.spark.sql.types.StructType(Seq(
+      sf("a", StringType), sf("b", LongType)))),
+    sf("flag", StringType), sf("mode", StringType)))
+  private def sf(n: String, t: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructField(n, t)
+  private def rtParse(j: String) =
+    JsonSchema.parse(j, "doc_id", tableSchema = Some(rtSchema), validateFormats = true)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+
+  test("render: rich canonical schema is a parse/render fixed point") {
+    val j =
+      """{
+        "type": "object",
+        "required": ["doc_id", "n_tok"],
+        "additionalProperties": false,
+        "dependencies": {"flag": ["source"]},
+        "properties": {
+          "doc_id": {"type": "string", "pattern": "^doc-[0-9]+$",
+                     "minLength": 1, "maxLength": 20},
+          "uid":    {"format": "uuid"},
+          "n_tok":  {"type": "integer", "exclusiveMinimum": 0,
+                     "maximum": 1152921504606846977},
+          "score":  {"minimum": 0.5, "exclusiveMaximum": 0.9, "multipleOf": 0.1},
+          "source": {"enum": ["web", "books"]},
+          "ratio":  {"enum": [0.25, 1.5]},
+          "tokens": {"type": "array",
+                     "items": {"type": "integer", "minimum": 0, "maximum": 50,
+                               "enum": [1, 2, 3]},
+                     "minItems": 1, "maxItems": 8, "uniqueItems": true,
+                     "contains": {"const": 1, "minimum": 0}},
+          "tup":    {"items": [{"minimum": 0, "maximum": 1}, {"minimum": 5}],
+                     "additionalItems": {"minimum": 9}},
+          "meta":   {"required": ["k1"],
+                     "patternProperties": {"^v": {"minimum": 0, "maximum": 10}},
+                     "propertyNames": {"pattern": "^[a-z]+$",
+                                       "minLength": 1, "maxLength": 8},
+                     "minProperties": 1, "maxProperties": 50},
+          "attrs":  {"propertyNames": {"enum": ["x", "y"]}},
+          "hdr":    {"properties": {"a": {"type": "string"}, "b": {"minimum": 0}},
+                     "required": ["a"], "additionalProperties": false},
+          "flag":   {"anyOf": [false, {"pattern": "^y"}],
+                     "not": {"enum": ["no"]},
+                     "if": {"pattern": "^a"}, "then": {"minLength": 2},
+                     "else": {"maxLength": 1}},
+          "mode":   {"oneOf": [{"enum": ["a"]}, {"enum": ["b"]}]}
+        }
+      }"""
+    val s1 = rtParse(j)
+    // the big-integer bound routed to the exact form; the float enum got
+    // the canonical epsilon — the render must preserve both
+    assert(s1.rowChecks.exists(_.isInstanceOf[DecimalRange]))
+    assert(s1.rowChecks.collect { case EnumIn("ratio", _, eps) => eps } ===
+      Seq(JsonSchema.F64Epsilon))
+    val rendered = JsonSchemaRender.render(s1)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val s2 = rtParse(rendered)
+    assert(s2 === s1)
+    // and the cycle is idempotent (canonical form re-renders identically)
+    val rendered2 = JsonSchemaRender.render(s2)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(rendered2 === rendered)
+  }
+
+  test("render: suggested suite freezes to config and reloads check-identical") {
+    val corpus = Seq(
+      ("doc-1", 5L, "web"), ("doc-2", 9L, "books"), ("doc-3", 7L, "web"))
+      .toDF("doc_id", "n_tok", "source")
+    val sug = Suggest.suggest(corpus)
+    val suite = ConstraintSuite("doc_id", sug.rowChecks, sug.aggChecks)
+    val json = JsonSchemaRender.render(suite)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val reloaded = JsonSchema.parse(json, "doc_id", tableSchema = Some(corpus.schema))
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    // reload normalizes ORDER (sorted NonNulls first); SuiteDiff is the
+    // order-insensitive identity — and the reloaded suite still compiles
+    // and passes its own training data (the suggest guarantee, preserved)
+    assert(SuiteDiff.identical(suite, reloaded))
+    assert(reloaded.compile(corpus.schema).toOption.get.run(corpus).violations.isEmpty)
+    // second cycle is exact: the normalized form is the fixed point
+    val json2 = JsonSchemaRender.render(reloaded)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(JsonSchema.parse(json2, "doc_id", tableSchema = Some(corpus.schema))
+      .toOption.get === reloaded)
+  }
+
+  test("render: engine-native checks round-trip via x-graft keywords") {
+    val suite = ConstraintSuite("doc_id",
+      rowChecks = Seq(
+        TypeIs("tokens", ArrayType(IntegerType)),
+        ColOrder("a", "b", allowEqual = false),
+        LengthConsistent("tokens", "n_tok"),
+        PadSuffixOnly("tokens", 0L),
+        EndsWithToken("tokens", 2L, 0L),
+        PadAwareLength("tokens", "n_tok", 0L),
+        SegmentLengthBounds("tokens", 2L, 1L, 10L)),
+      aggChecks = Seq(
+        Unique("doc_id", salted = true, saltBuckets = 32),
+        UniqueTuple(Seq("a", "b")),
+        DriftChiSquare("n_tok", "source", 2.0, 100.0),
+        DriftPSI("n_tok", "source", 2.0, 0.25),
+        DriftKS("n_tok", "source", 2.0, 0.2),
+        MonotonicWithin("g", "o", "v", strict = true)),
+      nBuckets = 128)
+    val json = JsonSchemaRender.render(suite)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    val reloaded = JsonSchema.parse(json, "doc_id", nBuckets = 128)
+      .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
+    assert(reloaded === suite)
+  }
+
+  test("render: unrenderable constructs fail LOUDLY, never drop silently") {
+    def leftOf(s: ConstraintSuite): List[SuiteError] =
+      JsonSchemaRender.render(s).left.getOrElse(fail("expected Left"))
+    // referential check carries a DataFrame — must be re-attached at load
+    val dim = Seq("web").toDF("source")
+    assert(leftOf(ConstraintSuite("k", Nil,
+      aggChecks = Seq(RefIntegrity("source", dim, "source"))))
+      .exists(_.msg.contains("RefIntegrity")))
+    // tag dispatch has no draft-07 form
+    assert(leftOf(ConstraintSuite("k",
+      Seq(TagDispatch("t", "t", Map("a" -> NonNull("x"))))))
+      .exists(_.msg.contains("TagDispatch")))
+    // unresolved definitions
+    assert(leftOf(ConstraintSuite("k", Seq(NamedRef("d")),
+      definitions = Map("d" -> NonNull("x"))))
+      .exists(_.msg.contains("definitions")))
+    // non-canonical enum epsilon would silently change verdicts on reload
+    assert(leftOf(ConstraintSuite("k", Seq(EnumIn("c", Seq(0.25, 1.5), epsilon = 0.0))))
+      .exists(_.msg.contains("epsilon")))
+    // unknown format names are annotations on reload — refuse to emit
+    assert(leftOf(ConstraintSuite("k", Seq(FormatCheck("c", "nope"))))
+      .exists(_.msg.contains("nope")))
+    // two colliding keywords on one column
+    assert(leftOf(ConstraintSuite("k", Seq(Regex("c", "^a"), Regex("c", "^b"))))
+      .exists(_.msg.contains("duplicate keyword")))
   }
 }
 
