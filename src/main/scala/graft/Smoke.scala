@@ -383,6 +383,22 @@ object Smoke {
         s"${sug.rules.size} suggested rules; round-trip violations=$roundTrip; " +
           s"anomalous runs=$anomalies (expect Set(2)); drift=${drift.map(_.change).mkString(",")}")
 
+      // 10a. close the loop as CONFIG: freeze the suggested suite to
+      // draft-07 JSON, reload it, prove check-identity and that the frozen
+      // form still passes its own training corpus
+      val sugSuite = ConstraintSuite("doc_id", sug.rowChecks, sug.aggChecks)
+      val frozen = JsonSchemaRender.render(sugSuite)
+        .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+      val thawed = JsonSchema.parse(frozen, "doc_id", tableSchema = Some(docs.schema))
+        .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+      val frozenClean = thawed.compile(docs.schema)
+        .fold(es => sys.error(es.map(_.msg).mkString("; ")), identity)
+        .run(docs).violations.count()
+      check("suite-freeze",
+        SuiteDiff.identical(sugSuite, thawed) && frozenClean == 0,
+        s"suggested suite froze to ${frozen.length} bytes of draft-07, " +
+          s"reloaded check-identical=true, violations on own corpus=$frozenClean")
+
       // 10b. distribution face of the loop: exact discrete quantiles, the
       // doubled-ingest quantile-shift breach, per-column top values
       val qd = docs.withColumn("n_chars", length(col("text")).cast("long"))
