@@ -894,6 +894,18 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 10000000L))
       Reconcile.diffExamples(docs, right, "doc_id", 25)
     }),
+    "v_ref_table" -> ((s, dir) => { // serializable referential check: the
+      // dimension is a TABLE PATH loaded through TableIO at run (config
+      // form of v_ref); planted orphans via shifted region keys
+      val nation = ld(s, dir, "nation")
+      val fact = nation.unionByName(
+        nation.filter(col("n_nationkey") % 5 === 0)
+          .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+      RefIntegrityTable("n_regionkey", s"$dir/region.parquet", "r_regionkey")
+        .run(fact)
+        .select(col("constraint_id"), col("path"), col("actual"),
+          col("key").cast(LongType).as("key"))
+    }),
     "v_triage" -> ((s, dir) => { // violation triage: top error CLASSES per
       // check (digit runs folded to '#') with counts + exemplars — the
       // human-entry point after a 10^9-violation run; bounded-heap top-k,
@@ -2552,6 +2564,22 @@ object SparkEntry {
                 CAST(sum(nl) AS BIGINT) AS n_rows_left,
                 CAST(sum(nr) AS BIGINT) AS n_rows_right
          FROM j GROUP BY disposition""",
+    "v_ref_table" ->
+      // mirror: same shifted-orphan mutation, anti-join against region,
+      // per-key orphan counts in the engine's violation-row shape
+      """WITH fact AS (
+           SELECT n_regionkey FROM nation
+           UNION ALL SELECT n_regionkey + 100 FROM nation WHERE n_nationkey % 5 = 0),
+         orphans AS (
+           SELECT f.n_regionkey AS key, count(*) AS cnt
+           FROM fact f LEFT JOIN region r ON f.n_regionkey = r.r_regionkey
+           WHERE f.n_regionkey IS NOT NULL AND r.r_regionkey IS NULL
+           GROUP BY f.n_regionkey)
+         SELECT 'refTable(n_regionkey->r_regionkey)' AS constraint_id,
+                'n_regionkey' AS path,
+                'orphan rows=' || CAST(cnt AS VARCHAR) AS actual,
+                CAST(key AS BIGINT) AS key
+         FROM orphans""",
     "v_triage" ->
       // mirror: same synthetic violations frame, same digit-fold, top-3 per
       // check via row_number (the oracle may window-sort; the engine may not)

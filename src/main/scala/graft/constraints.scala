@@ -1478,6 +1478,27 @@ final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String,
   }
 }
 
+/** [[RefIntegrity]] with the dimension named by a TABLE PATH through the
+  * [[TableIO]] seam instead of an embedded DataFrame — the fully
+  * SERIALIZABLE referential check ([[JsonSchemaRender]] freezes it to
+  * config; an embedded frame has no config form). The dimension loads
+  * lazily inside `run`, so a frozen suite revalidates against the dimension
+  * AS OF the run, not as of authoring — exactly what a daily pipeline
+  * wants. Dimension problems (missing path, missing `dimCol`) surface
+  * loudly at run; `selfCheck` can only see the fact table's schema. */
+final case class RefIntegrityTable(col: String, dimPath: String, dimCol: String,
+    broadcastDim: Boolean = true, format: String = TableIO.defaultFormat)
+    extends AggConstraint {
+  val id = s"refTable($col->$dimCol)"
+  def selfCheck(s: StructType) = Constraints.requireCol(s, col, id)
+  def run(df: DataFrame): DataFrame = {
+    val dim = TableIO(format).read(df.sparkSession, dimPath)
+    RefIntegrity(col, dim, dimCol, broadcastDim).run(df)
+      .withColumn("constraint_id", lit(id))
+      .withColumn("bound", lit(s"in $dimPath#$dimCol"))
+  }
+}
+
 /** STATISTICAL gate: at least `minPassFp`/10^6 of rows must satisfy the
   * inner row constraint (Deequ's `compliance` — the "98% of rows have a
   * valid email" stance, vs the all-rows-or-violate leaf stance). With

@@ -796,6 +796,11 @@ object JsonSchema {
           for (g <- xTxt(o, "groupCol", ctx); ord <- xTxt(o, "orderCol", ctx);
                v <- xTxt(o, "valueCol", ctx))
             yield MonotonicWithin(g, ord, v, xBool(o, "strict", default = false))
+        case Some("refTable") =>
+          for (c <- xTxt(o, "col", ctx); p <- xTxt(o, "dimPath", ctx);
+               d <- xTxt(o, "dimCol", ctx))
+            yield RefIntegrityTable(c, p, d, xBool(o, "broadcastDim", default = true),
+              txt(o, "format").getOrElse(TableIO.defaultFormat))
         case k =>
           errors += SuiteError.Unsupported(ctx, s"unknown kind '${k.getOrElse("<missing>")}'")
           None

@@ -413,6 +413,11 @@ object JsonSchemaRender {
         o.put("kind", "monotonicWithin"); o.put("groupCol", g)
         o.put("orderCol", ord); o.put("valueCol", v); o.put("strict", strict)
         xAgg.add(o)
+      case RefIntegrityTable(cl, dimPath, dimCol, bc, fmt) =>
+        val o = mapper.createObjectNode()
+        o.put("kind", "refTable"); o.put("col", cl); o.put("dimPath", dimPath)
+        o.put("dimCol", dimCol); o.put("broadcastDim", bc); o.put("format", fmt)
+        xAgg.add(o)
       case other =>
         err(other.id, s"no serialization for ${other.getClass.getSimpleName} — " +
           "referential checks carry a DataFrame and must be re-attached at load")

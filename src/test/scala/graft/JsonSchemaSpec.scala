@@ -389,13 +389,33 @@ class JsonSchemaSpec extends SparkSpec {
         DriftChiSquare("n_tok", "source", 2.0, 100.0),
         DriftPSI("n_tok", "source", 2.0, 0.25),
         DriftKS("n_tok", "source", 2.0, 0.2),
-        MonotonicWithin("g", "o", "v", strict = true)),
+        MonotonicWithin("g", "o", "v", strict = true),
+        RefIntegrityTable("source", "/data/dims/sources", "source",
+          broadcastDim = false, format = "parquet")),
       nBuckets = 128)
     val json = JsonSchemaRender.render(suite)
       .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
     val reloaded = JsonSchema.parse(json, "doc_id", nBuckets = 128)
       .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
     assert(reloaded === suite)
+  }
+
+  test("RefIntegrityTable: path-named dimension loads at run, orphans found") {
+    val dir = java.nio.file.Files.createTempDirectory("reftable").toString
+    Seq("web", "books").toDF("source").write.mode("overwrite").parquet(s"$dir/dims")
+    val fact = Seq(("d1", "web"), ("d2", "spam"), ("d3", "spam"), ("d4", null))
+      .toDF("doc_id", "source")
+    val check = RefIntegrityTable("source", s"$dir/dims", "source")
+    assert(check.selfCheck(fact.schema).isEmpty)
+    val v = check.run(fact).collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[String]("constraint_id") === "refTable(source->source)")
+    assert(v.head.getAs[String]("bound") === s"in $dir/dims#source")
+    assert(v.head.getAs[String]("actual") === "orphan rows=2")
+    assert(v.head.getAs[String]("key") === "spam")
+    // the dimension is read AS OF the run: append a dim row, re-run clean
+    Seq("spam").toDF("source").write.mode("append").parquet(s"$dir/dims")
+    assert(check.run(fact).isEmpty)
   }
 
   test("render: unrenderable constructs fail LOUDLY, never drop silently") {
