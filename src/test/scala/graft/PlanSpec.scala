@@ -49,6 +49,33 @@ class PlanSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > exch, p.take(3000))
   }
 
+  test("v_reconcile / v_row_parity: per-key counts collapse map-side before the join") {
+    for (q <- Seq("v_reconcile", "v_row_parity")) {
+      val p = planOf(q)
+      // every branch aggregates BEFORE its exchange (the shuffle carries one
+      // row per distinct key/content, never the corpus), and the compare is
+      // ONE full-outer join — no broadcast needed, both sides corpus-sized
+      val exch = p.indexOf("Exchange")
+      assert(exch >= 0 && p.lastIndexOf("HashAggregate") > exch, s"$q:\n" + p.take(3000))
+      assert(p.contains("FullOuter"), s"$q:\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("v_col_diff: ONE aggregation per side fingerprints all columns at once") {
+    val p = planOf("v_col_diff")
+    // the per-key summary is a single grouped aggregate per side (hi/lo sums
+    // for every column in one pass), then one EQUI-join (strategy is
+    // size-dependent: broadcast at this SF, shuffled at scale) — never a
+    // cartesian, never one scan per column
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
+    // documents.parquet is scanned exactly twice (left side, right side)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected one scan per side (AQE may print each twice), got $scans")
+  }
+
   test("whole-stage codegen covers the scalar-check validation projection") {
     // parquet-backed (a local Seq collapses to LocalTableScan, no codegen)
     val df = spark.read.parquet(s"$dir/documents.parquet")
