@@ -801,6 +801,24 @@ object JsonSchema {
                d <- xTxt(o, "dimCol", ctx))
             yield RefIntegrityTable(c, p, d, xBool(o, "broadcastDim", default = true),
               txt(o, "format").getOrElse(TableIO.defaultFormat))
+        case Some("compliance") =>
+          for {
+            fp <- xLong(o, "minPassFp", ctx)
+            innerO <- Option(o.get("inner")).filter(_.isObject).orElse {
+              errors += SuiteError.Unsupported(ctx, "compliance: missing 'inner' object"); None
+            }
+            cl <- xTxt(innerO, "col", ctx)
+            schemaN <- Option(innerO.get("schema")).filter(_.isObject).orElse {
+              errors += SuiteError.Unsupported(ctx, "compliance: missing 'inner.schema'"); None
+            }
+            inner <- (compileProp(cl, schemaN, 1) match {
+              case one :: Nil => Some(one)
+              case Nil =>
+                errors += SuiteError.Unsupported(ctx,
+                  "compliance: inner schema compiled to no constraints"); None
+              case many => Some(All(cl, many))
+            })
+          } yield Compliance(inner, fp, txt(o, "groupBy"))
         case k =>
           errors += SuiteError.Unsupported(ctx, s"unknown kind '${k.getOrElse("<missing>")}'")
           None

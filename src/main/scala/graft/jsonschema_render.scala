@@ -418,6 +418,25 @@ object JsonSchemaRender {
         o.put("kind", "refTable"); o.put("col", cl); o.put("dimPath", dimPath)
         o.put("dimCol", dimCol); o.put("broadcastDim", bc); o.put("format", fmt)
         xAgg.add(o)
+      case Compliance(inner, minPassFp, groupBy) =>
+        // the inner rides as a column-scoped draft-07 SUBSCHEMA — the same
+        // dialect as everything else, reparsed through compileProp on load
+        colOf(inner) match {
+          case Some(cl) =>
+            conjunct(cl, Seq(inner)) match {
+              case schemaNode: ObjectNode if !schemaNode.isEmpty =>
+                val o = mapper.createObjectNode()
+                o.put("kind", "compliance"); o.put("minPassFp", minPassFp)
+                groupBy.foreach(g => o.put("groupBy", g))
+                val in = mapper.createObjectNode()
+                in.put("col", cl); in.set[JsonNode]("schema", schemaNode)
+                o.set[JsonNode]("inner", in)
+                xAgg.add(o)
+              case _ =>
+                err(s"compliance", s"inner ${inner.id} has no subschema form")
+            }
+          case None => err("compliance", s"cannot attribute inner ${inner.id} to a column")
+        }
       case other =>
         err(other.id, s"no serialization for ${other.getClass.getSimpleName} — " +
           "referential checks carry a DataFrame and must be re-attached at load")

@@ -391,7 +391,10 @@ class JsonSchemaSpec extends SparkSpec {
         DriftKS("n_tok", "source", 2.0, 0.2),
         MonotonicWithin("g", "o", "v", strict = true),
         RefIntegrityTable("source", "/data/dims/sources", "source",
-          broadcastDim = false, format = "parquet")),
+          broadcastDim = false, format = "parquet"),
+        Compliance(Range("n_tok", 1, 8192), 980000L, Some("source")),
+        Compliance(All("text", Seq(Regex("text", "^[a-z]"),
+          LengthBounds("text", Some(10), None))), 990000L, None)),
       nBuckets = 128)
     val json = JsonSchemaRender.render(suite)
       .fold(es => fail(es.map(_.msg).mkString("; ")), identity)
@@ -443,6 +446,10 @@ class JsonSchemaSpec extends SparkSpec {
     // two colliding keywords on one column
     assert(leftOf(ConstraintSuite("k", Seq(Regex("c", "^a"), Regex("c", "^b"))))
       .exists(_.msg.contains("duplicate keyword")))
+    // compliance over NonNull: draft-07 has no value-position "not null"
+    assert(leftOf(ConstraintSuite("k", Nil,
+      aggChecks = Seq(Compliance(NonNull("c"), 990000L))))
+      .exists(_.msg.contains("nonnull")))
   }
 }
 
