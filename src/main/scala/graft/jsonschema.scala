@@ -767,6 +767,33 @@ object JsonSchema {
             c <- xTxt(o, "col", ctx); s <- xLong(o, "sep", ctx)
             lo <- xLong(o, "minLen", ctx); hi <- xLong(o, "maxLen", ctx)
           } yield SegmentLengthBounds(c, s, lo, hi)
+        case Some("tagDispatch") =>
+          for {
+            nm <- xTxt(o, "name", ctx)
+            tc <- xTxt(o, "tagCol", ctx)
+            casesO <- Option(o.get("cases")).filter(_.isObject).orElse {
+              errors += SuiteError.Unsupported(ctx, "tagDispatch: missing 'cases' object"); None
+            }
+          } yield {
+            val cases = casesO.properties().asScala.toList.flatMap { e =>
+              val tag = e.getKey
+              val cl = Option(e.getValue.get("col")).filter(_.isTextual).map(_.asText())
+              val sn = Option(e.getValue.get("schema")).filter(_.isObject)
+              (cl, sn) match {
+                case (Some(c0), Some(s0)) => compileProp(c0, s0, 1) match {
+                  case one :: Nil => Some(tag -> one)
+                  case Nil =>
+                    errors += SuiteError.Unsupported(ctx,
+                      s"tagDispatch case '$tag' compiled to no constraints"); None
+                  case many => Some(tag -> (All(c0, many): RowConstraint))
+                }
+                case _ =>
+                  errors += SuiteError.Unsupported(ctx,
+                    s"tagDispatch case '$tag' needs 'col' and 'schema'"); None
+              }
+            }
+            TagDispatch(nm, tc, cases.toMap)
+          }
         case k =>
           errors += SuiteError.Unsupported(ctx, s"unknown kind '${k.getOrElse("<missing>")}'")
           None

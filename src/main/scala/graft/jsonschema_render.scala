@@ -339,6 +339,28 @@ object JsonSchemaRender {
       case SegmentLengthBounds(cl, s, lo, hi) =>
         xObj("segmentLengthBounds", "col" -> txt(cl), "sep" -> longN(s),
           "minLen" -> longN(lo), "maxLen" -> longN(hi))
+      case TagDispatch(name, tagCol, cases) =>
+        // each case's constraint rides as a column-scoped draft-07
+        // subschema (the Compliance trick) — reparsed through compileProp
+        val o = mapper.createObjectNode()
+        o.put("kind", "tagDispatch"); o.put("name", name); o.put("tagCol", tagCol)
+        val cs = mapper.createObjectNode()
+        cases.toSeq.sortBy(_._1).foreach { case (tag, inner) =>
+          colOf(inner) match {
+            case Some(cl) => conjunct(cl, Seq(inner)) match {
+              case on: ObjectNode if !on.isEmpty =>
+                val e = mapper.createObjectNode()
+                e.put("col", cl); e.set[JsonNode]("schema", on)
+                cs.set[JsonNode](tag, e)
+              case _ =>
+                err(s"tag($name)", s"case '$tag' (${inner.id}) has no subschema form")
+            }
+            case None =>
+              err(s"tag($name)", s"cannot attribute case '$tag' (${inner.id}) to a column")
+          }
+        }
+        o.set[JsonNode]("cases", cs)
+        xRow.add(o)
       case leaf: RowConstraint =>
         colOf(leaf) match {
           case Some(cl) => emit(nodeFor(cl), leaf, cl)

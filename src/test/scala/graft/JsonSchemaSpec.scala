@@ -382,7 +382,11 @@ class JsonSchemaSpec extends SparkSpec {
         PadSuffixOnly("tokens", 0L),
         EndsWithToken("tokens", 2L, 0L),
         PadAwareLength("tokens", "n_tok", 0L),
-        SegmentLengthBounds("tokens", 2L, 1L, 10L)),
+        SegmentLengthBounds("tokens", 2L, 1L, 10L),
+        TagDispatch("src_rules", "source", Map(
+          "web" -> Range("n_tok", 1, 4096),
+          "code" -> All("n_tok", Seq(Range("n_tok", 1, 8192),
+            MultipleOf("n_tok", 1.0)))))),
       aggChecks = Seq(
         Unique("doc_id", salted = true, saltBuckets = 32),
         UniqueTuple(Seq("a", "b")),
@@ -429,10 +433,11 @@ class JsonSchemaSpec extends SparkSpec {
     assert(leftOf(ConstraintSuite("k", Nil,
       aggChecks = Seq(RefIntegrity("source", dim, "source"))))
       .exists(_.msg.contains("RefIntegrity")))
-    // tag dispatch has no draft-07 form
+    // tag dispatch serializes, but a case with no subschema form (NonNull
+    // has no value-position keyword) must fail loudly, not drop the case
     assert(leftOf(ConstraintSuite("k",
       Seq(TagDispatch("t", "t", Map("a" -> NonNull("x"))))))
-      .exists(_.msg.contains("TagDispatch")))
+      .exists(_.msg.contains("nonnull(x)")))
     // unresolved definitions
     assert(leftOf(ConstraintSuite("k", Seq(NamedRef("d")),
       definitions = Map("d" -> NonNull("x"))))

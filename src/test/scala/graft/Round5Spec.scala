@@ -581,25 +581,32 @@ class Round5Spec extends SparkSpec {
 
   test("bare minhashLsh / tfidfTopTerms / cosineLshPairs self-release their caches") {
     import graft.ops.{Dedup, Similarity, TextAnalysis}
-    def cachedCount = spark.sparkContext.getPersistentRDDs.size
-    def awaitBaseline(baseline: Int, what: String): Unit = {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // compare ID SETS, not counts: the ContextCleaner may concurrently
+    // unpersist an UNRELATED suite's GC'd RDD, shrinking a raw count below
+    // its baseline and failing a count compare spuriously — only the ids
+    // CREATED by the op under test must drain
+    def awaitReleased(before: Set[Int], what: String): Unit = {
       // listener callbacks run on the listener bus after the action returns
       val deadline = System.currentTimeMillis() + 20000
-      while (cachedCount > baseline && System.currentTimeMillis() < deadline)
+      def leaked = cachedIds -- before
+      while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-      assert(cachedCount === baseline, s"$what left cached blocks behind")
+      assert(leaked.isEmpty, s"$what left cached blocks behind: $leaked")
     }
     val docs = spark.range(0, 200).selectExpr("cast(id AS STRING) AS doc_id",
       "concat('some shared text body with words number ', cast(id % 40 AS STRING)) AS text")
     val vecs = spark.range(0, 100).selectExpr("id AS vec_id",
       "array(cast(id % 7 AS FLOAT), cast(id % 5 AS FLOAT), 1.0F) AS embedding")
-    val baseline = cachedCount
+    var before = cachedIds
     Dedup.minhashLsh(docs, "text", "doc_id", 32, 8, 2, 0.5).count()
-    awaitBaseline(baseline, "minhashLsh")
+    awaitReleased(before, "minhashLsh")
+    before = cachedIds
     TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 3).count()
-    awaitBaseline(baseline, "tfidfTopTerms")
+    awaitReleased(before, "tfidfTopTerms")
+    before = cachedIds
     Similarity.cosineLshPairs(vecs, "embedding", "vec_id", 0.9).count()
-    awaitBaseline(baseline, "cosineLshPairs")
+    awaitReleased(before, "cosineLshPairs")
   }
 
   // ---------------------------------------------------------------------
