@@ -425,6 +425,37 @@ class JsonSchemaSpec extends SparkSpec {
     assert(check.run(fact).isEmpty)
   }
 
+  test("SuiteRepo: versioned suite config — append, load, cross-version diff") {
+    val dir = java.nio.file.Files.createTempDirectory("suiterepo").toString
+    assert(SuiteRepo.latestVersion(spark, dir).isEmpty)
+    val v1s = ConstraintSuite("doc_id",
+      Seq(Range("n_tok", 1, 8192), Regex("doc_id", "^doc-[0-9]+$")),
+      Seq(Unique("doc_id")))
+    assert(SuiteRepo.append(spark, dir, v1s) === 0L)
+    // the loosened-bound bump
+    val v2s = ConstraintSuite("doc_id",
+      Seq(Range("n_tok", 1, 16384), Regex("doc_id", "^doc-[0-9]+$")),
+      Seq(Unique("doc_id")))
+    assert(SuiteRepo.append(spark, dir, v2s) === 1L)
+    val (v, latest) = SuiteRepo.loadLatest(spark, dir, "doc_id").get
+    assert(v === 1L && SuiteDiff.identical(latest, v2s))
+    assert(SuiteDiff.identical(SuiteRepo.load(spark, dir, 0L, "doc_id"), v1s))
+    val changes = SuiteRepo.diff(spark, dir, 0L, 1L, "doc_id")
+    assert(changes.map(c => (c.check_id, c.change)) ===
+      Seq(("range(n_tok)", "params_changed")))
+    // a crash between document and marker leaves the version invisible
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/version=2"))
+    assert(SuiteRepo.latestVersion(spark, dir) === Some(1L))
+    intercept[IllegalArgumentException](SuiteRepo.load(spark, dir, 2L, "doc_id"))
+    // unrenderable suites never write
+    val dim = Seq("web").toDF("source")
+    intercept[IllegalArgumentException](SuiteRepo.append(spark, dir,
+      ConstraintSuite("k", Nil, Seq(RefIntegrity("source", dim, "source")))))
+    assert(SuiteRepo.latestVersion(spark, dir) === Some(1L))
+  }
+
   test("render: unrenderable constructs fail LOUDLY, never drop silently") {
     def leftOf(s: ConstraintSuite): List[SuiteError] =
       JsonSchemaRender.render(s).left.getOrElse(fail("expected Left"))
