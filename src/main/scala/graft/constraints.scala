@@ -1396,9 +1396,18 @@ final case class Unique(col: String, salted: Boolean = false, saltBuckets: Int =
       if (!salted) {
         df.filter(key.isNotNull).groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
       } else {
-        // Phase 1: count per (key, salt) — salt derived from the full row hash
-        // so copies of a duplicated key spread over reducers; Phase 2: sum per key.
-        val salt = pmod(xxhash64(df.columns.toSeq.map(org.apache.spark.sql.functions.col): _*), lit(saltBuckets))
+        // Phase 1: count per (key, salt); Phase 2: sum per key. The salt is
+        // derived from (key, map partition id) — NOT the round-5 full-row
+        // hash, which (a) forced every column of the table through the scan
+        // (ReadSchema was the whole row; now just the key — guide §2.3
+        // "shuffle fewer bytes" at the scan) and (b) silently failed to
+        // spread bit-identical duplicate rows (identical rows hash
+        // identically). Partition-id salting sends each map task's partial
+        // row for a hot key to its own reducer, spreads even identical
+        // copies, and is retry/speculation-stable (a re-run task keeps its
+        // partition id — no SPARK-38388-style key nondeterminism). The salt
+        // never reaches the output: phase 2 re-groups by key alone.
+        val salt = pmod(xxhash64(key, spark_partition_id()), lit(saltBuckets))
         df.filter(key.isNotNull)
           .groupBy(key.as("key"), salt.as("salt")).agg(count(lit(1)).as("c1"))
           .groupBy(org.apache.spark.sql.functions.col("key")).agg(sum("c1").as("cnt"))
@@ -1437,7 +1446,10 @@ final case class UniqueTuple(cols: Seq[String], salted: Boolean = false,
       if (!salted) {
         df.filter(complete).groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
       } else {
-        val salt = pmod(xxhash64(df.columns.toSeq.map(c): _*), lit(saltBuckets))
+        // (key, partition id) salt — same derivation and rationale as
+        // [[Unique]]: key-only ReadSchema, spreads identical rows,
+        // retry-stable, and phase 2 re-groups by the key alone.
+        val salt = pmod(xxhash64(keyCols :+ spark_partition_id(): _*), lit(saltBuckets))
         df.filter(complete)
           .groupBy(keyCols :+ salt.as("__salt"): _*).agg(count(lit(1)).as("c1"))
           .groupBy(keyCols: _*).agg(sum("c1").as("cnt"))

@@ -27,15 +27,24 @@ object Drift {
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"),
         floor(col(valueCol).cast(DoubleType) / binWidth).cast(LongType).as("bin"))
-    val obs = binned.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("obs"))
-    // obs is small (groups × bins); everything below is driver-free small-data algebra.
+    // obs is small (groups × bins) but DERIVED FROM THE FACT TABLE — and it
+    // is referenced four times below (grp totals, bin totals, pooled total,
+    // and the cell join). Unpersisted, each reference re-ran the full
+    // fact-table scan+aggregation (the round-5 seq_validate plan showed the
+    // corpus generated once per reference); persisting the tiny aggregate
+    // makes every drift statistic ONE fact scan. The cache self-releases
+    // after the first action on the statistic (bounded: |groups|·|bins|
+    // rows either way).
+    val obs = binned.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("obs")).persist()
+    // everything below is driver-free small-data algebra over the cached agg.
     val grpTot = obs.groupBy("grp").agg(sum("obs").as("grp_total"))
     val binTot = obs.groupBy("bin").agg(sum("obs").as("bin_total"))
     val n = obs.agg(sum("obs").as("n_total"))
-    grpTot.crossJoin(broadcast(binTot))
+    val out = grpTot.crossJoin(broadcast(binTot))
       .join(obs, Seq("grp", "bin"), "left")
       .na.fill(0L, Seq("obs"))
       .crossJoin(broadcast(n))
+    graft.AutoRelease.onFirstMaterialize(out, () => { obs.unpersist(); () })
   }
 
   /** χ² of each group's binned histogram against the pooled distribution:

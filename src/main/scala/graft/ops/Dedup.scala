@@ -237,7 +237,22 @@ object Dedup {
         col("inter").cast(DoubleType) >= lit(t) * smaller.cast(DoubleType)
       case None => jaccardPass
     }
+    // size-ratio prefilter (Jaccard-only mode): J = I/U ≤ min(|a|,|b|)/
+    // max(|a|,|b|) because I ≤ min and U ≥ max, so a pair whose sizes are
+    // too lopsided can NEVER reach minJaccard — reject it on two size()
+    // lookups before paying the O(|a|+|b|) hash-set intersect/union. The
+    // inclusive ≥ keeps every boundary pair, so the output is bit-identical
+    // (same multiply-form as the pass filter). Containment mode skips the
+    // prefilter: a short doc fully contained in a long one is exactly the
+    // lopsided pair that rule exists to keep.
+    val sizeCompatible = minContainment match {
+      case None =>
+        least(size(col("g_a")), size(col("g_b"))).cast(DoubleType) >=
+          lit(minJaccard) * greatest(size(col("g_a")), size(col("g_b"))).cast(DoubleType)
+      case Some(_) => lit(true)
+    }
     pairs
+      .filter(sizeCompatible)
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
       .filter(col("uni") > 0 && pass)
@@ -346,8 +361,14 @@ object Dedup {
     * id in O(log n) rounds — unlike min-label propagation's O(diameter),
     * which needs 1000 rounds for a 1000-chain (iterative crawls and
     * boilerplate chains produce exactly such paths). Convergence is detected
-    * by an order-independent edge-set checksum (count + bit_xor of pair
-    * hashes — edges are distinct, so xor cancellation cannot false-positive).
+    * STRUCTURALLY: the alternation's fixed points are exactly the star
+    * forests rooted at component minima (with the maintained src>dst
+    * orientation: no node is both a child and a root, and every child has
+    * exactly one root — one role-tagged groupBy per round). Detecting the
+    * fixed point the round it is PRODUCED — instead of the round-5 form's
+    * checksum equality across consecutive iterates — saves one full
+    * large+small+checkpoint round per call (measured 0.4-0.7 s at the
+    * sf0.1 fixture; the round is ~6 exchanges at any scale).
     *
     * LINEAGE DISCIPLINE: every round ends in localCheckpoint(eager) — a flat
     * LogicalRDD. persist() alone is NOT enough for iterative algorithms (the
@@ -360,9 +381,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       failOnNonConvergence: Boolean = false): DataFrame = {
     // every vertex mentioned in pairs gets a label, even if the star
-    // transforms drop it (self-loops, singletons)
+    // transforms drop it (self-loops, singletons). LAZY on purpose: it is
+    // only read by the final labels join, which is materialized while the
+    // caller's `pairs` frame is still alive — computing it here as an eager
+    // checkpoint (the round-5 form) paid one extra action + shuffle up
+    // front for data the loop never touches.
     val vertices = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint(true)
+      .union(pairs.select(col("id_b").as("id"))).distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -385,27 +410,39 @@ object Dedup {
       val fromSelf = mins.select(col("src"), col("__m").as("dst"))
       fromNbrs.union(fromSelf).distinct()
     }
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    /** Fixed-point test: with the src>dst orientation both stars maintain,
+      * the edge set is a star forest rooted at component minima iff no node
+      * appears as both a child (src) and a root (dst), and no child carries
+      * two roots. One role-tagged groupBy; runs over the freshly
+      * checkpointed (cached) edge set, so it costs one small shuffle — and
+      * unlike checksum-equality it fires the round the fixed point is
+      * PRODUCED, not one wasted round later. */
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("src").as("n"), lit(0).as("role"))
+        .union(e.select(col("dst").as("n"), lit(1).as("role")))
+        .groupBy("n").agg(min("role").as("mn"), max("role").as("mx"),
+          sum(lit(1) - col("role")).as("fanout"))
+        .filter((col("mn") === 0 && col("mx") === 1) || col("fanout") > 1)
+        .isEmpty
 
-    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // initial edges carry the same greatest→least orientation the loop
+    // maintains (the graph is undirected; orientation also dedups a/b vs
+    // b/a inputs and was measured FASTER through round 0 than the unoriented
+    // round-5 form)
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
-    var sum = checksum(edges)
     var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged && sum._1 > 0) {
+    var converged = isStarForest(edges)
+    while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextSum = checksum(next)
+      converged = isStarForest(next)
       freeLocalCheckpoint(edges)
       edges = next
-      converged = nextSum == sum
-      sum = nextSum
       iter += 1
     }
-    if (!converged && sum._1 > 0) {
+    if (!converged) {
       // a truncated run = components may still be SPLIT (under-dedup
       // downstream) — never let that pass silently
       val msg = s"connectedComponents did not converge after $maxIter rounds; " +
@@ -422,7 +459,6 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
       .localCheckpoint(true)
     freeLocalCheckpoint(edges)
-    freeLocalCheckpoint(vertices)
     labels
   }
 
