@@ -109,9 +109,15 @@ object Dedup {
       .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
       .persist()
 
-    val banded = sig.select(col("id"), col("sig"),
+    // banded persisted TOO: it feeds the oversized-bucket aggregation AND
+    // both sides of the candidate join — unpersisted, the band-hash kernel
+    // (one string-join + xxhash64 per band per row) re-ran per consumer
+    // (3×). At (id, band, band_hash) it is narrower than the already-cached
+    // signature frame, and both caches ride the same release handle.
+    val banded = sig.select(col("id"),
       posexplode(array(bandHashCols("sig", numHashes, bands): _*))
         .as(Seq("band", "band_hash")))
+      .persist()
 
     // bucket join: candidates share (band, band_hash); self-join within
     // buckets, bounded by maxBucket. Only (id, band, band_hash) rides the
@@ -136,7 +142,7 @@ object Dedup {
           .cast(DoubleType) / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
-    (pairs, () => { sig.unpersist(); () })
+    (pairs, () => { sig.unpersist(); banded.unpersist(); () })
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum of
@@ -278,10 +284,10 @@ object Dedup {
     val (lshPairs, releaseLsh) = Similarity.cosineLshPairsCached(
       df, vecCol, idCol, threshold, bands, planesPerBand, maxBucket)
     val pairs = lshPairs.select("id_a", "id_b").persist()
-    val cc = connectedComponents(pairs) // materializes pairs on the way
+    val losers = componentLosers(pairs) // materializes pairs on the way
     pairs.unpersist()
     releaseLsh()
-    finishDropById(df, idCol, cc)
+    df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Duplicated text SPANS across documents — the boilerplate / repeated-
@@ -388,7 +394,26 @@ object Dedup {
     // front for data the loop never touches.
     val vertices = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
+    val edges = ccEdges(pairs, maxIter, failOnNonConvergence)
+    // fixed point = one star per component rooted at its min id: edges map
+    // every non-root to its root; roots (and dropped singletons) label
+    // themselves via the vertex left-join. The min-agg is a no-op on a true
+    // star but keeps exactly ONE label per id if maxIter truncated the run.
+    val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
+    val labels = vertices.join(rootOf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+      .localCheckpoint(true)
+    freeLocalCheckpoint(edges)
+    labels
+  }
 
+  /** The large-star/small-star loop of [[connectedComponents]], returning
+    * the final CHECKPOINTED edge set instead of labels. Every edge set in
+    * the loop (including the initial one) maintains the src > dst
+    * orientation, so consumers may rely on it. Caller frees the returned
+    * checkpoint via [[freeLocalCheckpoint]]. */
+  private def ccEdges(pairs: DataFrame, maxIter: Int,
+      failOnNonConvergence: Boolean): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy("src").agg(min("dst").as("__mn"))
@@ -450,16 +475,52 @@ object Dedup {
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    // fixed point = one star per component rooted at its min id: edges map
-    // every non-root to its root; roots (and dropped singletons) label
-    // themselves via the vertex left-join. The min-agg is a no-op on a true
-    // star but keeps exactly ONE label per id if maxIter truncated the run.
-    val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
-    val labels = vertices.join(rootOf, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
-      .localCheckpoint(true)
+    edges
+  }
+
+  /** The ids a keep-min dedup DROPS, derived straight from the CC edge set:
+    * with the loop's src > dst orientation invariant, every edge source's
+    * label is min(dst) < src, so the distinct sources are EXACTLY the ids
+    * whose label differs from themselves — at any iteration count,
+    * converged or truncated (non-sources always label themselves). Skips
+    * the full-label construction (vertex distinct over 2·|pairs| rows +
+    * left join) that [[connectedComponents]] pays, which the drop pipelines
+    * then immediately filtered down to this set. Returns a checkpointed
+    * loser-id frame (one row per dropped duplicate — the same bounded
+    * pay-per-defect residual the round-5 drop tail documented). */
+  private def componentLosers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = ccEdges(pairs, maxIter, failOnNonConvergence = false)
+    val losers = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
     freeLocalCheckpoint(edges)
-    labels
+    losers
+  }
+
+  /** Duplicate-cluster report (component = surviving min id, n_members ≥ 2)
+    * straight from the CC edge set — label-identical by construction:
+    * a component's members under [[connectedComponents]]' labeling are its
+    * edge SOURCES labeled min(dst) plus the root itself iff the root is not
+    * also a source (it labels itself then; converged star forests always
+    * count it, a truncated run exactly mirrors the label semantics).
+    * Replaces the labels join + full-label groupBy with two aggregations
+    * over the (tiny) root-of frame. */
+  private def componentReport(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = ccEdges(pairs, maxIter, failOnNonConvergence = false)
+    val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
+      .localCheckpoint(true) // read twice below (kids agg + root-is-source test)
+    freeLocalCheckpoint(edges)
+    val kids = rootOf.groupBy(col("__c").as("component"))
+      .agg(count(lit(1)).as("__n_kids"))
+    val rootSelfLabeled = kids.join(
+        rootOf.select(col("id").as("component")), Seq("component"), "left_anti")
+      .select(col("component"))
+    val report = kids.join(rootSelfLabeled.withColumn("__self", lit(1L)),
+        Seq("component"), "left")
+      .select(col("component"),
+        (col("__n_kids") + coalesce(col("__self"), lit(0L))).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .localCheckpoint(true) // cluster-bounded residual, as before
+    freeLocalCheckpoint(rootOf)
+    report
   }
 
   /** Release the cached partitions behind a localCheckpoint'ed frame
@@ -486,10 +547,10 @@ object Dedup {
     // would re-run per branch
     val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
       .select("id_a", "id_b").persist()
-    val cc = connectedComponents(verified) // materializes verified on the way
+    val losers = componentLosers(verified) // materializes verified on the way
     verified.unpersist()
     releaseLsh()
-    finishDropById(df, idCol, cc)
+    df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Near-dup CLUSTER REPORT — the audit companion to [[dropNearDups]]:
@@ -506,17 +567,12 @@ object Dedup {
       bands, shingleK, threshold, maxBucket)
     val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
       .select("id_a", "id_b").persist()
-    val cc = connectedComponents(verified)
+    // label-identical report derived from the CC edge set — skips the full
+    // label construction; the report checkpoint is the same bounded
+    // pay-per-defect residual as before
+    val report = componentReport(verified)
     verified.unpersist()
     releaseLsh()
-    // materialize the report eagerly (it is cluster-bounded — one row per
-    // duplicate cluster) so the CC labels' checkpoint blocks can be freed
-    // HERE; the report's own checkpoint is the same bounded pay-per-defect
-    // residual the drop pipelines' flagged-id sets carry
-    val report = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") >= 2)
-      .localCheckpoint(true)
-    freeLocalCheckpoint(cc)
     report
   }
 
@@ -540,10 +596,10 @@ object Dedup {
       threshold, bands, planesPerBand, maxBucket)
     // persisted: CC reads the verified pairs twice per round (see dropNearDups)
     val verified = pairs.select("id_a", "id_b").persist()
-    val cc = connectedComponents(verified)
+    val losers = componentLosers(verified)
     verified.unpersist()
     releaseLsh()
-    finishDropById(df, idCol, cc)
+    df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Embedding-cluster report — [[nearDupClusters]] for the SemDeDup
@@ -556,13 +612,9 @@ object Dedup {
     val (pairs, releaseLsh) = Similarity.cosineLshPairsCached(df, vecCol, idCol,
       threshold, bands, planesPerBand, maxBucket)
     val verified = pairs.select("id_a", "id_b").persist()
-    val cc = connectedComponents(verified)
+    val report = componentReport(verified) // label-identical; see nearDupClusters
     verified.unpersist()
     releaseLsh()
-    val report = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") >= 2)
-      .localCheckpoint(true) // cluster-bounded; frees the labels (below)
-    freeLocalCheckpoint(cc)
     report
   }
 
@@ -771,7 +823,7 @@ object Dedup {
     // flagged checkpoint itself CANNOT be auto-freed (localCheckpoint
     // truncates lineage — freeing it would break any later action on the
     // returned frame), but it is one row per dropped near-dup: the same
-    // bounded pay-per-defect residual finishDropById's contract documents.
+    // bounded pay-per-defect residual the drop pipelines document.
     val flagged = scorePairs(pairs, minJaccard)
       .select(col("id_a").as("__flag")).distinct().localCheckpoint(true)
     freeLocalCheckpoint(cand)
@@ -819,16 +871,4 @@ object Dedup {
     df.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
-  /** Shared tail of the drop pipelines: materialize the (small) loser-id set
-    * eagerly, release the CC label cache, and anti-join. CACHE DISCIPLINE:
-    * after this returns, the ONLY cached blocks the pipeline leaves behind
-    * are the loser ids (one row per dropped duplicate) backing the returned
-    * frame — the signature cache, verified pairs, and full label set are all
-    * released (OpsSpec asserts it). */
-  private def finishDropById(df: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
-    val losers = cc.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol)).localCheckpoint(true)
-    freeLocalCheckpoint(cc)
-    df.join(losers, Seq(idCol), "left_anti")
-  }
 }

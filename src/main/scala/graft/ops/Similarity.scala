@@ -126,10 +126,16 @@ object Similarity {
       .filter(col("nrm") > 0)
       .persist() // re-read by the band explode and both candidate re-joins
     // candidate generation carries ONLY (id, band, band_val) — never the
-    // vectors — so the pair dedup shuffles two longs per row, not 2×64 floats
+    // vectors — so the pair dedup shuffles two longs per row, not 2×64 floats.
+    // banded persisted TOO: it feeds the oversized aggregation and both
+    // candidate-join sides — unpersisted, the sign-LSH projection kernel
+    // (bands × planes dot products per vector) re-ran per consumer (the
+    // round-5 plan showed 4 Generate nodes); the cache is two longs per
+    // (row, band) and rides the same release handle as the vectors.
     val banded = base.select(col("id"),
       posexplode(graft.functions.VecFunctions.sign_lsh_bands(col("v"), bands, planesPerBand))
         .as(Seq("band", "band_val")))
+      .persist()
     val oversized = banded.groupBy("band", "band_val").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("band", "band_val")
     val bucketed = banded.join(broadcast(oversized), Seq("band", "band_val"), "left_anti")
@@ -144,7 +150,7 @@ object Similarity {
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-    (pairs, () => { base.unpersist(); () })
+    (pairs, () => { base.unpersist(); banded.unpersist(); () })
   }
 
   /** Integer-quantized dot product (floor(x*scale) per element) — exact across

@@ -460,32 +460,42 @@ object Suggest {
       s"compositeKeys: need at least 2 candidate columns, got $candidateCols")
     require(candidateCols.distinct.size == candidateCols.size,
       s"compositeKeys: duplicate columns in $candidateCols")
-    val prof = Profiler.profileRaw(df, candidateCols).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val n = prof(candidateCols.head).getLong(2)
-    if (n == 0) return Nil
-    def nulls(c: String) = prof(c).getLong(3)
-    def nd(c: String) = prof(c).getLong(4)
-    def singleUnique(c: String) = nulls(c) == 0 && nd(c) == n
-    val nonUnique = candidateCols.filterNot(singleUnique)
-    val pairs = nonUnique.combinations(2).toSeq.filter { case Seq(a, b) =>
-      // a pair's complete-row count is at least n - nulls(a) - nulls(b);
-      // fewer than that many combinations cannot distinguish them
-      BigInt(nd(a)) * BigInt(nd(b)) >= BigInt(n) - nulls(a) - nulls(b)
-    }
-    if (pairs.isEmpty) return Nil
-    val aggs = pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
-      val complete = col(a).isNotNull && col(b).isNotNull
-      Seq(
-        sum(complete.cast(LongType)).as(s"__n_$i"),
-        countDistinct(when(complete, struct(col(a), col(b)))).as(s"__nd_$i"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    pairs.zipWithIndex.collect {
-      case (p, i)
-          if row.getLong(2 * i) > 0 && row.getLong(2 * i + 1) == row.getLong(2 * i) =>
-        p
-    }
+    // both discovery passes (single-column profile, surviving-pair tuple
+    // counts) scan the candidate columns — and the caller's frame may be
+    // arbitrarily expensive to recompute (v_suggest_composite derives it
+    // through a window, so each unpersisted pass re-paid the full
+    // shuffle+sort). Cache the k-column projection for the duration of the
+    // call; both actions complete before return, so the persist/unpersist
+    // pair is fully contained here.
+    val proj = df.select(candidateCols.map(col): _*).persist()
+    try {
+      val prof = Profiler.profileRaw(proj, candidateCols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val n = prof(candidateCols.head).getLong(2)
+      if (n == 0) return Nil
+      def nulls(c: String) = prof(c).getLong(3)
+      def nd(c: String) = prof(c).getLong(4)
+      def singleUnique(c: String) = nulls(c) == 0 && nd(c) == n
+      val nonUnique = candidateCols.filterNot(singleUnique)
+      val pairs = nonUnique.combinations(2).toSeq.filter { case Seq(a, b) =>
+        // a pair's complete-row count is at least n - nulls(a) - nulls(b);
+        // fewer than that many combinations cannot distinguish them
+        BigInt(nd(a)) * BigInt(nd(b)) >= BigInt(n) - nulls(a) - nulls(b)
+      }
+      if (pairs.isEmpty) return Nil
+      val aggs = pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
+        val complete = col(a).isNotNull && col(b).isNotNull
+        Seq(
+          sum(complete.cast(LongType)).as(s"__n_$i"),
+          countDistinct(when(complete, struct(col(a), col(b)))).as(s"__nd_$i"))
+      }
+      val row = proj.agg(aggs.head, aggs.tail: _*).head()
+      pairs.zipWithIndex.collect {
+        case (p, i)
+            if row.getLong(2 * i) > 0 && row.getLong(2 * i + 1) == row.getLong(2 * i) =>
+          p
+      }
+    } finally proj.unpersist()
   }
 
   /** Cross-column ORDERING discovery: for each comparable pair from `cols`
