@@ -92,7 +92,14 @@ case class FreqSketch(
     val out = new DataOutputStream(bos)
     out.writeLong(buf.err)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (v, c) => out.writeUTF(v); out.writeLong(c) }
+    // length-prefixed UTF-8 bytes, NOT writeUTF: modified-UTF-8 caps a
+    // value at 65535 bytes and THROWS past it — and Profiler.topValuesApprox
+    // sketches arbitrary stringified columns (a long document column would
+    // crash the partial-buffer shuffle serialization)
+    buf.counts.foreach { case (v, c) =>
+      val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -103,7 +110,13 @@ case class FreqSketch(
     s.err = in.readLong()
     val n = in.readInt()
     var i = 0
-    while (i < n) { s.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      s.counts.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     s
   }
 

@@ -301,9 +301,12 @@ case class ArrayAllInRange(child: Expression, lo: Double, hi: Double)
   * quantified companion to [[ArrayAllInRange]] (which short-circuits on the
   * first offender and so can't measure HOW out-of-domain a corpus is). A
   * null ELEMENT counts as out-of-range (an invalid token, not an absent
-  * one); a null ARRAY is null (leaf null-stance — assert presence with
-  * NonNull). Backs per-group OOV-rate drift over token arrays: one
-  * codegen'd pass per row, no explode, no HOF lambda. */
+  * one), and so does a NaN element in float/double arrays (`v < lo || v >
+  * hi` is vacuously false for NaN — without the explicit test a NaN would
+  * silently count as in-vocab, the one invalid-token case the null stance
+  * already rejects); a null ARRAY is null (leaf null-stance — assert
+  * presence with NonNull). Backs per-group OOV-rate drift over token
+  * arrays: one codegen'd pass per row, no explode, no HOF lambda. */
 case class ArrayCountOutOfRange(child: Expression, lo: Double, hi: Double)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -328,7 +331,7 @@ case class ArrayCountOutOfRange(child: Expression, lo: Double, hi: Double)
       if (mayContainNull && x.isNullAt(i)) bad += 1
       else {
         val v = getter(x, i)
-        if (v < lo || v > hi) bad += 1
+        if (v < lo || v > hi || java.lang.Double.isNaN(v)) bad += 1
       }
       i += 1
     }
@@ -346,11 +349,11 @@ case class ArrayCountOutOfRange(child: Expression, lo: Double, hi: Double)
           s"""if ($arr.isNullAt($i)) { ${ev.value}++; }
              |else {
              |  final double $v = (double)($getV);
-             |  if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)}) ${ev.value}++;
+             |  if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)} || Double.isNaN($v)) ${ev.value}++;
              |}""".stripMargin
         else
           s"""final double $v = (double)($getV);
-             |if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)}) ${ev.value}++;""".stripMargin
+             |if ($v < ${VecGetter.jlit(lo)} || $v > ${VecGetter.jlit(hi)} || Double.isNaN($v)) ${ev.value}++;""".stripMargin
       s"""
          |final int $n = $arr.numElements();
          |${ev.value} = 0L;

@@ -17,10 +17,18 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, BooleanNode, ObjectNode}
   * suites that follow its ordering); other suites NORMALIZE — the first
   * render→parse cycle may rewrap combinator alternatives the way the loader
   * does, after which the cycle is a fixed point. Anything unrenderable
-  * (RefIntegrity's embedded DataFrame, TagDispatch, unresolved NamedRef,
-  * non-canonical enum epsilon) is a LOUD `Left`, never a silent drop.
-  * Formats round-trip only under `parse(validateFormats = true)`;
-  * DecimalRange only under the same `tableSchema` that routed it. */
+  * (RefIntegrity's embedded DataFrame, unresolved NamedRef, non-canonical
+  * enum epsilon) is a LOUD `Left`, never a silent drop. (TagDispatch
+  * serializes since round 5 — each case rides as a draft-07 subschema
+  * under `x-graft-checks`.) Formats round-trip only under
+  * `parse(validateFormats = true)`; DecimalRange only under the same
+  * `tableSchema` that routed it.
+  *
+  * NOT carried by the document: `keyCol` and `nBuckets` are LOAD-TIME
+  * parameters — [[SuiteRepo.load]] and [[JsonSchema.parse]] take them from
+  * the caller, so a suite appended with non-default `nBuckets` must be
+  * reloaded with the same value or bucket lineage (and [[SuiteDiff]]
+  * against an in-memory candidate) will disagree. */
 object JsonSchemaRender {
   import JsonSchema.F64Epsilon
 

@@ -27,20 +27,46 @@ object SuiteRepo {
 
   /** Render `suite` and append it as the next version. Returns the version
     * written. Unrenderable suites fail loudly ([[JsonSchemaRender.render]]'s
-    * contract) — nothing is written. */
-  def append(spark: SparkSession, dir: String, suite: ConstraintSuite): Long = {
+    * contract) — nothing is written.
+    *
+    * Concurrency: the version DOCUMENT is created with overwrite=false, so
+    * two appenders that both computed v = latest+1 cannot silently swap
+    * each other's bytes (the round-5 check-then-act race): the loser's
+    * create fails and it RETRIES at the next version number. The marker is
+    * still written only after the document is fully on storage. */
+  def append(spark: SparkSession, dir: String, suite: ConstraintSuite,
+      maxRetries: Int = 16): Long = {
     val json = JsonSchemaRender.render(suite).fold(
       es => throw new IllegalArgumentException(
         s"suite is not serializable: ${es.map(_.msg).mkString("; ")}"),
       identity)
     val fs = hfs(spark, dir)
-    val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
-    val doc = new Path(s"$dir/version=$v/suite.json")
-    val out = fs.create(doc, true)
-    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.create(new Path(s"$dir/_committed_$v"), true).close()
-    v
+    var v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    var attempts = 0
+    while (true) {
+      val doc = new Path(s"$dir/version=$v/suite.json")
+      val created =
+        try {
+          val out = fs.create(doc, false) // exists ⇒ another appender won this v
+          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("exist")) => false
+        }
+      if (created) {
+        fs.create(new Path(s"$dir/_committed_$v"), true).close()
+        return v
+      }
+      attempts += 1
+      if (attempts > maxRetries) throw new IllegalStateException(
+        s"SuiteRepo.append: lost $maxRetries version races in $dir — " +
+          "serialize appenders or raise maxRetries")
+      v += 1
+    }
+    v // unreachable
   }
 
   /** Highest COMMITTED version, if any (marker-gated — a killed append's
