@@ -266,10 +266,65 @@ object Sampling {
       maxRows: Int, salt: Long = 0L): DataFrame = {
     require(maxRows > 0, "maxRows > 0")
     val g = gate(df, keyCol, TagCapExact, salt)
+    // THRESHOLD PRE-PASS (round 6): the one-pass form evaluated the full
+    // sort key — including the every-column rowHash tie-breaker — and
+    // heap-copied (gate, key, hash, payload) entries for ALL n rows, which
+    // made the UNIFORM case (every stratum over cap, no skew) the worst
+    // case (ProbeSkew: 17.3 s uniform vs 7.5 s hostile at 16 M rows).
+    // Pass 1 instead histograms the gate — uniform over [0, Denom) by
+    // construction — into `CapBuckets` fixed-width buckets per stratum:
+    // a plain two-phase (stratum, bucket) count with bounded partial
+    // state and zero per-row allocation. The smallest bucket whose
+    // cumulative count reaches k yields a threshold whose rank is
+    // PROVABLY ≥ k (every row counted through that bucket has gate ≤ its
+    // upper edge), so the pass-2 prefilter keeps a guaranteed superset of
+    // the true k smallest rows — deterministically, no sketch error to
+    // reason about. A stratum under its cap falls through to its last
+    // nonempty bucket (keep everything). Pass 3 runs the round-5 exact
+    // heap over the ≤ k + n_s/CapBuckets survivors per stratum, which
+    // resolves boundary ties identically to the one-pass form (Round5Spec
+    // asserts bit-equality vs the window formulation). The cumulative scan
+    // over a stratum's bucket counts is a higher-order `aggregate` over a
+    // collected bucket array — at most CapBuckets entries per stratum,
+    // bounded by the constant, never by data (NO per-stratum window: the
+    // no-window plan guard stays intact). Thresholds ride a broadcast: one
+    // (stratum, long) row per stratum, strictly smaller than pass 3's
+    // per-stratum heap state the operator already budgets for.
+    val CapBuckets = 8192L
+    val width = math.max(1L, (Denom + CapBuckets - 1) / CapBuckets)
+    val hist = df
+      .groupBy(col(strataCol).as("__s"),
+        // g ∈ [0, Denom) and width ≤ Denom: double division is exact here
+        // and the cast truncates non-negatives = floor → integer bucket id
+        floor(g / lit(width)).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // walk the (sorted, ≤ CapBuckets-entry) histogram once: acc = (cum,
+    // chosen bucket or -1); the chosen bucket is the smallest whose
+    // cumulative count reaches k, else -1 → fall through to the last
+    // nonempty bucket (under-cap stratum keeps everything)
+    val thresholds = hist
+      .groupBy(col("__s"))
+      .agg(array_sort(collect_list(struct(col("__b"), col("__c")))).as("__h"))
+      .select(col("__s"),
+        aggregate(col("__h"),
+          struct(lit(0L).as("cum"), lit(-1L).as("bk")),
+          (acc, x) => struct(
+            (acc.getField("cum") + x.getField("__c")).as("cum"),
+            when(acc.getField("bk") >= 0L, acc.getField("bk"))
+              .when(acc.getField("cum") + x.getField("__c") >= maxRows.toLong,
+                x.getField("__b"))
+              .otherwise(lit(-1L)).as("bk"))).as("__acc"),
+        element_at(col("__h"), -1).getField("__b").as("__bmax"))
+      .select(col("__s"),
+        ((when(col("__acc.bk") >= 0L, col("__acc.bk"))
+          .otherwise(col("__bmax")) + 1L) * width - 1L).as("__t"))
+    val survivors = df
+      .join(broadcast(thresholds), col(strataCol) <=> col("__s"), "inner")
+      .filter(g <= col("__t"))
     val sortKey = struct(g.as("g"), col(keyCol).as("k"),
       rowHash(df, TagCapExact, salt).as("h"))
     val payload = struct(df.columns.map(col): _*)
-    df.groupBy(col(strataCol))
+    survivors.groupBy(col(strataCol))
       .agg(graft.functions.BoundedMinRows.bounded_min_rows(sortKey, payload, maxRows)
         .as("__kept"))
       .select(explode(col("__kept")).as("__row"))
