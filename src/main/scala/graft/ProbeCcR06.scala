@@ -44,7 +44,8 @@ object ProbeCcR06 {
       fromNbrs.union(fromSelf).distinct()
     }
 
-    /** Instrumented clone of the CURRENT Dedup.connectedComponents. */
+    /** Instrumented clone of the ROUND-5 connectedComponents (checksum
+      * convergence, eager vertices) — the A/B baseline. */
     def ccCurrent(pairs: DataFrame): DataFrame = {
       val vertices = t("  vertices checkpoint") {
         pairs.select(col("id_a").as("id"))
@@ -84,8 +85,8 @@ object ProbeCcR06 {
       labels
     }
 
-    /** Variant: star-forest convergence detection (no wasted confirming
-      * round), lazy vertices (no eager checkpoint). */
+    /** The ROUND-6 shipped form: star-forest convergence detection (no
+      * wasted confirming round), lazy vertices (no eager checkpoint). */
     def ccVariant(pairs: DataFrame): DataFrame = {
       val vertices = pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id"))).distinct()
@@ -140,12 +141,12 @@ object ProbeCcR06 {
         println(s"[probe-cc]   verified pairs: ${v.count()}")
         v
       }
-      val cc1 = t("cc CURRENT total") { ccCurrent(verified) }
-      val cc2 = t("cc VARIANT total") { ccVariant(verified) }
+      val cc1 = t("cc ROUND5 total") { ccCurrent(verified) }
+      val cc2 = t("cc ROUND6 total") { ccVariant(verified) }
       val diff = cc1.as("a").join(cc2.as("b"), Seq("id"))
         .filter(col("a.component") =!= col("b.component")).count()
       val c1 = cc1.count(); val c2 = cc2.count()
-      println(s"[probe-cc] labels: current=$c1 variant=$c2 mismatches=$diff  " +
+      println(s"[probe-cc] labels: round5=$c1 round6=$c2 mismatches=$diff  " +
         (if (diff == 0 && c1 == c2) "IDENTICAL" else "MISMATCH!"))
       freeLocal(cc1); freeLocal(cc2)
       verified.unpersist(); releaseLsh()
