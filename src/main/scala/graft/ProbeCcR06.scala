@@ -85,6 +85,59 @@ object ProbeCcR06 {
       labels
     }
 
+    /** largeStar WITHOUT the intermediate distinct: the round still ends in
+      * smallStar's final distinct, so the per-round edge SET (and with it
+      * round count, convergence, labels) is unchanged — the A/B question is
+      * pure cost: one exchange + stage barrier saved per round vs duplicate
+      * (dst, min) rows riding smallStar's groupBy/join. */
+    def largeStarNoDistinct(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("__m"))
+      sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+    }
+
+    /** The ROUND-6 shipped form minus largeStar's intermediate distinct. */
+    def ccVariant2(pairs: DataFrame): DataFrame = {
+      def isStarForest(e: DataFrame): Boolean = {
+        val bad = e.select(col("src").as("n"), lit(0).as("role"))
+          .union(e.select(col("dst").as("n"), lit(1).as("role")))
+          .groupBy("n").agg(min("role").as("mn"), max("role").as("mx"),
+            sum(lit(1) - col("role")).as("fanout"))
+          .filter((col("mn") === 0 && col("mx") === 1) || col("fanout") > 1)
+        bad.isEmpty
+      }
+      val vertices = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+      var edges = t("  init edges checkpoint") {
+        pairs.select(
+            greatest(col("id_a"), col("id_b")).as("src"),
+            least(col("id_a"), col("id_b")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      }
+      var converged = t("  init star test")(isStarForest(edges))
+      var iter = 0
+      while (iter < 20 && !converged) {
+        val next = t(s"  round $iter large+small+ckpt") {
+          smallStar(largeStarNoDistinct(edges)).localCheckpoint(true)
+        }
+        converged = t(s"  round $iter star test")(isStarForest(next))
+        freeLocal(edges)
+        edges = next
+        iter += 1
+      }
+      val labels = t("  labels checkpoint") {
+        val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
+        vertices.join(rootOf, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+          .localCheckpoint(true)
+      }
+      freeLocal(edges)
+      labels
+    }
+
     /** The ROUND-6 shipped form: star-forest convergence detection (no
       * wasted confirming round), lazy vertices (no eager checkpoint). */
     def ccVariant(pairs: DataFrame): DataFrame = {
@@ -143,12 +196,16 @@ object ProbeCcR06 {
       }
       val cc1 = t("cc ROUND5 total") { ccCurrent(verified) }
       val cc2 = t("cc ROUND6 total") { ccVariant(verified) }
+      val cc3 = t("cc ROUND6-nodistinct total") { ccVariant2(verified) }
       val diff = cc1.as("a").join(cc2.as("b"), Seq("id"))
         .filter(col("a.component") =!= col("b.component")).count()
-      val c1 = cc1.count(); val c2 = cc2.count()
-      println(s"[probe-cc] labels: round5=$c1 round6=$c2 mismatches=$diff  " +
-        (if (diff == 0 && c1 == c2) "IDENTICAL" else "MISMATCH!"))
-      freeLocal(cc1); freeLocal(cc2)
+      val diff3 = cc2.as("a").join(cc3.as("b"), Seq("id"))
+        .filter(col("a.component") =!= col("b.component")).count()
+      val c1 = cc1.count(); val c2 = cc2.count(); val c3 = cc3.count()
+      println(s"[probe-cc] labels: round5=$c1 round6=$c2 nodistinct=$c3 " +
+        s"mismatches=$diff/$diff3  " +
+        (if (diff == 0 && diff3 == 0 && c1 == c2 && c2 == c3) "IDENTICAL" else "MISMATCH!"))
+      freeLocal(cc1); freeLocal(cc2); freeLocal(cc3)
       verified.unpersist(); releaseLsh()
     }
     spark.stop()

@@ -414,6 +414,15 @@ object Dedup {
     * checkpoint via [[freeLocalCheckpoint]]. */
   private def ccEdges(pairs: DataFrame, maxIter: Int,
       failOnNonConvergence: Boolean): DataFrame = {
+    // NO intermediate distinct: the round ends in smallStar's final
+    // distinct, so the per-round edge SET — and with it the round count,
+    // the star-forest test, and the labels — is unchanged (all downstream
+    // aggregations are min/distinct, duplicate-insensitive). The removed
+    // distinct's exchange carried the FULL |e| rows every round; dropping
+    // it saves that exchange and one stage barrier per round, while the
+    // duplicates that now ride smallStar's groupBy are absorbed by map-side
+    // combine (measured: ProbeCcR06, labels asserted identical, CC call
+    // 3.4→2.8 s / 2.8→2.4 s on the 139,714-pair fixture graph).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy("src").agg(min("dst").as("__mn"))
@@ -421,7 +430,6 @@ object Dedup {
       sym.join(mins, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("__m").as("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val orient = e.select(
