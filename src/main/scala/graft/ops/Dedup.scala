@@ -514,17 +514,25 @@ object Dedup {
   private def componentReport(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = ccEdges(pairs, maxIter, failOnNonConvergence = false)
     val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
-      .localCheckpoint(true) // read twice below (kids agg + root-is-source test)
+      .localCheckpoint(true) // read twice below (both union branches)
     freeLocalCheckpoint(edges)
-    val kids = rootOf.groupBy(col("__c").as("component"))
-      .agg(count(lit(1)).as("__n_kids"))
-    val rootSelfLabeled = kids.join(
-        rootOf.select(col("id").as("component")), Seq("component"), "left_anti")
-      .select(col("component"))
-    val report = kids.join(rootSelfLabeled.withColumn("__self", lit(1L)),
-        Seq("component"), "left")
+    // one role-tagged union + groupBy (the star-forest-test pattern)
+    // replaces the round-6 kids-agg + anti-join + left-join: role 0 rows
+    // count a component's kids, a role 1 row marks "component is itself a
+    // source" (then it labels ITS root, not itself — no +1); a root absent
+    // from the source set self-labels and counts as the +1 member. A source
+    // that roots nobody yields n_members ≤ 1 and is filtered exactly as the
+    // join form never emitted it. ONE exchange over 2·|rootOf| tiny rows,
+    // zero joins; label-identical under truncation for the same reason as
+    // before.
+    val report = rootOf.select(col("__c").as("component"), lit(0).as("role"))
+      .union(rootOf.select(col("id").as("component"), lit(1).as("role")))
+      .groupBy("component")
+      .agg(coalesce(sum(when(col("role") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("__n_kids"), // coalesce: keep n_members non-nullable like the count-based form
+        max(col("role")).as("__is_src"))
       .select(col("component"),
-        (col("__n_kids") + coalesce(col("__self"), lit(0L))).as("n_members"))
+        (col("__n_kids") + when(col("__is_src") === 1, 0L).otherwise(1L)).as("n_members"))
       .filter(col("n_members") >= 2)
       .localCheckpoint(true) // cluster-bounded residual, as before
     freeLocalCheckpoint(rootOf)
