@@ -260,7 +260,13 @@ object Dedup {
     pairs
       .filter(sizeCompatible)
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
-      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
+      // g_a/g_b come from word_shingles, which is per-document DISTINCT, so
+      // |a ∪ b| = |a| + |b| − |a ∩ b| exactly — the arithmetic replaces a
+      // second per-pair hash-set build that materialized the merged ARRAY
+      // (O(|a|+|b|) strings allocated) just to take its size. Every caller
+      // of this private helper attaches grams via shingles(); a non-distinct
+      // gram source would break this identity, so keep that invariant.
+      .withColumn("uni", size(col("g_a")) + size(col("g_b")) - col("inter"))
       .filter(col("uni") > 0 && pass)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"),
