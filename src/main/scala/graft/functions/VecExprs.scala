@@ -654,6 +654,56 @@ case class LongArrayEqCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of DISTINCT elements of `left` also present in `right` — exactly
+  * `size(array_intersect(left, right))` for string arrays (null elements
+  * match null, duplicates count once) WITHOUT materializing the
+  * intersection ARRAY: the Jaccard verification stages only ever read the
+  * intersection's SIZE, and `array_intersect` + `size` built (then threw
+  * away) an O(|a∩b|) string array per scored pair. One hash-set build per
+  * side, a counter, zero per-pair output allocation. */
+case class StringArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val nb = b.numElements()
+    val bSet = new java.util.HashSet[UTF8String](Math.max(16, nb * 2))
+    var bHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else bSet.add(b.getUTF8String(i))
+      i += 1
+    }
+    val na = a.numElements()
+    // `seen` keeps duplicate-bearing inputs exact (array_intersect counts a
+    // value once); per-document-distinct gram arrays never insert into it
+    // beyond the bSet hit
+    val seen = new java.util.HashSet[UTF8String](Math.max(16, na * 2))
+    var c = 0
+    var nullCounted = false
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !nullCounted) { c += 1; nullCounted = true }
+      } else {
+        val v = a.getUTF8String(i)
+        if (bSet.contains(v) && seen.add(v)) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ixCount", this,
+      classOf[StringArrayIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Distinct 64-bit hashes of every length-`n` token window in an integer
   * token array — the decontamination / token-span-dedup kernel for
   * pre-tokenized corpora. One JVM loop per row: polynomial window hash +
@@ -788,6 +838,8 @@ object VecFunctions {
     c(SignLshBands(e(vec), bands, planesPerBand))
   def long_array_eq_count(a: Column, b: Column): Column =
     c(LongArrayEqCount(e(a), e(b)))
+  def array_intersect_count(a: Column, b: Column): Column =
+    c(StringArrayIntersectCount(e(a), e(b)))
   def array_all_in_range(a: Column, lo: Double, hi: Double): Column =
     c(ArrayAllInRange(e(a), lo, hi))
   def array_count_out_of_range(a: Column, lo: Double, hi: Double): Column =

@@ -189,24 +189,27 @@ object Dedup {
     val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), shingleK).as("grams")): _*)
-    val oversized0 = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBlock).select(blockCols.map(col): _*)
-    // no silent caps: when the guard is active, materialize the (tiny)
-    // over-cap key set ONCE (one eager job — the price of visibility), count
-    // it for the warn, and reuse the same frame in the anti-join so the
-    // block-count aggregation never runs twice
-    val oversized =
-      if (maxBlock == Int.MaxValue) oversized0
+    // maxBlock == Int.MaxValue is the documented "unbounded" sentinel: no
+    // block can be over the cap, so the guard pass — a full block-count
+    // aggregation + broadcast anti-join that can never drop anything — is
+    // skipped outright instead of computed to find an empty set.
+    val guarded =
+      if (maxBlock == Int.MaxValue) base
       else {
-        val keys = oversized0.localCheckpoint(true)
+        // no silent caps: materialize the (tiny) over-cap key set ONCE (one
+        // eager job — the price of visibility), count it for the warn, and
+        // reuse the same frame in the anti-join so the block-count
+        // aggregation never runs twice
+        val keys = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBlock).select(blockCols.map(col): _*)
+          .localCheckpoint(true)
         val dropped = keys.count()
         if (dropped > 0)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"ngramJaccard: dropping $dropped block(s) larger than maxBlock=$maxBlock " +
               "(their pairs are NOT scored; use minhashLsh + ngramJaccardFor for hot blocks)")
-        keys
+        base.join(broadcast(keys), blockCols, "left_anti")
       }
-    val guarded = base.join(broadcast(oversized), blockCols, "left_anti")
     val l = guarded.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a"): _*)
     val r = guarded.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b"): _*)
     scorePairs(l.join(r, blockCols).filter(col("id_a") < col("id_b")), minJaccard, minContainment)
@@ -259,7 +262,11 @@ object Dedup {
     }
     pairs
       .filter(sizeCompatible)
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      // fused count-only kernel: bit-equal to size(array_intersect(g_a,g_b))
+      // (incl. duplicate and null-element semantics) but never materializes
+      // the intersection array — the verification path reads only the size
+      .withColumn("inter",
+        graft.functions.VecFunctions.array_intersect_count(col("g_a"), col("g_b")))
       // g_a/g_b come from word_shingles, which is per-document DISTINCT, so
       // |a ∪ b| = |a| + |b| − |a ∩ b| exactly — the arithmetic replaces a
       // second per-pair hash-set build that materialized the merged ARRAY
@@ -289,9 +296,11 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     val (lshPairs, releaseLsh) = Similarity.cosineLshPairsCached(
       df, vecCol, idCol, threshold, bands, planesPerBand, maxBucket)
-    val pairs = lshPairs.select("id_a", "id_b").persist()
-    val losers = componentLosers(pairs) // materializes pairs on the way
-    pairs.unpersist()
+    // the pair frame is read exactly ONCE — by ccEdges' init checkpoint —
+    // so a persist here would only add a cache write; distinct by
+    // construction (dropDuplicates upstream + equi-joins, id_a < id_b)
+    val losers = componentLosers(lshPairs.select("id_a", "id_b"),
+      pairsDistinct = true)
     releaseLsh()
     df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -400,12 +409,17 @@ object Dedup {
     // front for data the loop never touches.
     val vertices = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val edges = ccEdges(pairs, maxIter, failOnNonConvergence)
+    val (edges, converged) = ccEdges(pairs, maxIter, failOnNonConvergence)
     // fixed point = one star per component rooted at its min id: edges map
     // every non-root to its root; roots (and dropped singletons) label
-    // themselves via the vertex left-join. The min-agg is a no-op on a true
-    // star but keeps exactly ONE label per id if maxIter truncated the run.
-    val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
+    // themselves via the vertex left-join. When the loop CONVERGED, the
+    // star-forest test just proved every src appears exactly once ("no child
+    // has two roots"), so groupBy(src).min(dst) is the identity — read the
+    // checkpointed edges directly and skip that exchange. A truncated run
+    // keeps the min-agg so each id still gets exactly ONE label.
+    val rootOf =
+      if (converged) edges.select(col("src").as("id"), col("dst").as("__c"))
+      else edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
     val labels = vertices.join(rootOf, Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
       .localCheckpoint(true)
@@ -414,12 +428,23 @@ object Dedup {
   }
 
   /** The large-star/small-star loop of [[connectedComponents]], returning
-    * the final CHECKPOINTED edge set instead of labels. Every edge set in
-    * the loop (including the initial one) maintains the src > dst
-    * orientation, so consumers may rely on it. Caller frees the returned
-    * checkpoint via [[freeLocalCheckpoint]]. */
+    * the final CHECKPOINTED edge set plus whether it CONVERGED (the
+    * star-forest test held — consumers may then rely on "one edge per src").
+    * Every edge set in the loop (including the initial one) maintains the
+    * src > dst orientation, so consumers may rely on it. Caller frees the
+    * returned checkpoint via [[freeLocalCheckpoint]].
+    *
+    * `pairsDistinct`: the caller guarantees one row per unordered pair (the
+    * LSH pipelines' verified frames are `dropDuplicates("id_a","id_b")` +
+    * equi-joins + filters, and id_a < id_b strictly) — the initial
+    * `.distinct()` exchange over |pairs| rows is skipped, since orientation
+    * maps id_a < id_b to (src,dst) = (id_b,id_a) bijectively. A wrongly-set
+    * flag costs at most ONE extra round (duplicate fanout fails the init
+    * star test; smallStar's distinct restores the invariant), never
+    * correctness — but set it only where provable. */
   private def ccEdges(pairs: DataFrame, maxIter: Int,
-      failOnNonConvergence: Boolean): DataFrame = {
+      failOnNonConvergence: Boolean,
+      pairsDistinct: Boolean = false): (DataFrame, Boolean) = {
     // NO intermediate distinct: the round ends in smallStar's final
     // distinct, so the per-round edge SET — and with it the round count,
     // the star-forest test, and the labels — is unchanged (all downstream
@@ -468,10 +493,12 @@ object Dedup {
     // maintains (the graph is undirected; orientation also dedups a/b vs
     // b/a inputs and was measured FASTER through round 0 than the unoriented
     // round-5 form)
-    var edges = pairs.select(
+    val oriented = pairs.select(
         greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst"))
+    var edges = (if (pairsDistinct) oriented else oriented.distinct())
+      .localCheckpoint(true)
     var iter = 0
     var converged = isStarForest(edges)
     while (iter < maxIter && !converged) {
@@ -489,7 +516,7 @@ object Dedup {
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    edges
+    (edges, converged)
   }
 
   /** The ids a keep-min dedup DROPS, derived straight from the CC edge set:
@@ -502,9 +529,15 @@ object Dedup {
     * then immediately filtered down to this set. Returns a checkpointed
     * loser-id frame (one row per dropped duplicate — the same bounded
     * pay-per-defect residual the round-5 drop tail documented). */
-  private def componentLosers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = ccEdges(pairs, maxIter, failOnNonConvergence = false)
-    val losers = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+  private def componentLosers(pairs: DataFrame, maxIter: Int = 20,
+      pairsDistinct: Boolean = false): DataFrame = {
+    val (edges, converged) = ccEdges(pairs, maxIter,
+      failOnNonConvergence = false, pairsDistinct)
+    // converged ⇒ the star-forest test held on THIS frame: every src appears
+    // exactly once, so the sources are already distinct — the dedup exchange
+    // is skipped. A truncated run can emit a src twice and keeps the distinct.
+    val srcs = edges.select(col("src").as("id"))
+    val losers = (if (converged) srcs else srcs.distinct()).localCheckpoint(true)
     freeLocalCheckpoint(edges)
     losers
   }
@@ -517,11 +550,18 @@ object Dedup {
     * count it, a truncated run exactly mirrors the label semantics).
     * Replaces the labels join + full-label groupBy with two aggregations
     * over the (tiny) root-of frame. */
-  private def componentReport(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = ccEdges(pairs, maxIter, failOnNonConvergence = false)
-    val rootOf = edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
-      .localCheckpoint(true) // read twice below (both union branches)
-    freeLocalCheckpoint(edges)
+  private def componentReport(pairs: DataFrame, maxIter: Int = 20,
+      pairsDistinct: Boolean = false): DataFrame = {
+    val (edges, converged) = ccEdges(pairs, maxIter,
+      failOnNonConvergence = false, pairsDistinct)
+    // converged ⇒ star forest: one edge per src, so groupBy(src).min(dst) is
+    // the identity — both union branches below read the already-checkpointed
+    // edges directly, skipping the exchange AND the second checkpoint. A
+    // truncated run keeps the min-agg (one label per src).
+    val rootOf =
+      if (converged) edges.select(col("src").as("id"), col("dst").as("__c"))
+      else edges.groupBy(col("src").as("id")).agg(min("dst").as("__c"))
+        .localCheckpoint(true) // read twice below (both union branches)
     // one role-tagged union + groupBy (the star-forest-test pattern)
     // replaces the round-6 kids-agg + anti-join + left-join: role 0 rows
     // count a component's kids, a role 1 row marks "component is itself a
@@ -541,7 +581,8 @@ object Dedup {
         (col("__n_kids") + when(col("__is_src") === 1, 0L).otherwise(1L)).as("n_members"))
       .filter(col("n_members") >= 2)
       .localCheckpoint(true) // cluster-bounded residual, as before
-    freeLocalCheckpoint(rootOf)
+    freeLocalCheckpoint(edges)
+    if (!converged) freeLocalCheckpoint(rootOf)
     report
   }
 
@@ -564,13 +605,14 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val (candidates, releaseLsh) = minhashLshCached(df, textCol, idCol, numHashes,
       bands, shingleK, threshold, maxBucket)
-    // persisted: the CC edge set reads the verified pairs twice (forward +
-    // reversed) and iterates — without this the whole LSH+verify pipeline
-    // would re-run per branch
+    // the verified pair frame is read exactly ONCE — by ccEdges' init
+    // checkpoint (the loop then iterates on checkpoints) — so the former
+    // persist only added a cache write of the pair set; distinct by
+    // construction (candidates are dropDuplicates'd, verification is
+    // equi-joins + filters, id_a < id_b strictly)
     val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
-      .select("id_a", "id_b").persist()
-    val losers = componentLosers(verified) // materializes verified on the way
-    verified.unpersist()
+      .select("id_a", "id_b")
+    val losers = componentLosers(verified, pairsDistinct = true)
     releaseLsh()
     df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -587,13 +629,14 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val (candidates, releaseLsh) = minhashLshCached(df, textCol, idCol, numHashes,
       bands, shingleK, threshold, maxBucket)
+    // single-read pair frame: no persist (see dropNearDups), distinct by
+    // construction
     val verified = ngramJaccardFor(df, textCol, idCol, candidates, shingleK, threshold)
-      .select("id_a", "id_b").persist()
+      .select("id_a", "id_b")
     // label-identical report derived from the CC edge set — skips the full
     // label construction; the report checkpoint is the same bounded
     // pay-per-defect residual as before
-    val report = componentReport(verified)
-    verified.unpersist()
+    val report = componentReport(verified, pairsDistinct = true)
     releaseLsh()
     report
   }
@@ -616,10 +659,10 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     val (pairs, releaseLsh) = Similarity.cosineLshPairsCached(df, vecCol, idCol,
       threshold, bands, planesPerBand, maxBucket)
-    // persisted: CC reads the verified pairs twice per round (see dropNearDups)
-    val verified = pairs.select("id_a", "id_b").persist()
-    val losers = componentLosers(verified)
-    verified.unpersist()
+    // single-read pair frame: no persist (see dropNearDups), distinct by
+    // construction
+    val losers = componentLosers(pairs.select("id_a", "id_b"),
+      pairsDistinct = true)
     releaseLsh()
     df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -633,9 +676,9 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     val (pairs, releaseLsh) = Similarity.cosineLshPairsCached(df, vecCol, idCol,
       threshold, bands, planesPerBand, maxBucket)
-    val verified = pairs.select("id_a", "id_b").persist()
-    val report = componentReport(verified) // label-identical; see nearDupClusters
-    verified.unpersist()
+    // single-read pair frame: no persist, distinct by construction
+    val report = componentReport(pairs.select("id_a", "id_b"),
+      pairsDistinct = true) // label-identical; see nearDupClusters
     releaseLsh()
     report
   }

@@ -115,4 +115,58 @@ class Round6Spec extends SparkSpec {
     val out = ops.Dedup.ngramJaccardFor(docs, "text", "doc_id", cand, 1, 0.8).collect()
     assert(out.length === 1 && out(0).getAs[Int]("inter") === 4 && out(0).getAs[Int]("uni") === 5)
   }
+
+  test("array_intersect_count is bit-equal to size(array_intersect) in both eval modes") {
+    // duplicates count once, null matches null, empties, disjoint, subset —
+    // the exact cases where a count-only kernel could drift from Spark's
+    // array_intersect semantics
+    val df = Seq(
+      (1L, Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (2L, Seq("a", "a", "b"), Seq("a", "x")),
+      (3L, Seq[String](), Seq("a")),
+      (4L, Seq("a", null, "b"), Seq(null, "b", "b")),
+      (5L, Seq("x", "y"), Seq("p", "q")),
+      (6L, Seq("s1", "s2", "s3"), Seq("s3", "s2", "s1", "s0"))).toDF("id", "ga", "gb")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"),
+          graft.functions.VecFunctions.array_intersect_count(col("ga"), col("gb")).as("fused"),
+          size(array_intersect(col("ga"), col("gb"))).as("ref"))
+        .collect().map(r => { assert(r.getInt(1) === r.getInt(2), s"row $r"); r.toString }).toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
+  test("connectedComponents: truncated run still yields exactly one label per id") {
+    // maxIter=1 on a 10-chain cannot converge (warn path): the non-converged
+    // min-agg fallback must still emit ONE label per vertex, labels <= id
+    // (the converged fast path skips that agg — this pins the other branch)
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = ops.Dedup.connectedComponents(chain, maxIter = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.map(_._1).distinct.length === cc.length)
+    assert(cc.map(_._1).toSet === (1L to 10L).toSet)
+    assert(cc.forall { case (id, c) => c <= id })
+  }
+
+  test("ngramJaccard: unbounded maxBlock sentinel equals the guarded form") {
+    // Int.MaxValue skips the guard pass entirely; output must equal a
+    // guarded run whose cap no block reaches
+    val docs = Seq(
+      (1L, "web", "en", "alpha beta gamma delta"),
+      (2L, "web", "en", "alpha beta gamma delta epsilon"),
+      (3L, "web", "en", "alpha beta gamma"),
+      (4L, "web", "de", "eins zwei drei vier"),
+      (5L, "web", "de", "eins zwei drei vier funf")).toDF("doc_id", "source", "lang", "text")
+    def run(maxBlock: Int) = ops.Dedup.ngramJaccard(docs, "text", "doc_id",
+      Seq("source", "lang"), shingleK = 1, minJaccard = 0.5, maxBlock = maxBlock)
+      .select("id_a", "id_b", "inter", "uni").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(run(Int.MaxValue).toSeq === run(1000).toSeq)
+  }
 }
