@@ -13,8 +13,12 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else
       java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    // SPARK_GRAFT_MASTER lets the same smoke surface run under a real
+    // multi-JVM scheduler (e.g. spark-submit --master local-cluster[2,4,4096]
+    // — separate executor processes, torrent broadcast fetch, task
+    // serialization of the custom expressions/aggregates); default unchanged
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .appName("graft-smoke")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -33,9 +33,16 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.session.timeZone", "UTC")
 
-  /** Local development/test session at `cores` threads. */
+  /** Local development/test session at `cores` threads.
+    *
+    * SPARK_GRAFT_MASTER (optional) overrides the master URL so the SAME
+    * mains can run under a real multi-JVM scheduler (e.g. spark-submit
+    * --master local-cluster[2,4,4096]: separate executor processes, torrent
+    * broadcast fetch, cross-process task/aggregate serialization) — the
+    * default is the plain local[cores] the bench contract specifies. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val s = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val s = tuned(SparkSession.builder().master(master).appName(appName), cores)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
